@@ -1,0 +1,73 @@
+"""Configuration for the TPU SLAM engine.
+
+The reference keeps every knob as a compile-time constant scattered across the
+tree (mode #defines in main.h:28-32, filter constants image_kernels.cu:18-22,
+ICP gates localization_kernels.cu:17-18, pyramid schedule rgbd_camera.cpp:19,
+grid constants voxelization.cu:24-25, USE_BRICK_POOL svo.h:8). Here they live
+in one frozen dataclass; fields are static w.r.t. jit (shapes / loop bounds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SLAMConfig:
+    # --- Sensor / image (reference: main.h:39, openni_device.cpp:64-65) ---
+    width: int = 640
+    height: int = 480
+    focal_x: float = 532.57  # Kinect-class defaults (cone_tracing_kernels.cu:45-46)
+    focal_y: float = 531.54
+    depth_min_mm: int = 1          # depth==0 is "no measurement" (image_kernels.cu:40)
+    depth_max_mm: int = 15000      # image_kernels.cu:40
+
+    # --- Bilateral filter (image_kernels.cu:18-20) ---
+    bilateral_kernel_size: int = 7
+    bilateral_sigma_depth: float = 40.0   # mm
+    bilateral_sigma_spatial: float = 4.5
+
+    # --- Intensity ratios (image_kernels.cu:22; reference has an r,b,b bug
+    #     at :196-197 which we fix to r,g,b) ---
+    intensity_ratio: Tuple[float, float, float] = (0.299, 0.587, 0.114)
+
+    # --- ICP tracking (localization_kernels.cu:17-18, rgbd_camera.h:57,
+    #     rgbd_camera.cpp:19) ---
+    pyramid_depth: int = 3
+    pyramid_iters: Tuple[int, ...] = (10, 5, 4)   # fine -> coarse order, like ref
+    icp_dist_thresh: float = 0.1        # meters
+    icp_norm_thresh: float = 0.87       # cos(30 deg)
+    icp_z_min: float = 0.1              # meters (localization_kernels.cu:189)
+    icp_z_max: float = 10.0
+
+    # --- Map / SVO (scene.cpp:94,101; svo.cu) ---
+    voxel_resolution: float = 0.01      # meters, SLAM-mode leaf size
+    max_depth: int = 9                  # octree levels (<=10 for 30-bit keys)
+    node_capacity: int = 1 << 21        # static node-pool capacity
+    extract_capacity: int = 1 << 18     # static voxel-extraction buffer
+
+    # --- Rendering (cone_tracing_kernels.cu:24-27) ---
+    max_range: float = 10.0             # meters
+    start_dist: float = 0.002
+    max_march_iters: int = 96           # replaces while-live-rays + remove_if
+    fov: float = 45.0                   # degrees (vertical), for pix footprint
+
+    # --- Mesh voxelization (voxelization.cu:24-25: GRID_RES=8 -> 256^3) ---
+    vox_log_n: int = 8                  # grid is (1<<vox_log_n)^3 voxels
+    vox_tri_budget: int = 512           # static per-triangle candidate voxels
+
+    @property
+    def resolution(self) -> Tuple[int, int]:
+        return (self.width, self.height)
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+    def level_shape(self, level: int) -> Tuple[int, int]:
+        """(height, width) of pyramid level `level` (0 = full res)."""
+        return (self.height >> level, self.width >> level)
+
+
+DEFAULT_CONFIG = SLAMConfig()

@@ -1,0 +1,198 @@
+"""Map core tests: morton keys, insertion, extraction, mipmap, properties."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from octree_slam_tpu.core import packing
+from octree_slam_tpu.map import morton, svo
+
+from oracle import OracleOctree, decode_center, morton_key
+
+
+def random_points(n, seed=0, lo=-0.9, hi=0.9):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(lo, hi, size=(n, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+    return pts, cols
+
+
+class TestMorton:
+    def test_matches_oracle(self):
+        pts, _ = random_points(200, seed=1)
+        center = np.array([0.1, -0.2, 0.05], np.float32)
+        keys, valid = morton.encode(jnp.asarray(pts), jnp.asarray(center), 1.5, 6)
+        keys = np.asarray(keys)
+        assert np.all(np.asarray(valid))
+        for i in range(pts.shape[0]):
+            assert keys[i] == morton_key(pts[i], center, 1.5, 6), i
+
+    def test_invalid_points(self):
+        pts = np.array([[0.1, 0.2, 0.3], [np.inf, 0, 0], [np.nan, 1, 1]], np.float32)
+        keys, valid = morton.encode(jnp.asarray(pts), jnp.zeros(3), 1.0, 4)
+        assert list(np.asarray(valid)) == [True, False, False]
+        assert np.asarray(keys)[1] == morton.INVALID_KEY
+
+    def test_decode_roundtrip(self):
+        pts, _ = random_points(100, seed=2)
+        center = np.zeros(3, np.float32)
+        depth = 7
+        keys, _ = morton.encode(jnp.asarray(pts), center, 1.0, depth)
+        centers = np.asarray(morton.decode_centers(keys, center, 1.0, depth))
+        cell = 2.0 * 1.0 / (1 << depth)  # full edge / 2^depth
+        # decoded center must be within half a cell of the original point
+        assert np.all(np.abs(centers - pts) <= cell / 2 + 1e-5)
+        for i in range(10):
+            ref = decode_center(int(np.asarray(keys)[i]), center, 1.0, depth)
+            np.testing.assert_allclose(centers[i], ref, atol=1e-5)
+
+
+class TestInsert:
+    def test_single_point(self):
+        pool = svo.create(1 << 12, jnp.zeros(3), 1.0)
+        pts = jnp.array([[0.5, 0.5, 0.5]], jnp.float32)
+        cols = jnp.array([[1.0, 0.5, 0.25]], jnp.float32)
+        pool, stats = svo.insert(pool, pts, cols, depth=4)
+        assert int(stats.n_valid) == 1
+        # one tile per interior level below the root tile
+        assert int(stats.new_nodes) == 8 * 3
+        assert int(pool.n_nodes) == 8 + 24
+        val, reached = svo.query_points(pool, pts, depth=4)
+        r, g, b, a = packing.unpack_rgba8(val)
+        assert int(reached[0]) == 4
+        # blend from alpha=127: f1 = 1 - 127/256
+        f1 = 1.0 - 127.0 / 256.0
+        assert int(r[0]) == int(255 * f1)
+        assert int(a[0]) == 129
+
+    def test_matches_oracle_tree(self):
+        depth = 5
+        pts, cols = random_points(300, seed=3)
+        pool = svo.create(1 << 14, jnp.zeros(3), 1.0)
+        pool, _ = svo.insert(pool, jnp.asarray(pts), jnp.asarray(cols), depth=depth)
+
+        oracle = OracleOctree(np.zeros(3), 1.0, depth)
+        oracle.insert(pts, cols)
+
+        vals, reached = svo.query_points(pool, jnp.asarray(pts), depth=depth)
+        r, g, b, a = (np.asarray(x) for x in packing.unpack_rgba8(vals))
+        assert np.all(np.asarray(reached) == depth)
+        for i in range(pts.shape[0]):
+            key = morton_key(pts[i], np.zeros(3), 1.0, depth)
+            ov = oracle.values[(depth, key)]
+            # int truncation in both paths can differ by 1 ulp of rounding
+            assert abs(r[i] - ov[0]) <= 1, (i, r[i], ov)
+            assert abs(g[i] - ov[1]) <= 1
+            assert abs(b[i] - ov[2]) <= 1
+            assert a[i] == ov[3]
+
+    def test_two_inserts_blend(self):
+        """Second insert of same voxel blends with alpha weighting."""
+        pool = svo.create(1 << 12, jnp.zeros(3), 1.0)
+        pts = jnp.array([[0.5, 0.5, 0.5]], jnp.float32)
+        pool, _ = svo.insert(pool, pts, jnp.array([[1.0, 0.0, 0.0]]), depth=4)
+        pool, s2 = svo.insert(pool, pts, jnp.array([[0.0, 0.0, 1.0]]), depth=4)
+        assert int(s2.new_nodes) == 0  # structure already exists
+        val, _ = svo.query_points(pool, pts, depth=4)
+        r, g, b, a = packing.unpack_rgba8(val)
+        assert int(a[0]) == 131
+        # red decayed but present; blue newly blended in
+        assert 0 < int(r[0]) < 255 * (1 - 127 / 256)
+        assert int(b[0]) > 0
+
+    def test_duplicate_keys_segment_mean(self):
+        """Duplicates within one insert are averaged once (fixes the
+        reference's unhandled-duplicates race, svo.cu TODO:631)."""
+        pool = svo.create(1 << 12, jnp.zeros(3), 1.0)
+        pts = jnp.array([[0.5, 0.5, 0.5]] * 4, jnp.float32)
+        cols = jnp.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]], jnp.float32)
+        pool, _ = svo.insert(pool, pts, cols, depth=4)
+        val, _ = svo.query_points(pool, pts[:1], depth=4)
+        r, g, b, a = packing.unpack_rgba8(val)
+        assert int(a[0]) == 129  # one bump, not four
+        f1 = 1.0 - 127.0 / 256.0
+        assert abs(int(r[0]) - int(0.5 * 255 * f1)) <= 1
+        assert abs(int(g[0]) - int(0.5 * 255 * f1)) <= 1
+
+    def test_mipmap_interior_values(self):
+        depth = 4
+        pts, cols = random_points(64, seed=4)
+        pool = svo.create(1 << 13, jnp.zeros(3), 1.0)
+        pool, _ = svo.insert(pool, jnp.asarray(pts), jnp.asarray(cols), depth=depth)
+        oracle = OracleOctree(np.zeros(3), 1.0, depth)
+        oracle.insert(pts, cols)
+        # check level-1..depth-1 values of every touched prefix
+        child = np.asarray(pool.child)
+        value = np.asarray(pool.value)
+        for (level, prefix), ov in oracle.values.items():
+            if level == depth:
+                continue
+            # walk to the node
+            idx = prefix >> (3 * (level - 1))
+            for l in range(1, level):
+                octant = (prefix >> (3 * (level - 1 - l))) & 7
+                idx = child[idx] + octant
+            v = int(value[idx])
+            r, g, b, a = v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF, (v >> 24) & 0xFF
+            assert abs(r - ov[0]) <= 1, (level, prefix)
+            assert abs(g - ov[1]) <= 1
+            assert abs(b - ov[2]) <= 1
+            assert a == ov[3], (level, prefix, a, ov)
+
+    def test_capacity_overflow_is_safe(self):
+        pool = svo.create(64, jnp.zeros(3), 1.0)  # tiny pool
+        pts, cols = random_points(500, seed=5)
+        pool, stats = svo.insert(pool, jnp.asarray(pts), jnp.asarray(cols), depth=6)
+        assert bool(stats.overflowed)
+        assert int(pool.n_nodes) <= 64
+        # root tile intact: no child pointer escapes capacity
+        child = np.asarray(pool.child)
+        assert np.all(child[child > 0] + 8 <= 64)
+
+
+class TestExtract:
+    def test_roundtrip_occupancy(self):
+        """Insert N random points -> extraction returns exactly the set of
+        quantized occupied voxels (SURVEY.md section 4 property test)."""
+        depth = 5
+        pts, cols = random_points(400, seed=6)
+        pool = svo.create(1 << 14, jnp.zeros(3), 1.0)
+        pool, _ = svo.insert(pool, jnp.asarray(pts), jnp.asarray(cols), depth=depth)
+        out = svo.extract_voxels(pool, depth=depth, capacity=1 << 12)
+
+        expected = {morton_key(p, np.zeros(3), 1.0, depth) for p in pts}
+        got = set(np.asarray(out.keys)[: int(out.count)].tolist())
+        assert got == expected
+
+    def test_extracted_centers_and_colors(self):
+        depth = 4
+        pool = svo.create(1 << 12, jnp.zeros(3), 1.0)
+        pts = jnp.array([[0.5, 0.5, 0.5], [-0.5, -0.5, -0.5]], jnp.float32)
+        cols = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+        pool, _ = svo.insert(pool, pts, cols, depth=depth)
+        out = svo.extract_voxels(pool, depth=depth, capacity=256)
+        assert int(out.count) == 2
+        centers = np.asarray(out.centers)[:2]
+        cell = 2.0 / (1 << depth)
+        assert np.all(np.abs(np.sort(centers, 0) - np.sort(np.asarray(pts), 0))
+                      <= cell / 2 + 1e-6)
+        colors = np.asarray(out.colors)[:2]
+        assert np.all(colors[:, 3] > 127 / 255.0)
+
+    def test_idempotent_occupancy(self):
+        """Insert twice -> same occupied set, monotone alpha."""
+        depth = 5
+        pts, cols = random_points(200, seed=7)
+        pool = svo.create(1 << 14, jnp.zeros(3), 1.0)
+        pool, _ = svo.insert(pool, jnp.asarray(pts), jnp.asarray(cols), depth=depth)
+        out1 = svo.extract_voxels(pool, depth=depth, capacity=1 << 12)
+        a1 = np.asarray(out1.colors)[: int(out1.count), 3]
+        pool, s = svo.insert(pool, jnp.asarray(pts), jnp.asarray(cols), depth=depth)
+        assert int(s.new_nodes) == 0
+        out2 = svo.extract_voxels(pool, depth=depth, capacity=1 << 12)
+        assert int(out1.count) == int(out2.count)
+        k1 = set(np.asarray(out1.keys)[: int(out1.count)].tolist())
+        k2 = set(np.asarray(out2.keys)[: int(out2.count)].tolist())
+        assert k1 == k2
+        a2 = np.asarray(out2.colors)[: int(out2.count), 3]
+        assert np.all(a2 >= a1.min())
