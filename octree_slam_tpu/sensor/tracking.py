@@ -1,0 +1,176 @@
+"""Point-to-plane ICP camera tracking over an image pyramid.
+
+TPU-native rebuild of RGBDCamera::update (rgbd_camera.cpp:53-191) and the
+ICP cost kernels (localization_kernels.cu). The per-thread-strip fused
+gating+accumulation kernel plus 42-float thrust::reduce
+(computeICPCostsUncorrespondedKernel, localization_kernels.cu:154-229,
+reduce at :318) becomes a masked einsum building the 6x6 normal equations
+directly on device; the host Cholesky round-trip (solveCholesky,
+rgbd_camera.cpp:145,194-222) becomes jax.scipy cho_solve on device, so the
+whole coarse-to-fine Gauss-Newton loop stays inside one jitted program.
+
+Association is projective-by-pixel-index (no search), same as the reference.
+
+Documented divergences (SURVEY.md section 7 risk (d)):
+  * Jacobian is the mathematically correct point-to-plane linearization
+    J = [v2 x n1; n1], r = n1.(v1 - v2). The reference's hand-packed G
+    matrix (localization_kernels.cu:131-132,208-209) has wrong rows 0/2.
+  * The incremental update is a proper SE(3) exponential; the reference
+    composes per-axis glm::rotate calls interpreting radians as degrees
+    (rgbd_camera.cpp:154-158).
+  * Divergence (NaN solve) freezes the update for that level instead of
+    aborting mid-iteration ("Camera tracking is lost", rgbd_camera.cpp:148).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from octree_slam_tpu.config import SLAMConfig
+from octree_slam_tpu.core import se3
+from octree_slam_tpu.core.types import PyramidLevel
+from octree_slam_tpu.sensor import image_ops
+
+
+class TrackStats(NamedTuple):
+    inliers: jnp.ndarray    # i32[levels] inlier count at final iter per level
+    residual: jnp.ndarray   # f32[levels] mean |r| at final iter per level
+    diverged: jnp.ndarray   # bool[] any NaN solve
+
+
+def build_pyramid(depth_mm: jnp.ndarray, color: jnp.ndarray,
+                  cfg: SLAMConfig) -> List[PyramidLevel]:
+    """Bilateral filter + intensity + per-level vertex/normal maps
+    (rgbd_camera.cpp:61-93). Level 0 is full resolution."""
+    filtered = image_ops.bilateral_filter(
+        depth_mm, cfg.bilateral_kernel_size,
+        cfg.bilateral_sigma_spatial, cfg.bilateral_sigma_depth)
+    intensity = image_ops.color_to_intensity(color, cfg.intensity_ratio)
+    levels = []
+    d, inten = filtered, intensity
+    for i in range(cfg.pyramid_depth):
+        vertex = image_ops.generate_vertex_map(
+            d, cfg.focal_x, cfg.focal_y, (cfg.width, cfg.height))
+        normal = image_ops.generate_normal_map(vertex)
+        levels.append(PyramidLevel(vertex=vertex, normal=normal, intensity=inten))
+        if i != cfg.pyramid_depth - 1:
+            d = image_ops.subsample_depth(d, cfg.bilateral_sigma_depth)
+            inten = image_ops.subsample(inten)
+    return levels
+
+
+def icp_normal_equations(v1: jnp.ndarray, n1: jnp.ndarray,
+                         v2: jnp.ndarray, n2: jnp.ndarray,
+                         cfg: SLAMConfig) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                   jnp.ndarray, jnp.ndarray]:
+    """Build (A = sum J J^T, b = sum r J) over same-index correspondences.
+
+    v1/n1: last-frame maps, v2/n2: current maps (any matching [..., 3]
+    shapes). Gates per localization_kernels.cu:186-204: finiteness,
+    0.1 < z < 10 for both, |v2-v1| <= 0.1, n2.n1 >= 0.87.
+    Returns (A f32[6,6], b f32[6], inlier_count i32, mean_abs_residual f32).
+    """
+    v1 = v1.reshape(-1, 3)
+    n1 = n1.reshape(-1, 3)
+    v2 = v2.reshape(-1, 3)
+    n2 = n2.reshape(-1, 3)
+
+    finite = (
+        jnp.all(jnp.isfinite(v1), axis=-1)
+        & jnp.all(jnp.isfinite(v2), axis=-1)
+        & jnp.all(jnp.isfinite(n1), axis=-1)
+        & jnp.all(jnp.isfinite(n2), axis=-1)
+    )
+    v1c = jnp.where(finite[:, None], v1, 0.0)
+    v2c = jnp.where(finite[:, None], v2, 0.0)
+    n1c = jnp.where(finite[:, None], n1, 0.0)
+    n2c = jnp.where(finite[:, None], n2, 0.0)
+
+    z_ok = (
+        (v1c[:, 2] > cfg.icp_z_min) & (v2c[:, 2] > cfg.icp_z_min)
+        & (v1c[:, 2] < cfg.icp_z_max) & (v2c[:, 2] < cfg.icp_z_max)
+    )
+    diff = v2c - v1c
+    dist_ok = jnp.sum(diff * diff, axis=-1) <= cfg.icp_dist_thresh ** 2
+    norm_ok = jnp.sum(n2c * n1c, axis=-1) >= cfg.icp_norm_thresh
+    mask = finite & z_ok & dist_ok & norm_ok
+
+    J = jnp.concatenate([jnp.cross(v2c, n1c), n1c], axis=-1)  # [N, 6]
+    r = jnp.sum(n1c * (v1c - v2c), axis=-1)                   # [N]
+    w = mask.astype(jnp.float32)
+    Jw = J * w[:, None]
+    # f32 accumulation on the MXU: force highest precision for the 6x6.
+    A = jax.lax.dot_general(
+        Jw, J, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    b = (r * w) @ J
+    count = jnp.sum(mask.astype(jnp.int32))
+    mean_res = jnp.sum(jnp.abs(r) * w) / jnp.maximum(count.astype(jnp.float32), 1.0)
+    return A, b, count, mean_res
+
+
+def solve_normal_equations(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b on device (replaces the D2H copy + host LLT at
+    rgbd_camera.cpp:145). Tiny Tikhonov damping guards rank deficiency."""
+    damped = A + 1e-6 * jnp.trace(A) * jnp.eye(6, dtype=A.dtype) + 1e-12 * jnp.eye(6, dtype=A.dtype)
+    factor = jax.scipy.linalg.cho_factor(damped)
+    return jax.scipy.linalg.cho_solve(factor, b)
+
+
+def _track_level(v1, n1, v2, n2, update_T, iters: int, cfg: SLAMConfig):
+    """Gauss-Newton iterations at one pyramid level via lax.scan."""
+
+    def step(carry, _):
+        T, diverged = carry
+        v2t = image_ops.transform_vertex_map(v2, T)
+        n2t = image_ops.transform_normal_map(n2, T)
+        A, b, count, res = icp_normal_equations(v1, n1, v2t, n2t, cfg)
+        x = solve_normal_equations(A, b)
+        bad = ~jnp.all(jnp.isfinite(x)) | (count < 6)
+        # twist is [omega, v] = [x[:3], x[3:]] by our Jacobian layout
+        delta = se3.exp_se3(jnp.where(bad, jnp.zeros(6, x.dtype), x))
+        new_T = delta @ T
+        return (new_T, diverged | bad), (count, res)
+
+    (update_T, diverged), (counts, residuals) = jax.lax.scan(
+        step, (update_T, jnp.bool_(False)), None, length=iters)
+    return update_T, diverged, counts[-1], residuals[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track(last_pyramid: List[PyramidLevel], current_pyramid: List[PyramidLevel],
+          cfg: SLAMConfig) -> Tuple[jnp.ndarray, TrackStats]:
+    """Coarse-to-fine ICP: returns cam_{t-1}_T_cam_t, the rigid transform
+    aligning the current camera frame onto the last one, plus health stats
+    (per-frame inlier/residual metrics; SURVEY.md section 5 failure
+    detection).
+
+    Mirrors the schedule at rgbd_camera.cpp:102-170: iterate levels
+    coarse -> fine with cfg.pyramid_iters (fine-first order, like
+    PYRAMID_ITERS), carrying the accumulated update across levels.
+    """
+    update_T = jnp.eye(4, dtype=jnp.float32)
+    diverged = jnp.bool_(False)
+    inliers = []
+    residuals = []
+    for level in range(cfg.pyramid_depth - 1, -1, -1):
+        last = last_pyramid[level]
+        cur = current_pyramid[level]
+        update_T, div, count, res = _track_level(
+            last.vertex, last.normal, cur.vertex, cur.normal,
+            update_T, cfg.pyramid_iters[level], cfg)
+        diverged = diverged | div
+        inliers.append(count)
+        residuals.append(res)
+    stats = TrackStats(
+        inliers=jnp.stack(inliers),
+        residual=jnp.stack(residuals),
+        diverged=diverged,
+    )
+    return update_T, stats

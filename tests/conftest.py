@@ -3,11 +3,15 @@
 Benchmarks (bench.py) run on the real TPU chip; unit/property tests run on
 CPU with 8 fake devices so multi-chip sharding code paths are exercised
 without hardware (SURVEY.md section 4).
+
+Note: this image's sitecustomize registers the 'axon' TPU backend and forces
+jax_platforms="axon,cpu", so the JAX_PLATFORMS env var alone is not enough —
+we must override via jax.config before any backend initializes, otherwise
+every eager op round-trips through the TPU tunnel (~0.5s/op).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +20,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+assert jax.default_backend() == "cpu"
