@@ -1,0 +1,126 @@
+"""Point-cloud and voxel-splat rendering to a framebuffer array.
+
+Replaces the OpenGL presentation paths of the reference — GL_POINTS drawing
+of the vertex map (OpenGLRenderer::renderPoints, opengl_renderer.cpp:174-221
++ the CUDA->VBO copy in gl_interop_kernels.cu:11-37) and instanced voxel
+cubes (rasterizeVoxels, opengl_renderer.cpp:101-172, shaders/voxels.vert) —
+with pure array programs: project, then depth-resolve by scatter-min.
+
+The GPU depth-test race of the reference's software rasterizer
+(rasterize_kernels.cu:327-330, non-atomic) is replaced by a deterministic
+two-pass min-resolve: scatter-min quantized depth, then write color where
+own depth equals the resolved depth.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+DEPTH_INF = jnp.int32(0x7FFFFFFF)
+_DEPTH_SCALE = 1.0e4  # depth quantization (0.1 mm in eye units)
+
+
+def project(points: jnp.ndarray, mvp: jnp.ndarray, width: int, height: int):
+    """Clip-space projection + viewport transform (vertexShadeKernel,
+    rasterize_kernels.cu:152-180). Returns (xy f32[N,2], depth f32[N],
+    valid bool[N])."""
+    ones = jnp.ones(points.shape[:-1] + (1,), points.dtype)
+    hom = jnp.concatenate([points, ones], axis=-1)
+    clip = hom @ mvp.T
+    w = clip[..., 3]
+    ok = (w > 1e-8) & jnp.all(jnp.isfinite(clip), axis=-1)
+    ndc = clip[..., :3] / jnp.where(ok, w, 1.0)[..., None]
+    inside = ok & jnp.all(jnp.abs(ndc) <= 1.0, axis=-1)
+    px = (ndc[..., 0] * 0.5 + 0.5) * width
+    py = (1.0 - (ndc[..., 1] * 0.5 + 0.5)) * height
+    return jnp.stack([px, py], axis=-1), ndc[..., 2], inside
+
+
+def _resolve(idx: jnp.ndarray, qdepth: jnp.ndarray, colors: jnp.ndarray,
+             valid: jnp.ndarray, num_pix: int):
+    """Two-pass z-buffer resolve: min-scatter depth, then color where we won."""
+    idx_safe = jnp.where(valid, idx, num_pix)
+    zbuf = jnp.full((num_pix,), DEPTH_INF, jnp.int32)
+    zbuf = zbuf.at[idx_safe].min(jnp.where(valid, qdepth, DEPTH_INF), mode="drop")
+    won = valid & (zbuf[jnp.minimum(idx_safe, num_pix - 1)] == qdepth)
+    fb = jnp.zeros((num_pix, 3), jnp.float32)
+    fb = fb.at[jnp.where(won, idx, num_pix)].set(colors, mode="drop")
+    mask = jnp.zeros((num_pix,), jnp.float32)
+    mask = mask.at[jnp.where(won, idx, num_pix)].set(1.0, mode="drop")
+    return fb, mask, zbuf
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def render_points(points: jnp.ndarray, colors: jnp.ndarray,
+                  mvp: jnp.ndarray, *, width: int, height: int) -> jnp.ndarray:
+    """1-pixel point splats with depth test. points f32[N,3], colors
+    f32[N,3] in [0,1]. Returns f32[height, width, 4]."""
+    xy, z, valid = project(points, mvp, width, height)
+    xi = jnp.floor(xy[:, 0]).astype(jnp.int32)
+    yi = jnp.floor(xy[:, 1]).astype(jnp.int32)
+    inb = valid & (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
+    idx = yi * width + xi
+    q = jnp.round(z * _DEPTH_SCALE).astype(jnp.int32)
+    fb, mask, _ = _resolve(idx, q, colors, inb, width * height)
+    out = jnp.concatenate([fb, mask[:, None]], axis=-1)
+    return out.reshape(height, width, 4)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "max_splat"))
+def render_voxels(centers: jnp.ndarray, colors: jnp.ndarray, scale,
+                  live: jnp.ndarray, view: jnp.ndarray, mvp: jnp.ndarray, *,
+                  width: int, height: int, max_splat: int = 4) -> jnp.ndarray:
+    """Voxel-cube view as depth-tested square splats sized by the projected
+    voxel footprint (the TPU stand-in for instanced cube rasterization,
+    opengl_renderer.cpp:101-172; exact cubes come from the triangle
+    rasterizer via voxel_grid_to_mesh).
+
+    centers f32[N,3]; colors f32[N,3-4]; scale = half voxel edge; live
+    bool[N]. max_splat bounds the splat radius in pixels (static).
+    """
+    xy, z, valid = project(centers, mvp, width, height)
+    valid = valid & live
+    cam = centers @ view[:3, :3].T + view[:3, 3]
+    dist = jnp.maximum(-cam[..., 2], 1e-4)  # camera looks down -z in GL view
+    # projected half-size in pixels: scale/dist * (half screen / tan(fov/2));
+    # read the focal from the projection matrix (P[1,1] = 1/tan(fov/2)).
+    focal_px = mvp[1, 1]  # approximate; used only for splat extent
+    r_px = jnp.clip(scale / dist * jnp.abs(focal_px) * (height / 2.0),
+                    0.0, float(max_splat))
+    xi = jnp.floor(xy[:, 0]).astype(jnp.int32)
+    yi = jnp.floor(xy[:, 1]).astype(jnp.int32)
+    q = jnp.round(z * _DEPTH_SCALE).astype(jnp.int32)
+    rgb = colors[..., :3]
+
+    num_pix = width * height
+    zbuf = jnp.full((num_pix,), DEPTH_INF, jnp.int32)
+    offs = range(-max_splat, max_splat + 1)
+    # pass 1: scatter-min depth over each splat footprint
+    for dy in offs:
+        for dx in offs:
+            covered = (jnp.maximum(jnp.abs(dx), jnp.abs(dy)) <= r_px + 0.5)
+            x2 = xi + dx
+            y2 = yi + dy
+            ok = valid & covered & (x2 >= 0) & (x2 < width) & (y2 >= 0) & (y2 < height)
+            idx = jnp.where(ok, y2 * width + x2, num_pix)
+            zbuf = zbuf.at[idx].min(jnp.where(ok, q, DEPTH_INF), mode="drop")
+    # pass 2: write color where we won
+    fb = jnp.zeros((num_pix, 3), jnp.float32)
+    mask = jnp.zeros((num_pix,), jnp.float32)
+    for dy in offs:
+        for dx in offs:
+            covered = (jnp.maximum(jnp.abs(dx), jnp.abs(dy)) <= r_px + 0.5)
+            x2 = xi + dx
+            y2 = yi + dy
+            ok = valid & covered & (x2 >= 0) & (x2 < width) & (y2 >= 0) & (y2 < height)
+            idx = jnp.where(ok, y2 * width + x2, num_pix)
+            won = ok & (zbuf[jnp.minimum(idx, num_pix - 1)] == q)
+            idx_w = jnp.where(won, idx, num_pix)
+            fb = fb.at[idx_w].set(rgb, mode="drop")
+            mask = mask.at[idx_w].set(1.0, mode="drop")
+    out = jnp.concatenate([fb, mask[:, None]], axis=-1)
+    return out.reshape(height, width, 4)

@@ -1,0 +1,167 @@
+"""Voxel cone tracing over the SVO node pool.
+
+TPU-native rebuild of the CUDA cone tracer
+(src/rendering/cone_tracing_kernels.cu). The reference's host loop —
+relaunch kernel + thrust::remove_if stream compaction of live rays until
+none remain (coneTraceSVO, cone_tracing_kernels.cu:183-189) — becomes a
+lax.while_loop with an active-ray mask: all lanes march together and the
+loop exits when every ray saturated or left the volume (SURVEY.md section 7
+step 5: all-lanes-march replaces compaction).
+
+Per-step semantics follow coneTrace (cone_tracing_kernels.cu:53-146):
+  * cone LOD: target depth = ceil(log2(oct_size / pix_size)) from the pixel
+    footprint pix_size = ray_len * pix_scale (:68-69);
+  * stackless root-down descent, early-out at a childless node (:76-103);
+  * front-to-back accumulation with alpha = max(0, node_alpha - 127) and
+    rgb += (alpha/127) * node_rgb, terminating when accumulated alpha
+    saturates 127 (:106-122);
+  * step length = node half-size at the reached depth (:126-129);
+  * rays past MAX_RANGE get their color rescaled by 127/w and finish (:131-139).
+
+Divergence: accumulation is float32 (the reference adds into uint8 channels
+which wrap on overflow, :110-112); output is clamped, not wrapped.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from octree_slam_tpu.core import packing
+from octree_slam_tpu.map.svo import SVONodePool
+
+
+def make_rays(world_T_cam: jnp.ndarray, fx, fy, width: int, height: int
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel unit ray directions in world space (createRays,
+    cone_tracing_kernels.cu:29-51, with proper per-camera focals instead of
+    the hardcoded Kinect constants at :45-46).
+
+    Returns (origin f32[3], dirs f32[H*W, 3])."""
+    x = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+    y = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+    d_cam = jnp.stack(
+        [(x - width / 2.0) / fx, (height / 2.0 - y) / fy, jnp.ones_like(x)],
+        axis=-1,
+    ).reshape(-1, 3)
+    d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
+    R = world_T_cam[:3, :3]
+    return world_T_cam[:3, 3], d_cam @ R.T
+
+
+def _descend(pool: SVONodePool, targets: jnp.ndarray, lod_depth: jnp.ndarray,
+             max_depth: int):
+    """Vectorized stackless descent: for each point, walk from the root to
+    min(lod_depth, first childless node). Returns (value u32[N],
+    reached i32[N]) — the loop at cone_tracing_kernels.cu:76-103."""
+    n = targets.shape[0]
+    c = jnp.broadcast_to(pool.center, (n, 3))
+    e = pool.half_size
+    gt = targets > c
+    cur = (
+        gt[:, 0].astype(jnp.int32)
+        + 2 * gt[:, 1].astype(jnp.int32)
+        + 4 * gt[:, 2].astype(jnp.int32)
+    )
+    e = e * 0.5
+    c = c + jnp.where(gt, e, -e)
+    reached = jnp.ones((n,), jnp.int32)
+    going = lod_depth > 1
+    for level in range(1, max_depth):
+        tile = pool.child[cur]
+        go = going & (tile > 0)
+        gt = targets > c
+        octant = (
+            gt[:, 0].astype(jnp.int32)
+            + 2 * gt[:, 1].astype(jnp.int32)
+            + 4 * gt[:, 2].astype(jnp.int32)
+        )
+        cur = jnp.where(go, tile + octant, cur)
+        reached = jnp.where(go, level + 1, reached)
+        e = e * 0.5
+        c = jnp.where(go[:, None], c + jnp.where(gt, e, -e), c)
+        going = go & (lod_depth > level + 1)
+    return pool.value[cur], reached
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "max_depth", "max_iters"))
+def cone_trace(pool: SVONodePool, world_T_cam: jnp.ndarray, fx, fy, *,
+               width: int, height: int, max_depth: int,
+               max_iters: int = 96, max_range: float = 10.0,
+               start_dist: float = 0.002) -> jnp.ndarray:
+    """Render the SVO map to an RGBA framebuffer.
+
+    Returns f32[height, width, 4]: rgb in [0,1], alpha = accumulated opacity
+    in [0,1] (255 = ray finished, mirroring the uchar4 PBO output).
+    """
+    origin, dirs = make_rays(world_T_cam, fx, fy, width, height)
+    n = dirs.shape[0]
+    pix_scale = 1.0 / fy  # per-pixel angular footprint (replaces :171)
+
+    state = dict(
+        ray_len=jnp.full((n,), start_dist, jnp.float32),
+        rgb=jnp.zeros((n, 3), jnp.float32),
+        w=jnp.zeros((n,), jnp.float32),
+        active=jnp.ones((n,), bool),
+        it=jnp.int32(0),
+    )
+
+    oct_size = pool.half_size
+
+    def cond(s):
+        return (s["it"] < max_iters) & jnp.any(s["active"])
+
+    def body(s):
+        ray_len = s["ray_len"]
+        target = origin + dirs * ray_len[:, None]
+        pix_size = ray_len * pix_scale
+        lod = jnp.ceil(jnp.log2(jnp.maximum(oct_size / jnp.maximum(pix_size, 1e-9), 1.0)))
+        lod = jnp.clip(lod.astype(jnp.int32), 1, max_depth)
+        value, reached = _descend(pool, target, lod, max_depth)
+
+        _, _, _, a = packing.unpack_rgba8(value)
+        r, g, b, _ = packing.unpack_rgba8(value)
+        alpha = jnp.maximum(a - 127, 0).astype(jnp.float32)
+        contrib = (alpha / 127.0)[:, None] * jnp.stack(
+            [r, g, b], axis=-1).astype(jnp.float32)
+
+        active = s["active"]
+        rgb = jnp.where(active[:, None], s["rgb"] + contrib, s["rgb"])
+        w_new = s["w"] + jnp.where(active, alpha, 0.0)
+
+        # saturation: finish the ray at full opacity (:115-121)
+        saturated = active & (w_new >= 127.0)
+        w_out = jnp.where(saturated, 255.0, w_new)
+
+        # march by the reached node's half-size (:126-129)
+        step = oct_size / jnp.exp2(reached.astype(jnp.float32))
+        ray_len = jnp.where(active, ray_len + step, ray_len)
+
+        # out of range: rescale color, finish (:131-139)
+        oor = active & ~saturated & (ray_len > max_range)
+        scale = 127.0 / jnp.maximum(w_out, 1.0)
+        rgb = jnp.where(oor[:, None], rgb * scale[:, None], rgb)
+        w_out = jnp.where(oor, 255.0, w_out)
+
+        return dict(
+            ray_len=ray_len,
+            rgb=rgb,
+            w=w_out,
+            active=active & ~saturated & ~oor,
+            it=s["it"] + 1,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+    rgb = jnp.clip(state["rgb"], 0.0, 255.0) / 255.0
+    a = jnp.clip(state["w"], 0.0, 255.0) / 255.0
+    fb = jnp.concatenate([rgb, a[:, None]], axis=-1)
+    return fb.reshape(height, width, 4)
+
+
+def to_u8(framebuffer: jnp.ndarray) -> jnp.ndarray:
+    """f32 [0,1] rgba -> u8, the PBO-style output."""
+    return jnp.round(jnp.clip(framebuffer, 0.0, 1.0) * 255.0).astype(jnp.uint8)
