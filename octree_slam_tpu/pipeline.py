@@ -1,0 +1,136 @@
+"""The per-frame SLAM pipeline: track -> fuse -> render, one jitted program.
+
+TPU-native rebuild of the reference main loop (main.cpp:31-84 + the
+commented-in tracking path at :35). Where the reference crosses host<->device
+on every kernel (cudaDeviceSynchronize throughout, e.g. svo.cu:656,683,688)
+and reallocates the octree per frame (svo.cu:609-614), here the entire frame
+is a single XLA program over static-shape state: no host sync, no allocation,
+no GL interop — the renderer returns a framebuffer array.
+
+Map sizing: the reference grows the octree to the observed cloud bbox
+(Scene::addPointCloudToOctree, scene.cpp:94-107 + Octree::expandBySize,
+octree.cpp:362-378). Static shapes want a fixed root: the pool covers
+half_size = resolution * 2^(max_depth-1) meters around `map_center`
+(so leaves are exactly `voxel_resolution`); out-of-volume growth is handled
+by the host-side re-rooting in map/octree.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from octree_slam_tpu.config import SLAMConfig
+from octree_slam_tpu.core.types import Frame, PyramidLevel
+from octree_slam_tpu.map import svo
+from octree_slam_tpu.map.svo import SVONodePool
+from octree_slam_tpu.render import raycast
+from octree_slam_tpu.sensor import tracking
+
+
+class SLAMState(NamedTuple):
+    pool: SVONodePool
+    pose: jnp.ndarray          # f32[4,4] world_T_cam
+    last_pyramid: Tuple[PyramidLevel, ...]
+    initialized: jnp.ndarray   # bool[] at least one frame ingested
+    frame_idx: jnp.ndarray     # i32[]
+    diverged: jnp.ndarray      # bool[] tracking lost at some frame
+
+
+class StepOutput(NamedTuple):
+    framebuffer: jnp.ndarray   # f32[H, W, 4]
+    pose: jnp.ndarray          # f32[4,4]
+    track_inliers: jnp.ndarray
+    track_residual: jnp.ndarray
+    map_nodes: jnp.ndarray     # i32[] total allocated nodes
+    diverged: jnp.ndarray
+
+
+def _empty_pyramid(cfg: SLAMConfig) -> Tuple[PyramidLevel, ...]:
+    levels = []
+    for i in range(cfg.pyramid_depth):
+        h, w = cfg.level_shape(i)
+        levels.append(
+            PyramidLevel(
+                vertex=jnp.full((h, w, 3), jnp.inf, jnp.float32),
+                normal=jnp.full((h, w, 3), jnp.inf, jnp.float32),
+                intensity=jnp.zeros((h, w), jnp.float32),
+            )
+        )
+    return tuple(levels)
+
+
+def init_state(cfg: SLAMConfig, map_center=(0.0, 0.0, 0.0),
+               initial_pose: jnp.ndarray | None = None) -> SLAMState:
+    half_size = cfg.voxel_resolution * (2 ** (cfg.max_depth - 1))
+    pool = svo.create(cfg.node_capacity, jnp.asarray(map_center, jnp.float32),
+                      jnp.float32(half_size))
+    pose = (jnp.eye(4, dtype=jnp.float32)
+            if initial_pose is None else jnp.asarray(initial_pose, jnp.float32))
+    return SLAMState(
+        pool=pool,
+        pose=pose,
+        last_pyramid=_empty_pyramid(cfg),
+        initialized=jnp.bool_(False),
+        frame_idx=jnp.int32(0),
+        diverged=jnp.bool_(False),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "render"))
+def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
+         render: bool = True) -> Tuple[SLAMState, StepOutput]:
+    """One SLAM frame: preprocess -> ICP track -> fuse -> raycast render.
+
+    Mirrors mainLoop (main.cpp:31-64) with RGBDCamera::update enabled
+    (the capability is built in the reference but commented out of the loop,
+    main.cpp:35).
+    """
+    # --- Preprocess: bilateral + pyramid of vertex/normal maps. ---
+    pyramid = tracking.build_pyramid(frame.depth, frame.color, cfg)
+
+    # --- Track: cam_{t-1}_T_cam_t from coarse-to-fine point-to-plane ICP. ---
+    update_T, tstats = tracking.track(list(state.last_pyramid),
+                                      list(pyramid), cfg)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    update_T = jnp.where(state.initialized, update_T, eye)
+    pose = state.pose @ update_T
+    diverged = state.diverged | (state.initialized & tstats.diverged)
+
+    # --- Fuse: full-res camera-frame points -> world -> SVO insert
+    #     (main.cpp:39-44 -> svoFromPointCloud). ---
+    v = pyramid[0].vertex.reshape(-1, 3)
+    world_pts = v @ pose[:3, :3].T + pose[:3, 3]
+    colors = frame.color.reshape(-1, 3).astype(jnp.float32) / 255.0
+    pool, _ = svo.insert(state.pool, world_pts, colors, depth=cfg.max_depth)
+
+    # --- Render: cone-traced raycast of the map from the tracked pose. ---
+    if render:
+        fb = raycast.cone_trace(
+            pool, pose, cfg.focal_x, cfg.focal_y,
+            width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,
+            max_iters=cfg.max_march_iters, max_range=cfg.max_range,
+            start_dist=cfg.start_dist)
+    else:
+        fb = jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
+
+    new_state = SLAMState(
+        pool=pool,
+        pose=pose,
+        last_pyramid=tuple(pyramid),
+        initialized=jnp.bool_(True),
+        frame_idx=state.frame_idx + 1,
+        diverged=diverged,
+    )
+    out = StepOutput(
+        framebuffer=fb,
+        pose=pose,
+        track_inliers=tstats.inliers,
+        track_residual=tstats.residual,
+        map_nodes=pool.n_nodes,
+        diverged=diverged,
+    )
+    return new_state, out
