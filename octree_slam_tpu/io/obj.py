@@ -1,0 +1,102 @@
+"""Wavefront OBJ loader.
+
+Replaces the vendored objUtil parser (external objloader.cpp:14-129 +
+obj::buildVBOs, obj.cpp:33-135): handles v/vt/vn lines, f faces with any of
+the v, v/vt, v//vn, v/vt/vn index combos (including negative indices),
+polygon-fan triangulation, computes smooth vertex normals when absent, and
+returns a core.types.Mesh with per-corner texcoords and the mesh bbox.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from octree_slam_tpu.core.types import BoundingBox, Mesh
+
+
+def _parse_index(tok: str, count: int) -> int:
+    i = int(tok)
+    return i - 1 if i > 0 else count + i
+
+
+def load_obj(path: str) -> Mesh:
+    positions = []
+    texcoords = []
+    normals = []
+    faces = []       # list of [(vi, ti, ni)] per corner
+    with open(path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            tag = parts[0]
+            if tag == "v":
+                positions.append([float(x) for x in parts[1:4]])
+            elif tag == "vt":
+                u = float(parts[1])
+                v = float(parts[2]) if len(parts) > 2 else 0.0
+                texcoords.append([u, v])
+            elif tag == "vn":
+                normals.append([float(x) for x in parts[1:4]])
+            elif tag == "f":
+                corners = []
+                for tok in parts[1:]:
+                    comps = tok.split("/")
+                    vi = _parse_index(comps[0], len(positions))
+                    ti = (_parse_index(comps[1], len(texcoords))
+                          if len(comps) > 1 and comps[1] else -1)
+                    ni = (_parse_index(comps[2], len(normals))
+                          if len(comps) > 2 and comps[2] else -1)
+                    corners.append((vi, ti, ni))
+                for k in range(1, len(corners) - 1):  # fan triangulation
+                    faces.append([corners[0], corners[k], corners[k + 1]])
+
+    v = np.asarray(positions, np.float32)
+    vt = (np.asarray(texcoords, np.float32)
+          if texcoords else np.zeros((0, 2), np.float32))
+    vn = (np.asarray(normals, np.float32)
+          if normals else np.zeros((0, 3), np.float32))
+
+    fidx = np.array([[c[0] for c in tri] for tri in faces], np.int32)
+    if fidx.size == 0:
+        fidx = fidx.reshape(0, 3)
+
+    # per-corner texcoords [F, 3, 2]
+    fuv = np.zeros((fidx.shape[0], 3, 2), np.float32)
+    for i, tri in enumerate(faces):
+        for j, (_, ti, _) in enumerate(tri):
+            if 0 <= ti < vt.shape[0]:
+                fuv[i, j] = vt[ti]
+
+    # smooth vertex normals: area-weighted face-normal accumulation when the
+    # file carries none (obj.cpp computes flat normals per corner)
+    vnorm = np.zeros_like(v)
+    if vn.shape[0]:
+        counts = np.zeros((v.shape[0], 1), np.float32)
+        for tri in faces:
+            for (vi, _, ni) in tri:
+                if ni >= 0:
+                    vnorm[vi] += vn[ni]
+                    counts[vi] += 1
+        vnorm = np.where(counts > 0, vnorm / np.maximum(counts, 1), vnorm)
+    if not vn.shape[0] or not np.any(np.abs(vnorm) > 0):
+        for tri in fidx:
+            a, b, c = v[tri[0]], v[tri[1]], v[tri[2]]
+            n = np.cross(b - a, c - a)
+            for vi in tri:
+                vnorm[vi] += n
+    lens = np.linalg.norm(vnorm, axis=1, keepdims=True)
+    vnorm = vnorm / np.maximum(lens, 1e-12)
+
+    lo = v.min(0) if v.size else np.zeros(3, np.float32)
+    hi = v.max(0) if v.size else np.zeros(3, np.float32)
+    return Mesh(
+        vertices=jnp.asarray(v),
+        normals=jnp.asarray(vnorm.astype(np.float32)),
+        colors=jnp.ones_like(jnp.asarray(v)),
+        faces=jnp.asarray(fidx),
+        texcoords=jnp.asarray(fuv),
+        bbox=BoundingBox(jnp.asarray(lo), jnp.asarray(hi)),
+    )

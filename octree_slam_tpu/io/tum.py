@@ -1,0 +1,111 @@
+"""TUM RGB-D dataset loader (the file-based FrameSource of SURVEY.md
+section 4: replaces OpenNIDevice for benchmark replay).
+
+Dataset layout (vision.in.tum.de/data/datasets/rgbd-dataset):
+  rgb.txt / depth.txt: "timestamp filename" listings
+  groundtruth.txt: "timestamp tx ty tz qx qy qz qw"
+Depth PNGs are 16-bit with 5000 units per meter -> mm = value / 5.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+from octree_slam_tpu.core.types import Frame
+
+DEPTH_FACTOR_TO_MM = 5.0  # TUM: 5000 per meter; sensor path wants mm
+
+
+def _read_list(path: str) -> List[Tuple[float, str]]:
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            out.append((float(parts[0]), parts[1]))
+    return out
+
+
+def _read_groundtruth(path: str) -> List[Tuple[float, np.ndarray]]:
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            vals = [float(x) for x in line.split()]
+            t, tx, ty, tz, qx, qy, qz, qw = vals[:8]
+            # quaternion -> rotation matrix
+            n = np.sqrt(qx * qx + qy * qy + qz * qz + qw * qw)
+            qx, qy, qz, qw = qx / n, qy / n, qz / n, qw / n
+            R = np.array([
+                [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw), 2 * (qx * qz + qy * qw)],
+                [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qx * qw)],
+                [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw), 1 - 2 * (qx * qx + qy * qy)],
+            ])
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = R
+            T[:3, 3] = [tx, ty, tz]
+            out.append((t, T))
+    return out
+
+
+def _associate(a: List[Tuple[float, str]], b: List[Tuple[float, str]],
+               max_dt: float = 0.02):
+    """Nearest-timestamp association (the TUM associate.py algorithm)."""
+    pairs = []
+    bi = 0
+    for ta, fa in a:
+        while bi + 1 < len(b) and abs(b[bi + 1][0] - ta) <= abs(b[bi][0] - ta):
+            bi += 1
+        if abs(b[bi][0] - ta) <= max_dt:
+            pairs.append(((ta, fa), b[bi]))
+    return pairs
+
+
+class TUMDataset:
+    """Replay source over a TUM RGB-D sequence directory.
+
+    Kinect intrinsics default to the TUM fr1 calibration.
+    """
+
+    FX, FY, CX, CY = 517.3, 516.5, 318.6, 255.3
+
+    def __init__(self, root: str, max_frames: int | None = None):
+        self.root = root
+        rgb = _read_list(os.path.join(root, "rgb.txt"))
+        depth = _read_list(os.path.join(root, "depth.txt"))
+        self.pairs = _associate(depth, rgb)
+        if max_frames:
+            self.pairs = self.pairs[:max_frames]
+        gt_path = os.path.join(root, "groundtruth.txt")
+        self.groundtruth = _read_groundtruth(gt_path) if os.path.exists(gt_path) else []
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def frame(self, i: int) -> Frame:
+        import jax.numpy as jnp
+        from PIL import Image
+
+        (td, fd), (tr, fr) = self.pairs[i]
+        depth_raw = np.asarray(Image.open(os.path.join(self.root, fd)))
+        depth_mm = (depth_raw.astype(np.float32) / DEPTH_FACTOR_TO_MM)
+        depth_mm = np.clip(depth_mm, 0, 65535).astype(np.uint16)
+        color = np.asarray(Image.open(os.path.join(self.root, fr)).convert("RGB"))
+        return Frame(depth=jnp.asarray(depth_mm), color=jnp.asarray(color),
+                     timestamp=jnp.float32(td))
+
+    def gt_pose(self, i: int) -> np.ndarray | None:
+        """Ground-truth world_T_cam nearest to frame i's timestamp."""
+        if not self.groundtruth:
+            return None
+        t = self.pairs[i][0][0]
+        times = np.array([g[0] for g in self.groundtruth])
+        j = int(np.argmin(np.abs(times - t)))
+        return self.groundtruth[j][1]

@@ -1,0 +1,158 @@
+"""Host-side octree facade: resolution semantics, growth, checkpointing.
+
+Mirrors the Octree host API (octree.cpp:251-385) over the static-shape node
+pool. The reference's CPU/GPU hybrid tree (pushToGPU/pullToCPU,
+octree.cpp:41-111) is unnecessary — the pool is the linear "GPU" form at all
+times, which is also a complete snapshot (SURVEY.md section 5
+checkpoint/resume: the linear SVO layout is the serialization format).
+
+Growth semantics: Octree::expandBySize (octree.cpp:362-378) wraps the root
+in new parent layers. With a static pool, growth is a host-triggered
+re-root: double the half-size k times, extract the occupied leaves, and
+re-insert them into a fresh pool at the same world resolution (depth grows
+by k, capped by the 30-bit key budget — past that the map coarsens, which
+the reference does too since its max_depth recomputation at octree.cpp:284
+is bounded by the 32-bit key TODO at svo.cu:35).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from octree_slam_tpu.core.types import BoundingBox, VoxelGrid
+from octree_slam_tpu.map import svo
+
+MAX_KEY_DEPTH = 10  # 30-bit int32 morton keys
+
+
+class Octree:
+    """Dynamic-resolution octree over a fixed-capacity node pool."""
+
+    def __init__(self, resolution: float, center, size: float,
+                 capacity: int = 1 << 20, extract_capacity: int = 1 << 18):
+        """resolution = target leaf half-edge ("scale"); size = root
+        half-edge (root bbox is center +- size, octree.cpp:274-275)."""
+        self.resolution = float(resolution)
+        self.capacity = int(capacity)
+        self.extract_capacity = int(extract_capacity)
+        self.max_depth = self._depth_for(size)
+        self.pool = svo.create(capacity, jnp.asarray(center, jnp.float32),
+                               jnp.float32(size))
+
+    def _depth_for(self, size: float) -> int:
+        # max_depth = ceil(log2(edge / resolution)) (octree.cpp:284)
+        d = max(1, math.ceil(math.log2(max(size / self.resolution, 2.0))))
+        return min(d, MAX_KEY_DEPTH)
+
+    # --- geometry ---
+
+    @property
+    def center(self) -> np.ndarray:
+        return np.asarray(self.pool.center)
+
+    @property
+    def size(self) -> float:
+        return float(self.pool.half_size)
+
+    def bounding_box(self) -> BoundingBox:
+        c = self.pool.center
+        s = self.pool.half_size
+        return BoundingBox(bbox0=c - s, bbox1=c + s)
+
+    def contains(self, bbox: BoundingBox) -> bool:
+        own = self.bounding_box()
+        return bool(np.all(np.asarray(bbox.bbox0) >= np.asarray(own.bbox0))
+                    and np.all(np.asarray(bbox.bbox1) <= np.asarray(own.bbox1)))
+
+    # --- mutation ---
+
+    def add_cloud(self, points, colors, valid=None) -> svo.InsertStats:
+        """svoFromPointCloud path (octree.cpp:269-291). colors in [0,1]."""
+        self.pool, stats = svo.insert(self.pool, points, colors, valid,
+                                      depth=self.max_depth)
+        return stats
+
+    def add_voxel_grid(self, grid: VoxelGrid) -> svo.InsertStats:
+        """svoFromVoxelGrid path (octree.cpp:293-313)."""
+        live = jnp.arange(grid.centers.shape[0]) < grid.count
+        self.pool, stats = svo.insert(self.pool, grid.centers,
+                                      grid.colors[:, :3], valid=live,
+                                      depth=self.max_depth)
+        return stats
+
+    def expand_by_size(self, add_size: float) -> None:
+        """Grow the volume to cover `size + add_size` (octree.cpp:362-378):
+        re-root into a pool with a doubled half-size (k times)."""
+        old_size = self.size
+        k = max(1, math.ceil(math.log2((old_size + add_size) / old_size)))
+        new_size = old_size * (2 ** k)
+        # preserve content
+        extracted = svo.extract_voxels(self.pool, depth=self.max_depth,
+                                       capacity=self.extract_capacity)
+        count = int(extracted.count)
+        self.max_depth = self._depth_for(new_size)
+        self.pool = svo.create(self.capacity, self.pool.center,
+                               jnp.float32(new_size))
+        if count:
+            live = jnp.arange(extracted.centers.shape[0]) < extracted.count
+            # re-observe enough times to restore occupancy (alpha > 127)
+            for _ in range(2):
+                self.pool, _ = svo.insert(
+                    self.pool, extracted.centers, extracted.colors[:, :3],
+                    valid=live, depth=self.max_depth)
+
+    # --- extraction ---
+
+    def extract_voxel_grid(self) -> VoxelGrid:
+        """extractVoxelGridFromSVO at the octree's own resolution
+        (octree.cpp:315-337)."""
+        out = svo.extract_voxels(self.pool, depth=self.max_depth,
+                                 capacity=self.extract_capacity)
+        scale = self.size / (2 ** (self.max_depth - 1)) / 2.0
+        return VoxelGrid(centers=out.centers, colors=out.colors,
+                         count=out.count, scale=jnp.float32(scale),
+                         bbox=self.bounding_box())
+
+    def extract_svo(self) -> svo.SVONodePool:
+        """Live pool view (Octree::extractSVO, octree.cpp:339-360).
+
+        The reference descends to the smallest subtree containing a bbox;
+        the pool's root IS the render volume here — renderers LOD-descend
+        anyway, so subtree extraction buys nothing on TPU."""
+        return self.pool
+
+    # --- checkpoint / resume (SURVEY.md section 5) ---
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            child=np.asarray(self.pool.child),
+            value=np.asarray(self.pool.value),
+            n_nodes=np.asarray(self.pool.n_nodes),
+            center=np.asarray(self.pool.center),
+            half_size=np.asarray(self.pool.half_size),
+            overflowed=np.asarray(self.pool.overflowed),
+            resolution=self.resolution,
+            max_depth=self.max_depth,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "Octree":
+        z = np.load(path)
+        tree = cls.__new__(cls)
+        tree.resolution = float(z["resolution"])
+        tree.max_depth = int(z["max_depth"])
+        tree.capacity = int(z["child"].shape[0])
+        tree.extract_capacity = 1 << 18
+        tree.pool = svo.SVONodePool(
+            child=jnp.asarray(z["child"]),
+            value=jnp.asarray(z["value"]),
+            n_nodes=jnp.asarray(z["n_nodes"]),
+            center=jnp.asarray(z["center"]),
+            half_size=jnp.asarray(z["half_size"]),
+            overflowed=jnp.asarray(z["overflowed"]),
+        )
+        return tree

@@ -1,0 +1,158 @@
+"""Scene facade, octree growth/checkpoint, and IO tests."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from octree_slam_tpu.config import SLAMConfig
+from octree_slam_tpu.core.types import BoundingBox
+from octree_slam_tpu.io import bmp as bmp_io
+from octree_slam_tpu.io import obj as obj_io
+from octree_slam_tpu.map.octree import Octree
+from octree_slam_tpu.scene import Scene
+
+CUBE_OBJ = """
+# simple cube
+v -1 -1 -1
+v 1 -1 -1
+v 1 1 -1
+v -1 1 -1
+v -1 -1 1
+v 1 -1 1
+v 1 1 1
+v -1 1 1
+vt 0 0
+vt 1 0
+vt 1 1
+vt 0 1
+f 1/1 2/2 3/3 4/4
+f 5/1 8/4 7/3 6/2
+f 1/1 5/2 6/3 2/4
+f 2/1 6/2 7/3 3/4
+f 3/1 7/2 8/3 4/4
+f 4/1 8/2 5/3 1/4
+"""
+
+
+@pytest.fixture
+def cube_path(tmp_path):
+    p = tmp_path / "cube.obj"
+    p.write_text(CUBE_OBJ)
+    return str(p)
+
+
+class TestObjLoader:
+    def test_cube(self, cube_path):
+        mesh = obj_io.load_obj(cube_path)
+        assert mesh.vertices.shape == (8, 3)
+        assert mesh.faces.shape == (12, 3)  # 6 quads -> 12 tris (fan)
+        assert mesh.texcoords.shape == (12, 3, 2)
+        np.testing.assert_allclose(np.asarray(mesh.bbox.bbox0), [-1, -1, -1])
+        np.testing.assert_allclose(np.asarray(mesh.bbox.bbox1), [1, 1, 1])
+        # normals unit length
+        n = np.asarray(mesh.normals)
+        np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-5)
+
+    def test_negative_indices_and_vn(self, tmp_path):
+        p = tmp_path / "t.obj"
+        p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nvn 0 0 1\nf -3//1 -2//1 -1//1\n")
+        mesh = obj_io.load_obj(str(p))
+        assert mesh.faces.shape == (1, 3)
+        np.testing.assert_allclose(np.asarray(mesh.normals)[0], [0, 0, 1])
+
+
+class TestBMP:
+    def test_roundtrip(self, tmp_path):
+        from PIL import Image
+        arr = (np.random.default_rng(0).uniform(0, 255, (5, 7, 3))).astype(np.uint8)
+        p = str(tmp_path / "t.bmp")
+        Image.fromarray(arr).save(p)
+        tex = bmp_io.load_bmp(p)
+        np.testing.assert_allclose(
+            np.asarray(tex.data), arr.astype(np.float32) / 255.0, atol=1e-6)
+
+    def test_save_image(self, tmp_path):
+        p = str(tmp_path / "fb.png")
+        fb = np.zeros((4, 6, 4), np.float32)
+        fb[..., 0] = 1.0
+        bmp_io.save_image(p, fb)
+        assert os.path.exists(p)
+
+
+class TestOctreeFacade:
+    def test_add_and_extract(self):
+        tree = Octree(0.05, [0, 0, 0], 1.0, capacity=1 << 14,
+                      extract_capacity=1 << 10)
+        pts = jnp.asarray(np.random.default_rng(0).uniform(-0.9, 0.9, (100, 3)),
+                          jnp.float32)
+        cols = jnp.ones((100, 3), jnp.float32) * 0.5
+        tree.add_cloud(pts, cols)
+        grid = tree.extract_voxel_grid()
+        assert int(grid.count) > 0
+
+    def test_expand_preserves_content(self):
+        """Property test (SURVEY.md section 4): tree expansion preserves
+        occupied content."""
+        tree = Octree(0.05, [0, 0, 0], 1.0, capacity=1 << 15,
+                      extract_capacity=1 << 10)
+        pts = jnp.asarray([[0.5, 0.5, 0.5], [-0.4, -0.3, 0.2]], jnp.float32)
+        cols = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+        tree.add_cloud(pts, cols)
+        g1 = tree.extract_voxel_grid()
+        c1 = np.asarray(g1.centers)[: int(g1.count)]
+        old_size = tree.size
+
+        tree.expand_by_size(1.5)
+        assert tree.size >= old_size * 2
+        g2 = tree.extract_voxel_grid()
+        c2 = np.asarray(g2.centers)[: int(g2.count)]
+        assert int(g2.count) >= int(g1.count)
+        # every old occupied voxel has a nearby voxel in the new tree
+        for c in c1:
+            d = np.min(np.linalg.norm(c2 - c, axis=1))
+            assert d < 0.2, (c, d)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        tree = Octree(0.05, [0, 0, 0], 1.0, capacity=1 << 14,
+                      extract_capacity=1 << 10)
+        pts = jnp.asarray([[0.3, 0.3, 0.3]], jnp.float32)
+        tree.add_cloud(pts, jnp.ones((1, 3), jnp.float32))
+        p = str(tmp_path / "map.npz")
+        tree.save(p)
+        tree2 = Octree.load(p)
+        assert tree2.max_depth == tree.max_depth
+        np.testing.assert_array_equal(np.asarray(tree2.pool.child),
+                                      np.asarray(tree.pool.child))
+        np.testing.assert_array_equal(np.asarray(tree2.pool.value),
+                                      np.asarray(tree.pool.value))
+
+
+class TestScene:
+    def test_voxelize_obj_to_octree(self, cube_path):
+        """Config-1 shape: cube.obj -> voxelize -> octree -> extract
+        (BASELINE.json configs[0])."""
+        cfg = SLAMConfig(vox_log_n=4, vox_tri_budget=256,
+                         node_capacity=1 << 15, extract_capacity=1 << 12)
+        scene = Scene(cfg)
+        scene.load_obj_file(cube_path)
+        grid = scene.voxelize_meshes(octree=True)
+        assert int(grid.count) > 0
+        pool = scene.svo()
+        assert int(pool.n_nodes) > 8
+
+    def test_point_cloud_auto_create_and_expand(self):
+        cfg = SLAMConfig(voxel_resolution=0.05, node_capacity=1 << 15,
+                         extract_capacity=1 << 10)
+        scene = Scene(cfg)
+        pts = jnp.asarray([[0.1, 0.1, 0.1], [0.4, 0.2, 0.3]], jnp.float32)
+        cols = jnp.ones((2, 3), jnp.float32)
+        scene.add_point_cloud_to_octree(jnp.zeros(3), pts, cols)
+        assert scene.tree is not None
+        size1 = scene.tree.size
+        # now a far-away cloud forces expansion
+        far = jnp.asarray([[3.0, 3.0, 3.0]], jnp.float32)
+        scene.add_point_cloud_to_octree(jnp.zeros(3), far,
+                                        jnp.ones((1, 3), jnp.float32))
+        assert scene.tree.size > size1
