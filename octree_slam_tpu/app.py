@@ -1,0 +1,155 @@
+"""Application loop and CLI: the main.cpp equivalent.
+
+The reference's mainLoop (main.cpp:31-84) reads a frame, tracks, fuses, and
+renders into a GLFW window with compile-time mode flags (main.h:28-32).
+Here the loop is a host driver around the jitted pipeline step, render modes
+are runtime config, frames come from any FrameSource (synthetic orbit, TUM
+replay), and output goes to image files / arrays + structured logs
+(FPS, ATE, residuals — SURVEY.md section 5 observability).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from octree_slam_tpu import pipeline
+from octree_slam_tpu.config import SLAMConfig
+from octree_slam_tpu.core.types import Frame
+from octree_slam_tpu.utils import metrics
+
+
+@dataclass
+class RunResult:
+    poses: List[np.ndarray] = field(default_factory=list)
+    gt_poses: List[np.ndarray] = field(default_factory=list)
+    fps: float = 0.0
+    ate_rmse: Optional[float] = None
+    diverged: bool = False
+    map_nodes: int = 0
+    frames: int = 0
+
+
+def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
+             cfg: SLAMConfig, initial_pose=None, gt_fn=None,
+             render_every: int = 1, save_dir: str | None = None,
+             log_every: int = 0) -> RunResult:
+    """Drive the SLAM pipeline over a frame stream.
+
+    frame_fn(i) -> Frame; gt_fn(i) -> optional ground-truth world_T_cam.
+    """
+    state = pipeline.init_state(cfg, initial_pose=initial_pose)
+    result = RunResult()
+    t_start = time.perf_counter()
+    out = None
+    for i in range(n_frames):
+        frame = frame_fn(i)
+        render = render_every > 0 and (i % render_every == 0)
+        state, out = pipeline.step(state, frame, cfg, render=render)
+        result.poses.append(np.asarray(out.pose))
+        if gt_fn is not None:
+            gt = gt_fn(i)
+            if gt is not None:
+                result.gt_poses.append(np.asarray(gt))
+        if save_dir and render:
+            from octree_slam_tpu.io.bmp import save_image
+            save_image(f"{save_dir}/frame_{i:05d}.png",
+                       np.asarray(out.framebuffer))
+        if log_every and i % log_every == 0:
+            print(json.dumps({
+                "frame": i,
+                "inliers": np.asarray(out.track_inliers).tolist(),
+                "residual": np.asarray(out.track_residual).tolist(),
+                "map_nodes": int(out.map_nodes),
+                "diverged": bool(out.diverged),
+            }))
+    jax.block_until_ready(out.pose)
+    dt = time.perf_counter() - t_start
+    result.fps = n_frames / dt
+    result.frames = n_frames
+    result.diverged = bool(out.diverged)
+    result.map_nodes = int(out.map_nodes)
+    if result.gt_poses and len(result.gt_poses) == len(result.poses):
+        result.ate_rmse = metrics.ate_rmse(
+            np.stack(result.poses), np.stack(result.gt_poses))
+    return result
+
+
+def save_state(path: str, state: pipeline.SLAMState) -> None:
+    """Checkpoint the full SLAM state (map + pose + pyramids) to npz —
+    the serialization the reference lacks (SURVEY.md section 5)."""
+    flat, treedef = jax.tree_util.tree_flatten(state)
+    np.savez_compressed(path, n=len(flat),
+                        **{f"a{i}": np.asarray(x) for i, x in enumerate(flat)})
+
+
+def load_state(path: str, cfg: SLAMConfig) -> pipeline.SLAMState:
+    z = np.load(path)
+    template = pipeline.init_state(cfg)
+    flat, treedef = jax.tree_util.tree_flatten(template)
+    loaded = [jnp.asarray(z[f"a{i}"]) for i in range(int(z["n"]))]
+    return jax.tree_util.tree_unflatten(treedef, loaded)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="octree-slam-tpu runner")
+    p.add_argument("--source", choices=["orbit", "tum"], default="orbit")
+    p.add_argument("--tum-root", type=str, default=None)
+    p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--max-depth", type=int, default=9)
+    p.add_argument("--resolution", type=float, default=0.02)
+    p.add_argument("--render-every", type=int, default=1)
+    p.add_argument("--save-dir", type=str, default=None)
+    p.add_argument("--log-every", type=int, default=10)
+    args = p.parse_args(argv)
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    if args.source == "orbit":
+        from octree_slam_tpu.sensor import sources
+        cfg = SLAMConfig(width=args.width, height=args.height,
+                         max_depth=args.max_depth,
+                         voxel_resolution=args.resolution)
+        scene = sources.default_scene()
+        gt = [sources.orbit_pose(i * 0.01, radius=2.0)
+              for i in range(args.frames)]
+
+        def frame_fn(i):
+            return sources.render_frame(scene, gt[i], cfg.focal_x, cfg.focal_y,
+                                        width=cfg.width, height=cfg.height)
+
+        res = run_slam(frame_fn, args.frames, cfg, initial_pose=gt[0],
+                       gt_fn=lambda i: gt[i], render_every=args.render_every,
+                       save_dir=args.save_dir, log_every=args.log_every)
+    else:
+        from octree_slam_tpu.io.tum import TUMDataset
+        ds = TUMDataset(args.tum_root, max_frames=args.frames)
+        cfg = SLAMConfig(width=args.width, height=args.height,
+                         focal_x=ds.FX, focal_y=ds.FY,
+                         max_depth=args.max_depth,
+                         voxel_resolution=args.resolution)
+        init = ds.gt_pose(0)
+        res = run_slam(ds.frame, len(ds), cfg, initial_pose=init,
+                       gt_fn=ds.gt_pose, render_every=args.render_every,
+                       save_dir=args.save_dir, log_every=args.log_every)
+
+    print(json.dumps({
+        "fps": round(res.fps, 3),
+        "ate_rmse": res.ate_rmse,
+        "frames": res.frames,
+        "map_nodes": res.map_nodes,
+        "diverged": res.diverged,
+    }))
+
+
+if __name__ == "__main__":
+    main()
