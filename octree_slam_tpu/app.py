@@ -39,20 +39,34 @@ class RunResult:
 
 def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
              cfg: SLAMConfig, initial_pose=None, gt_fn=None,
-             render_every: int = 1, save_dir: str | None = None,
+             render_every: int = 1, render_mode: str = "splat",
+             save_dir: str | None = None,
              log_every: int = 0) -> RunResult:
     """Drive the SLAM pipeline over a frame stream.
 
     frame_fn(i) -> Frame; gt_fn(i) -> optional ground-truth world_T_cam.
     """
     state = pipeline.init_state(cfg, initial_pose=initial_pose)
+    # Donating hot-loop step: the previous state's buffers are recycled
+    # in place (map updates without a 12MB pool copy per frame). Safe here
+    # because this loop is the only holder of `state`.
+    donating = {}
+
+    def step_donated(s, f, render):
+        if render not in donating:
+            donating[render] = jax.jit(
+                lambda s_, f_: pipeline.step(s_, f_, cfg, render=render),
+                donate_argnums=0)
+        return donating[render](s, f)
+
     result = RunResult()
     t_start = time.perf_counter()
     out = None
     for i in range(n_frames):
         frame = frame_fn(i)
-        render = render_every > 0 and (i % render_every == 0)
-        state, out = pipeline.step(state, frame, cfg, render=render)
+        render = (render_mode if render_every > 0 and (i % render_every == 0)
+                  else "none")
+        state, out = step_donated(state, frame, render)
         result.poses.append(np.asarray(out.pose))
         if gt_fn is not None:
             gt = gt_fn(i)

@@ -46,6 +46,8 @@ class SLAMConfig:
     max_depth: int = 9                  # octree levels (<=10 for 30-bit keys)
     node_capacity: int = 1 << 21        # static node-pool capacity
     extract_capacity: int = 1 << 18     # static voxel-extraction buffer
+    insert_unique_cap: int = 1 << 16    # distinct leaf voxels per insert
+    leaf_capacity: int = 1 << 19        # persistent leaf registry (renderer)
 
     # --- Rendering (cone_tracing_kernels.cu:24-27) ---
     max_range: float = 10.0             # meters

@@ -11,17 +11,25 @@ TPU-native re-design of the reference's SVO kernel module
     (word1, svo.cu:332). The root is the tile at base 0 (initOctree,
     svo.cu:24-31).
   * Insertion (svoFromPointCloud/svoFromVoxelGrid, svo.cu:584-696) becomes
-    ONE lax.sort of Morton keys + a static per-level sweep: first-occurrence
-    masks replace thrust sort/unique-per-level (prepassCheckResize,
-    svo.cu:179-237), prefix-sum ranks batch-allocate child tiles from an
-    allocation cursor (replacing the realloc-per-frame at svo.cu:609-614 and
-    splitNodes at svo.cu:239-276), and masked scatters write the tree.
+    ONE lax.sort of Morton keys + compaction to the UNIQUE voxel set +
+    a static per-level sweep over uniques: first-occurrence masks replace
+    thrust sort/unique-per-level (prepassCheckResize, svo.cu:179-237),
+    prefix-sum ranks batch-allocate child tiles from an allocation cursor
+    (replacing the realloc-per-frame at svo.cu:609-614 and splitNodes at
+    svo.cu:239-276), and masked scatters write the tree.
+
+    Perf note (v5e measured): random gather/scatter runs ~100M elem/s while
+    sort/cumsum/elementwise are orders faster — so every gatherish phase
+    runs on the compacted unique array (typically 10-60k per 640x480 frame,
+    not 307k), segment means come from cumsum differences (no segment_sum
+    scatter), and the mipmap walks level lists whose static caps shrink 4x
+    per level.
   * Duplicate leaf keys — an acknowledged race in the reference (TODO at
     svo.cu:631,684) — are resolved deterministically by a segment-mean over
     each key's samples before the alpha-blend (fillNodes rule, svo.cu:326-332),
     with alpha incremented once per unique leaf per insert.
   * Mipmapping (mipmapNodes/averageChildren, svo.cu:384-465) runs bottom-up
-    over the recorded descent paths: parent rgb = mean of occupied children,
+    over the touched unique parents: parent rgb = mean of occupied children,
     alpha = max over children. (The reference's occupancy test in
     averageChildren is dead code due to a precedence bug at svo.cu:419; we
     implement the intended semantics: only children with alpha > 127
@@ -79,54 +87,105 @@ def create(capacity: int, center, half_size) -> SVONodePool:
 
 
 class InsertStats(NamedTuple):
-    new_nodes: jnp.ndarray   # i32[] nodes allocated by this insert
-    n_valid: jnp.ndarray     # i32[] valid input points
-    overflowed: jnp.ndarray  # bool[]
+    new_nodes: jnp.ndarray        # i32[] nodes allocated by this insert
+    n_valid: jnp.ndarray          # i32[] valid input points
+    n_unique: jnp.ndarray         # i32[] unique leaf voxels touched
+    overflowed: jnp.ndarray       # bool[]
+    shallow_allocs: jnp.ndarray   # i32[] new tiles at levels <= 6 (entry-grid
+                                  #       invalidation signal for the renderer)
+    new_leaf_keys: jnp.ndarray    # i32[U] morton keys of first-seen leaves, -1 pad
+    new_leaf_nodes: jnp.ndarray   # i32[U] node indices of those leaves
+    new_leaf_count: jnp.ndarray   # i32[]
 
 
-@functools.partial(jax.jit, static_argnames=("depth",))
+def _unique_compact(skeys, svalid, scolors_u8, unique_cap: int):
+    """Compact sorted keys to uniques with exact per-key color means.
+
+    Means use cumulative-sum differences over the sorted color array —
+    no segment_sum scatter, only two [U]-sized gathers.
+    Returns (ukeys i32[U], mean_rgb f32[U,3] in [0,1], ulive bool[U],
+    u_count i32)."""
+    n = skeys.shape[0]
+    first = compaction.first_occurrence(skeys, svalid)
+    ranks, u_count = compaction.exclusive_ranks(first)
+
+    upos = jnp.full((unique_cap,), n, jnp.int32)
+    idx_u = jnp.where(first, ranks, unique_cap)
+    upos = upos.at[idx_u].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    ukeys = jnp.full((unique_cap,), morton.INVALID_KEY, jnp.int32)
+    ukeys = ukeys.at[idx_u].set(skeys, mode="drop")
+
+    w = svalid.astype(jnp.float32)
+    csum = jnp.cumsum(scolors_u8 * w[:, None], axis=0)   # f32[N,3]
+    ccnt = jnp.cumsum(w)
+
+    nstart = jnp.concatenate([upos[1:], jnp.full((1,), n, jnp.int32)])
+    end = jnp.clip(nstart - 1, 0, n - 1)
+    start_prev = upos - 1  # -1 means "sum from zero"
+
+    def at(c, i):
+        v = c[jnp.clip(i, 0, n - 1)]
+        return jnp.where((i >= 0)[..., None] if c.ndim == 2 else (i >= 0), v, 0.0)
+
+    sum_rgb = at(csum, end) - at(csum, start_prev)
+    cnt = at(ccnt, end) - at(ccnt, start_prev)
+    mean_rgb = sum_rgb / jnp.maximum(cnt, 1.0)[:, None] / 255.0
+
+    ulive = (jnp.arange(unique_cap) < jnp.minimum(u_count, unique_cap)) \
+        & (ukeys != morton.INVALID_KEY)
+    return ukeys, mean_rgb, ulive, u_count
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "unique_cap"))
 def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
-           valid: jnp.ndarray | None = None, *,
-           depth: int) -> Tuple[SVONodePool, InsertStats]:
+           valid: jnp.ndarray | None = None, *, depth: int,
+           unique_cap: int = 1 << 16) -> Tuple[SVONodePool, InsertStats]:
     """Fuse a colored point set into the octree at a static depth.
 
     points: f32[N,3] world coords; colors: f32[N,3] in [0,1];
-    valid: optional bool[N] extra validity gate.
+    valid: optional bool[N] extra validity gate. unique_cap bounds the
+    distinct leaf voxels per insert (excess drops, flagged in overflowed).
     Semantics follow svoFromPointCloud (svo.cu:642-696): allocate missing
     interior tiles along each key path, alpha-blend leaf colors, re-mipmap
     interior values along the touched paths.
     """
     cap = pool.capacity
-    n = points.shape[0]
+    U = unique_cap
 
     keys, key_valid = morton.encode(points, pool.center, pool.half_size, depth)
     if valid is not None:
         key_valid = key_valid & valid
     keys = jnp.where(key_valid, keys, morton.INVALID_KEY)
 
-    # One global sort groups every level's prefixes (replaces the per-level
-    # thrust::sort/unique loop at svo.cu:200-229).
-    order = jnp.argsort(keys)
-    skeys = keys[order]
-    scolors = colors[order]
+    # One sort carries the color payload packed into an int32 (colors are
+    # blended at 8-bit anyway, svo.cu:318-332).
+    c8 = jnp.clip(jnp.round(colors * 255.0), 0, 255).astype(jnp.int32)
+    packed = c8[:, 0] | (c8[:, 1] << 8) | (c8[:, 2] << 16)
+    skeys, spacked = jax.lax.sort_key_val(keys, packed)
     svalid = skeys != morton.INVALID_KEY
+    sc = jnp.stack(
+        [spacked & 0xFF, (spacked >> 8) & 0xFF, (spacked >> 16) & 0xFF],
+        axis=-1).astype(jnp.float32)
+
+    ukeys, mean_rgb, ulive, u_count = _unique_compact(skeys, svalid, sc, U)
 
     child = pool.child
     value = pool.value
     n_nodes = pool.n_nodes
 
-    # --- Top-down descent: allocate + record the node path per level. ---
-    cur = morton.octant_at(skeys, depth, 1)  # level-1 node = root-tile octant
-    paths = [cur]                            # paths[l-1] = node idx at level l
-    reached = svalid                         # row's level-l node exists
+    # --- Top-down over uniques: allocate + record node path per level. ---
+    cur = jnp.where(ulive, morton.octant_at(ukeys, depth, 1), 0)
+    paths = [cur]
+    reached = ulive
     reached_per_level = [reached]
     total_new = jnp.int32(0)
+    shallow = jnp.int32(0)
 
     for level in range(1, depth):
-        prefix = morton.level_prefix(skeys, depth, level)
-        first = compaction.first_occurrence(prefix, svalid) & reached
+        prefix = morton.level_prefix(ukeys, depth, level)
+        first = compaction.first_occurrence(prefix, ulive) & reached
 
-        # Allocate a child tile for first-seen nodes that lack one.
         need0 = first & (child[cur] == 0)
         ranks, _ = compaction.exclusive_ranks(need0)
         tile_base = n_nodes + 8 * ranks
@@ -137,39 +196,51 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
         n_new = jnp.sum(need.astype(jnp.int32))
         n_nodes = n_nodes + 8 * n_new
         total_new = total_new + n_new
+        if level <= 6:
+            shallow = shallow + n_new
 
-        # Descend. Rows whose tile allocation was dropped go dead.
         tile = child[cur]
         reached = reached & (tile > 0)
-        octant = morton.octant_at(skeys, depth, level + 1)
+        octant = morton.octant_at(ukeys, depth, level + 1)
         cur = jnp.where(reached, tile + octant, 0)
         paths.append(cur)
         reached_per_level.append(reached)
 
-    # --- Leaf update: segment-mean duplicate resolution + alpha blend. ---
-    leaf_first = compaction.first_occurrence(skeys, svalid) & reached
-    seg_id = jnp.cumsum(leaf_first.astype(jnp.int32)) - 1
-    seg_id = jnp.maximum(seg_id, 0)
-    w = svalid.astype(jnp.float32)
-    seg_rgb = jax.ops.segment_sum(scolors * w[:, None], seg_id, num_segments=n)
-    seg_cnt = jax.ops.segment_sum(w, seg_id, num_segments=n)
-    mean_rgb = seg_rgb[seg_id] / jnp.maximum(seg_cnt[seg_id], 1.0)[:, None]
-    blended = packing.blend_value(value[cur], mean_rgb)
-    leaf_idx = jnp.where(leaf_first, cur, cap)
+    # --- Leaf blend (uniques are already deduplicated). ---
+    leaf_ok = ulive & reached
+    old = value[cur]
+    blended = packing.blend_value(old, mean_rgb)
+    leaf_idx = jnp.where(leaf_ok, cur, cap)
     value = value.at[leaf_idx].set(blended, mode="drop")
 
-    # --- Bottom-up mipmap along touched paths (svo.cu:450-465). ---
+    # First-ever-written leaves (old alpha == exactly the init value 127 and
+    # untouched rgb) — the renderer's persistent voxel list appends these.
+    is_new_leaf = leaf_ok & (old == packing.EMPTY_VALUE)
+    nl_ranks, nl_count = compaction.exclusive_ranks(is_new_leaf)
+    nl_idx = jnp.where(is_new_leaf, nl_ranks, U)
+    new_leaf_keys = jnp.full((U,), -1, jnp.int32)
+    new_leaf_keys = new_leaf_keys.at[nl_idx].set(ukeys, mode="drop")
+    new_leaf_nodes = jnp.zeros((U,), jnp.int32)
+    new_leaf_nodes = new_leaf_nodes.at[nl_idx].set(cur, mode="drop")
+
+    # --- Bottom-up mipmap over unique parents, shrinking caps per level. ---
+    # Deepest parents first so shallower averages see refreshed children.
+    lcap = U
     for level in range(depth - 1, 0, -1):
-        node = paths[level - 1]
-        prefix = morton.level_prefix(skeys, depth, level)
-        mask = (
-            compaction.first_occurrence(prefix, svalid)
-            & reached_per_level[level - 1]
-            & (child[node] > 0)
-        )
-        tile = child[node]
-        kid_idx = tile[:, None] + jnp.arange(8, dtype=jnp.int32)[None, :]
-        kid_val = value[kid_idx]  # u32[N, 8]
+        prefix = morton.level_prefix(ukeys, depth, level)
+        node = paths[level - 1]  # ancestor at `level` per unique-leaf row
+        mask = (compaction.first_occurrence(prefix, ulive)
+                & reached_per_level[level - 1] & (child[node] > 0))
+        if level < depth - 1:
+            lcap = max(lcap // 4, 2048)
+        (cn,), _ = compaction.compact_multi(
+            [jnp.where(mask, node, cap)], mask, lcap, fill=cap)
+        clive = cn < cap
+
+        tile = jnp.where(clive, child[jnp.minimum(cn, cap - 1)], 0)
+        kid_idx = jnp.minimum(
+            tile[:, None] + jnp.arange(8, dtype=jnp.int32)[None, :], cap - 1)
+        kid_val = value[kid_idx]
         r, g, b, a = packing.unpack_rgba8(kid_val)
         occ = (a > packing.OCCUPIED_ALPHA).astype(jnp.float32)
         n_occ = jnp.sum(occ, axis=1)
@@ -178,19 +249,25 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
         avg_g = jnp.sum(g.astype(jnp.float32) * occ, axis=1) / safe
         avg_b = jnp.sum(b.astype(jnp.float32) * occ, axis=1) / safe
         max_a = jnp.max(a, axis=1)
-        packed = packing.pack_rgba8(
+        packed_v = packing.pack_rgba8(
             avg_r.astype(jnp.int32), avg_g.astype(jnp.int32),
             avg_b.astype(jnp.int32), max_a)
-        idx = jnp.where(mask, node, cap)
-        value = value.at[idx].set(packed, mode="drop")
+        widx = jnp.where(clive & (tile > 0), cn, cap)
+        value = value.at[widx].set(packed_v, mode="drop")
 
-    overflowed = pool.overflowed | (n_nodes + 8 > cap)
+    overflowed = (pool.overflowed | (n_nodes + 8 > cap)
+                  | (u_count > U))
     new_pool = pool._replace(child=child, value=value, n_nodes=n_nodes,
                              overflowed=overflowed)
     stats = InsertStats(
         new_nodes=8 * total_new,
         n_valid=jnp.sum(svalid.astype(jnp.int32)),
+        n_unique=jnp.minimum(u_count, U),
         overflowed=overflowed,
+        shallow_allocs=shallow,
+        new_leaf_keys=new_leaf_keys,
+        new_leaf_nodes=new_leaf_nodes,
+        new_leaf_count=jnp.minimum(nl_count, U),
     )
     return new_pool, stats
 

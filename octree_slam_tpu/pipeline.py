@@ -5,7 +5,14 @@ commented-in tracking path at :35). Where the reference crosses host<->device
 on every kernel (cudaDeviceSynchronize throughout, e.g. svo.cu:656,683,688)
 and reallocates the octree per frame (svo.cu:609-614), here the entire frame
 is a single XLA program over static-shape state: no host sync, no allocation,
-no GL interop — the renderer returns a framebuffer array.
+no GL interop — the renderer returns a framebuffer array. State buffers are
+donated, so the map updates in place across frames.
+
+Render modes (the reference's compile-time flags, main.h:28-32, as runtime
+choices):
+  "splat" — persistent-leaf-list voxel splatting (the real-time path);
+  "cone"  — exact voxel cone tracing (CONE_TRACING mode);
+  "none"  — tracking + fusion only.
 
 Map sizing: the reference grows the octree to the observed cloud bbox
 (Scene::addPointCloudToOctree, scene.cpp:94-107 + Octree::expandBySize,
@@ -28,11 +35,14 @@ from octree_slam_tpu.core.types import Frame, PyramidLevel
 from octree_slam_tpu.map import svo
 from octree_slam_tpu.map.svo import SVONodePool
 from octree_slam_tpu.render import raycast
+from octree_slam_tpu.render.splat import LeafList, append_new_leaves, \
+    create_leaf_list, render_splat
 from octree_slam_tpu.sensor import tracking
 
 
 class SLAMState(NamedTuple):
     pool: SVONodePool
+    leaves: LeafList
     pose: jnp.ndarray          # f32[4,4] world_T_cam
     last_pyramid: Tuple[PyramidLevel, ...]
     initialized: jnp.ndarray   # bool[] at least one frame ingested
@@ -46,6 +56,7 @@ class StepOutput(NamedTuple):
     track_inliers: jnp.ndarray
     track_residual: jnp.ndarray
     map_nodes: jnp.ndarray     # i32[] total allocated nodes
+    map_leaves: jnp.ndarray    # i32[] leaf voxels registered
     diverged: jnp.ndarray
 
 
@@ -68,10 +79,12 @@ def init_state(cfg: SLAMConfig, map_center=(0.0, 0.0, 0.0),
     half_size = cfg.voxel_resolution * (2 ** (cfg.max_depth - 1))
     pool = svo.create(cfg.node_capacity, jnp.asarray(map_center, jnp.float32),
                       jnp.float32(half_size))
-    pose = (jnp.eye(4, dtype=jnp.float32)
-            if initial_pose is None else jnp.asarray(initial_pose, jnp.float32))
+    # copy the caller's pose: hot loops donate state buffers
+    pose = (jnp.eye(4, dtype=jnp.float32) if initial_pose is None
+            else jnp.array(initial_pose, jnp.float32, copy=True))
     return SLAMState(
         pool=pool,
+        leaves=create_leaf_list(cfg.leaf_capacity),
         pose=pose,
         last_pyramid=_empty_pyramid(cfg),
         initialized=jnp.bool_(False),
@@ -82,8 +95,8 @@ def init_state(cfg: SLAMConfig, map_center=(0.0, 0.0, 0.0),
 
 @functools.partial(jax.jit, static_argnames=("cfg", "render"))
 def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
-         render: bool = True) -> Tuple[SLAMState, StepOutput]:
-    """One SLAM frame: preprocess -> ICP track -> fuse -> raycast render.
+         render: str = "splat") -> Tuple[SLAMState, StepOutput]:
+    """One SLAM frame: preprocess -> ICP track -> fuse -> render.
 
     Mirrors mainLoop (main.cpp:31-64) with RGBDCamera::update enabled
     (the capability is built in the reference but commented out of the loop,
@@ -105,20 +118,29 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     v = pyramid[0].vertex.reshape(-1, 3)
     world_pts = v @ pose[:3, :3].T + pose[:3, 3]
     colors = frame.color.reshape(-1, 3).astype(jnp.float32) / 255.0
-    pool, _ = svo.insert(state.pool, world_pts, colors, depth=cfg.max_depth)
+    pool, istats = svo.insert(state.pool, world_pts, colors,
+                              depth=cfg.max_depth,
+                              unique_cap=cfg.insert_unique_cap)
+    leaves = append_new_leaves(state.leaves, istats)
 
-    # --- Render: cone-traced raycast of the map from the tracked pose. ---
-    if render:
+    # --- Render the map from the tracked pose. ---
+    if render == "cone":
         fb = raycast.cone_trace(
             pool, pose, cfg.focal_x, cfg.focal_y,
             width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,
             max_iters=cfg.max_march_iters, max_range=cfg.max_range,
             start_dist=cfg.start_dist)
+    elif render == "splat":
+        fb = render_splat(
+            pool, leaves, pose, cfg.focal_x, cfg.focal_y,
+            width=cfg.width, height=cfg.height, depth=cfg.max_depth,
+            max_range=cfg.max_range)
     else:
         fb = jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
 
     new_state = SLAMState(
         pool=pool,
+        leaves=leaves,
         pose=pose,
         last_pyramid=tuple(pyramid),
         initialized=jnp.bool_(True),
@@ -131,6 +153,7 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
         track_inliers=tstats.inliers,
         track_residual=tstats.residual,
         map_nodes=pool.n_nodes,
+        map_leaves=leaves.count,
         diverged=diverged,
     )
     return new_state, out

@@ -35,7 +35,7 @@ class TestRunSlam:
         frame = sources.render_frame(scene, pose, CFG.focal_x, CFG.focal_y,
                                      width=CFG.width, height=CFG.height)
         state = pipeline.init_state(CFG, initial_pose=pose)
-        state, _ = pipeline.step(state, frame, CFG, render=False)
+        state, _ = pipeline.step(state, frame, CFG, render="none")
         p = str(tmp_path / "state.npz")
         app.save_state(p, state)
         state2 = app.load_state(p, CFG)
@@ -44,7 +44,7 @@ class TestRunSlam:
         np.testing.assert_allclose(np.asarray(state2.pose),
                                    np.asarray(state.pose))
         # resumed state continues stepping
-        state3, out = pipeline.step(state2, frame, CFG, render=False)
+        state3, out = pipeline.step(state2, frame, CFG, render="none")
         assert int(state3.frame_idx) == 2
 
     def test_cli_orbit(self, capsys):

@@ -61,8 +61,8 @@ class TestPipeline:
         state = state._replace(pose=jnp.asarray(pose))
         frame = sources.render_frame(scene, pose, cfg.focal_x, cfg.focal_y,
                                      width=cfg.width, height=cfg.height)
-        state, o1 = pipeline.step(state, frame, cfg, render=False)
+        state, o1 = pipeline.step(state, frame, cfg, render="none")
         n1 = int(o1.map_nodes)
-        state, o2 = pipeline.step(state, frame, cfg, render=False)
+        state, o2 = pipeline.step(state, frame, cfg, render="none")
         n2 = int(o2.map_nodes)
         assert n2 == n1  # same viewpoint: no new structure
