@@ -53,6 +53,7 @@ class SLAMConfig:
     max_range: float = 10.0             # meters
     start_dist: float = 0.002
     max_march_iters: int = 96           # replaces while-live-rays + remove_if
+    accel_level: int = 6                # entry-grid level for the cone tracer
     fov: float = 45.0                   # degrees (vertical), for pix footprint
 
     # --- Mesh voxelization (voxelization.cu:24-25: GRID_RES=8 -> 256^3) ---

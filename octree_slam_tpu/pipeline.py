@@ -43,6 +43,7 @@ from octree_slam_tpu.sensor import tracking
 class SLAMState(NamedTuple):
     pool: SVONodePool
     leaves: LeafList
+    accel: raycast.AccelGrid   # dense entry grid for the cone tracer
     pose: jnp.ndarray          # f32[4,4] world_T_cam
     last_pyramid: Tuple[PyramidLevel, ...]
     initialized: jnp.ndarray   # bool[] at least one frame ingested
@@ -58,6 +59,10 @@ class StepOutput(NamedTuple):
     map_nodes: jnp.ndarray     # i32[] total allocated nodes
     map_leaves: jnp.ndarray    # i32[] leaf voxels registered
     diverged: jnp.ndarray
+
+
+def _accel_level(cfg: SLAMConfig) -> int:
+    return max(1, min(cfg.accel_level, cfg.max_depth - 2))
 
 
 def _empty_pyramid(cfg: SLAMConfig) -> Tuple[PyramidLevel, ...]:
@@ -85,6 +90,7 @@ def init_state(cfg: SLAMConfig, map_center=(0.0, 0.0, 0.0),
     return SLAMState(
         pool=pool,
         leaves=create_leaf_list(cfg.leaf_capacity),
+        accel=raycast.build_accel(pool, level=_accel_level(cfg)),
         pose=pose,
         last_pyramid=_empty_pyramid(cfg),
         initialized=jnp.bool_(False),
@@ -123,13 +129,22 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
                               unique_cap=cfg.insert_unique_cap)
     leaves = append_new_leaves(state.leaves, istats)
 
+    # Entry grid refresh: child pointers are write-once, so the cached
+    # per-cell entry nodes only go stale when a tile appears at a shallow
+    # level — rare after warmup.
+    lvl = _accel_level(cfg)
+    accel = jax.lax.cond(
+        istats.shallow_allocs > 0,
+        lambda: raycast.build_accel(pool, level=lvl),
+        lambda: state.accel)
+
     # --- Render the map from the tracked pose. ---
     if render == "cone":
         fb = raycast.cone_trace(
             pool, pose, cfg.focal_x, cfg.focal_y,
             width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,
             max_iters=cfg.max_march_iters, max_range=cfg.max_range,
-            start_dist=cfg.start_dist)
+            start_dist=cfg.start_dist, accel=accel, accel_level=lvl)
     elif render == "splat":
         fb = render_splat(
             pool, leaves, pose, cfg.focal_x, cfg.focal_y,
@@ -141,6 +156,7 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     new_state = SLAMState(
         pool=pool,
         leaves=leaves,
+        accel=accel,
         pose=pose,
         last_pyramid=tuple(pyramid),
         initialized=jnp.bool_(True),

@@ -18,20 +18,71 @@ Per-step semantics follow coneTrace (cone_tracing_kernels.cu:53-146):
   * step length = node half-size at the reached depth (:126-129);
   * rays past MAX_RANGE get their color rescaled by 127/w and finish (:131-139).
 
-Divergence: accumulation is float32 (the reference adds into uint8 channels
-which wrap on overflow, :110-112); output is clamped, not wrapped.
+Perf design (v5e: random gather ~100M elem/s is the binding constraint):
+  * octant digits come from integer leaf-grid coordinates (pure bit math) —
+    no per-level floating-point center updates;
+  * an optional dense ENTRY GRID caches the node index + depth of the
+    deepest existing ancestor at a fixed level L for every L-level cell,
+    cutting the per-step descent from max_depth gathers to
+    1 + (max_depth - L). Child pointers are write-once, so the grid only
+    needs rebuilding when an insert allocates tiles at depth <= L
+    (InsertStats.shallow_allocs) — rare after warmup.
+
+Divergences: accumulation is float32 (the reference adds into uint8 channels
+which wrap on overflow, :110-112); with the entry grid, rays whose cone LOD
+is shallower than L (pixel footprint > cell size, i.e. geometry beyond
+~L-level cell x focal_length distance) sample at depth L instead of their
+exact LOD.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from octree_slam_tpu.core import packing
 from octree_slam_tpu.map.svo import SVONodePool
+
+
+class AccelGrid(NamedTuple):
+    """Dense per-cell entry points at a fixed octree level."""
+
+    entry: jnp.ndarray  # i32[G^3] packed (node_idx << 4) | reached_depth
+
+    @property
+    def level(self) -> int:
+        g3 = self.entry.shape[0]
+        level = max(1, round((g3.bit_length() - 1) / 3))
+        assert (1 << (3 * level)) == g3
+        return level
+
+
+@functools.partial(jax.jit, static_argnames=("level",))
+def build_accel(pool: SVONodePool, *, level: int) -> AccelGrid:
+    """Descend every level-L cell to its deepest existing ancestor."""
+    g = 1 << level
+    cap = pool.capacity
+    lin = jnp.arange(g * g * g, dtype=jnp.int32)
+    x = lin & (g - 1)
+    y = (lin >> level) & (g - 1)
+    z = lin >> (2 * level)
+
+    def octant(l):
+        s = level - l
+        return (((x >> s) & 1) | (((y >> s) & 1) << 1)
+                | (((z >> s) & 1) << 2))
+
+    cur = octant(1)
+    d = jnp.ones_like(cur)
+    for l in range(1, level):
+        tile = pool.child[cur]
+        go = tile > 0
+        cur = jnp.where(go, tile + octant(l + 1), cur)
+        d = jnp.where(go, l + 1, d)
+    return AccelGrid(entry=(jnp.minimum(cur, cap - 1) << 4) | d)
 
 
 def make_rays(world_T_cam: jnp.ndarray, fx, fy, width: int, height: int
@@ -52,47 +103,65 @@ def make_rays(world_T_cam: jnp.ndarray, fx, fy, width: int, height: int
     return world_T_cam[:3, 3], d_cam @ R.T
 
 
+def _quantize(pool: SVONodePool, targets: jnp.ndarray, max_depth: int):
+    """Integer leaf-grid coordinates of world points, clipped to the volume
+    (boundary clamping matches the reference's unbounded octant walk)."""
+    n_leaf = 1 << max_depth
+    bbox0 = pool.center - pool.half_size
+    cell = (2.0 * pool.half_size) / n_leaf
+    q = jnp.floor((targets - bbox0) / cell).astype(jnp.int32)
+    return jnp.clip(q, 0, n_leaf - 1)
+
+
+def _octant_bits(q: jnp.ndarray, max_depth: int, level: int) -> jnp.ndarray:
+    s = max_depth - level
+    return (((q[:, 0] >> s) & 1) | (((q[:, 1] >> s) & 1) << 1)
+            | (((q[:, 2] >> s) & 1) << 2))
+
+
 def _descend(pool: SVONodePool, targets: jnp.ndarray, lod_depth: jnp.ndarray,
-             max_depth: int):
-    """Vectorized stackless descent: for each point, walk from the root to
-    min(lod_depth, first childless node). Returns (value u32[N],
-    reached i32[N]) — the loop at cone_tracing_kernels.cu:76-103."""
-    n = targets.shape[0]
-    c = jnp.broadcast_to(pool.center, (n, 3))
-    e = pool.half_size
-    gt = targets > c
-    cur = (
-        gt[:, 0].astype(jnp.int32)
-        + 2 * gt[:, 1].astype(jnp.int32)
-        + 4 * gt[:, 2].astype(jnp.int32)
-    )
-    e = e * 0.5
-    c = c + jnp.where(gt, e, -e)
-    reached = jnp.ones((n,), jnp.int32)
-    going = lod_depth > 1
-    for level in range(1, max_depth):
+             max_depth: int, accel: AccelGrid | None, accel_level: int):
+    """Vectorized stackless descent to min(lod, deepest existing node).
+    Returns (value u32[N], reached i32[N])."""
+    cap = pool.capacity
+    q = _quantize(pool, targets, max_depth)
+
+    if accel is not None:
+        g = 1 << accel_level
+        shift = max_depth - accel_level
+        cx = q[:, 0] >> shift
+        cy = q[:, 1] >> shift
+        cz = q[:, 2] >> shift
+        e = accel.entry[(cz << (2 * accel_level)) | (cy << accel_level) | cx]
+        cur = e >> 4
+        reached = e & 15
+        start = accel_level
+        going = (reached == accel_level) & (lod_depth > accel_level)
+    else:
+        cur = _octant_bits(q, max_depth, 1)
+        reached = jnp.ones_like(cur)
+        start = 1
+        going = lod_depth > 1
+
+    for level in range(start, max_depth):
         tile = pool.child[cur]
         go = going & (tile > 0)
-        gt = targets > c
-        octant = (
-            gt[:, 0].astype(jnp.int32)
-            + 2 * gt[:, 1].astype(jnp.int32)
-            + 4 * gt[:, 2].astype(jnp.int32)
-        )
-        cur = jnp.where(go, tile + octant, cur)
+        cur = jnp.where(go, tile + _octant_bits(q, max_depth, level + 1), cur)
         reached = jnp.where(go, level + 1, reached)
-        e = e * 0.5
-        c = jnp.where(go[:, None], c + jnp.where(gt, e, -e), c)
         going = go & (lod_depth > level + 1)
-    return pool.value[cur], reached
+    return pool.value[jnp.minimum(cur, cap - 1)], reached
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "max_depth", "max_iters"))
+    jax.jit,
+    static_argnames=("width", "height", "max_depth", "max_iters",
+                     "accel_level"))
 def cone_trace(pool: SVONodePool, world_T_cam: jnp.ndarray, fx, fy, *,
                width: int, height: int, max_depth: int,
                max_iters: int = 96, max_range: float = 10.0,
-               start_dist: float = 0.002) -> jnp.ndarray:
+               start_dist: float = 0.002,
+               accel: AccelGrid | None = None,
+               accel_level: int = 6) -> jnp.ndarray:
     """Render the SVO map to an RGBA framebuffer.
 
     Returns f32[height, width, 4]: rgb in [0,1], alpha = accumulated opacity
@@ -121,10 +190,10 @@ def cone_trace(pool: SVONodePool, world_T_cam: jnp.ndarray, fx, fy, *,
         pix_size = ray_len * pix_scale
         lod = jnp.ceil(jnp.log2(jnp.maximum(oct_size / jnp.maximum(pix_size, 1e-9), 1.0)))
         lod = jnp.clip(lod.astype(jnp.int32), 1, max_depth)
-        value, reached = _descend(pool, target, lod, max_depth)
+        value, reached = _descend(pool, target, lod, max_depth,
+                                  accel, accel_level)
 
-        _, _, _, a = packing.unpack_rgba8(value)
-        r, g, b, _ = packing.unpack_rgba8(value)
+        r, g, b, a = packing.unpack_rgba8(value)
         alpha = jnp.maximum(a - 127, 0).astype(jnp.float32)
         contrib = (alpha / 127.0)[:, None] * jnp.stack(
             [r, g, b], axis=-1).astype(jnp.float32)
