@@ -40,6 +40,9 @@ class SLAMConfig:
     icp_norm_thresh: float = 0.87       # cos(30 deg)
     icp_z_min: float = 0.1              # meters (localization_kernels.cu:189)
     icp_z_max: float = 10.0
+    w_rgbd: float = 0.0                 # photometric term weight (W_RGBD=0.1
+                                        # exists but is dead code in the ref,
+                                        # rgbd_camera.cpp:20,131-141)
 
     # --- Map / SVO (scene.cpp:94,101; svo.cu) ---
     voxel_resolution: float = 0.01      # meters, SLAM-mode leaf size

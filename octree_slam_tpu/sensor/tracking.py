@@ -115,6 +115,84 @@ def icp_normal_equations(v1: jnp.ndarray, n1: jnp.ndarray,
     return A, b, count, mean_res
 
 
+def rgbd_normal_equations(last: PyramidLevel, cur_vertex: jnp.ndarray,
+                          cur_intensity: jnp.ndarray, level: int,
+                          cfg: SLAMConfig):
+    """Photometric (direct) alignment term.
+
+    The reference scaffolds this (RGBDFrame intensity pyramids,
+    rgbd_camera.cpp:83-85,111-141, W_RGBD=0.1 at :20) but computeRGBDCost is
+    an empty stub (localization_kernels.cu:328-331). This is a working
+    implementation: warp current-frame points into the last camera, compare
+    intensities, linearize through the last image's gradient.
+
+    For a residual model r(xi) ~ r0 + [v x m, m] . xi with m = dpi^T grad,
+    we accumulate J = -[v x m, m] so the same (A, b) solve convention as the
+    ICP term applies. Returns (A f32[6,6], b f32[6], count).
+
+    Note: each Gauss-Newton iteration costs ~6 image gathers per pixel —
+    enable via cfg.w_rgbd > 0 (default off, like the reference).
+    """
+    h, w = cur_intensity.shape
+    img_w, img_h = cfg.width, cfg.height
+    sx = w / img_w  # level pixel scale
+    sy = h / img_h
+
+    i1 = last.intensity
+    # central-difference gradients of the last intensity image
+    gx = 0.5 * (jnp.roll(i1, -1, 1) - jnp.roll(i1, 1, 1))
+    gy = 0.5 * (jnp.roll(i1, -1, 0) - jnp.roll(i1, 1, 0))
+
+    v = cur_vertex.reshape(-1, 3)
+    finite = jnp.all(jnp.isfinite(v), axis=-1)
+    vc = jnp.where(finite[:, None], v, 1.0)
+    X, Y, Z = vc[:, 0], vc[:, 1], vc[:, 2]
+    z_ok = (Z > cfg.icp_z_min) & (Z < cfg.icp_z_max)
+
+    px = (cfg.focal_x * X / Z + img_w / 2.0) * sx
+    py = (img_h / 2.0 - cfg.focal_y * Y / Z) * sy
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    inb = finite & z_ok & (x0 >= 0) & (x0 < w - 1) & (y0 >= 0) & (y0 < h - 1)
+    x0c = jnp.clip(x0, 0, w - 2)
+    y0c = jnp.clip(y0, 0, h - 2)
+    fxp = px - x0c
+    fyp = py - y0c
+
+    def bilinear(img):
+        i00 = img[y0c, x0c]
+        i01 = img[y0c, x0c + 1]
+        i10 = img[y0c + 1, x0c]
+        i11 = img[y0c + 1, x0c + 1]
+        return (i00 * (1 - fxp) * (1 - fyp) + i01 * fxp * (1 - fyp)
+                + i10 * (1 - fxp) * fyp + i11 * fxp * fyp)
+
+    warped = bilinear(i1)
+    g_u = bilinear(gx)
+    g_v = bilinear(gy)
+
+    r0 = warped - cur_intensity.reshape(-1)
+    mask = inb & (jnp.abs(r0) < 0.3) & jnp.isfinite(r0) \
+        & jnp.isfinite(g_u) & jnp.isfinite(g_v)
+
+    # m = dpi^T grad: residual change per unit 3D motion of the point
+    fx_l = cfg.focal_x * sx
+    fy_l = cfg.focal_y * sy
+    mx = g_u * fx_l / Z
+    my = -g_v * fy_l / Z
+    mz = -g_u * fx_l * X / (Z * Z) + g_v * fy_l * Y / (Z * Z)
+    m = jnp.stack([mx, my, mz], axis=-1)
+    J = -jnp.concatenate([jnp.cross(vc, m), m], axis=-1)
+    wgt = mask.astype(jnp.float32)
+    Jw = J * wgt[:, None]
+    A = jax.lax.dot_general(
+        Jw, J, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    b = (r0 * wgt) @ J
+    return A, b, jnp.sum(mask.astype(jnp.int32))
+
+
 def solve_normal_equations(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve A x = b on device (replaces the D2H copy + host LLT at
     rgbd_camera.cpp:145). Tiny Tikhonov damping guards rank deficiency."""
@@ -123,14 +201,26 @@ def solve_normal_equations(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.linalg.cho_solve(factor, b)
 
 
-def _track_level(v1, n1, v2, n2, update_T, iters: int, cfg: SLAMConfig):
-    """Gauss-Newton iterations at one pyramid level via lax.scan."""
+def _track_level(last: PyramidLevel, cur: PyramidLevel, level: int,
+                 update_T, iters: int, cfg: SLAMConfig):
+    """Gauss-Newton iterations at one pyramid level via lax.scan.
+
+    Combines the geometric point-to-plane term with the photometric term
+    when cfg.w_rgbd > 0 (the A1+A2 combination sketched at
+    rgbd_camera.cpp:131-141)."""
+    v1, n1 = last.vertex, last.normal
+    v2, n2 = cur.vertex, cur.normal
 
     def step(carry, _):
         T, diverged = carry
         v2t = image_ops.transform_vertex_map(v2, T)
         n2t = image_ops.transform_normal_map(n2, T)
         A, b, count, res = icp_normal_equations(v1, n1, v2t, n2t, cfg)
+        if cfg.w_rgbd > 0.0:
+            Ar, br, _ = rgbd_normal_equations(
+                last, v2t, cur.intensity, level, cfg)
+            A = A + cfg.w_rgbd * Ar
+            b = b + cfg.w_rgbd * br
         x = solve_normal_equations(A, b)
         bad = ~jnp.all(jnp.isfinite(x)) | (count < 6)
         # twist is [omega, v] = [x[:3], x[3:]] by our Jacobian layout
@@ -160,10 +250,8 @@ def track(last_pyramid: List[PyramidLevel], current_pyramid: List[PyramidLevel],
     inliers = []
     residuals = []
     for level in range(cfg.pyramid_depth - 1, -1, -1):
-        last = last_pyramid[level]
-        cur = current_pyramid[level]
         update_T, div, count, res = _track_level(
-            last.vertex, last.normal, cur.vertex, cur.normal,
+            last_pyramid[level], current_pyramid[level], level,
             update_T, cfg.pyramid_iters[level], cfg)
         diverged = diverged | div
         inliers.append(count)

@@ -1,0 +1,50 @@
+"""Stage timing (startTiming/stopTiming analog, timing_utils.cu:11-32).
+
+The reference brackets CUDA kernels with cudaEvent pairs; here a Timer
+blocks on the given JAX arrays to close the async-dispatch window, and a
+StageStats registry accumulates per-stage wall times for structured logs
+(SURVEY.md section 5 observability). For deep kernel analysis use
+jax.profiler.trace around the step.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict
+
+import jax
+
+
+class StageStats:
+    def __init__(self):
+        self.total: Dict[str, float] = defaultdict(float)
+        self.count: Dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def time(self, name: str, *block_on):
+        t0 = time.perf_counter()
+        yield
+        if block_on:
+            jax.block_until_ready(block_on)
+        dt = time.perf_counter() - t0
+        self.total[name] += dt
+        self.count[name] += 1
+
+    def mean_ms(self, name: str) -> float:
+        c = self.count[name]
+        return 1000.0 * self.total[name] / c if c else 0.0
+
+    def report(self) -> Dict[str, float]:
+        return {k: round(self.mean_ms(k), 3) for k in sorted(self.total)}
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """jax.profiler trace wrapper for TPU timeline capture."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
