@@ -20,9 +20,9 @@ import time
 import jax
 import jax.numpy as jnp
 
-# Pose math must not run through bf16 MXU passes: trajectories drift at
-# bf16 precision. The heavy einsums set their own precision explicitly.
-jax.config.update("jax_default_matmul_precision", "highest")
+from octree_slam_tpu.utils import runtime
+
+runtime.setup()
 
 from octree_slam_tpu import pipeline
 from octree_slam_tpu.config import SLAMConfig

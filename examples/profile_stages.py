@@ -12,7 +12,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_default_matmul_precision", "highest")
+from octree_slam_tpu.utils import runtime
+runtime.setup()
 
 from octree_slam_tpu import pipeline
 from octree_slam_tpu.config import SLAMConfig

@@ -126,7 +126,8 @@ def main(argv=None):
     p.add_argument("--log-every", type=int, default=10)
     args = p.parse_args(argv)
 
-    jax.config.update("jax_default_matmul_precision", "highest")
+    from octree_slam_tpu.utils import runtime
+    runtime.setup()
 
     if args.source == "orbit":
         from octree_slam_tpu.sensor import sources
@@ -145,6 +146,8 @@ def main(argv=None):
                        gt_fn=lambda i: gt[i], render_every=args.render_every,
                        save_dir=args.save_dir, log_every=args.log_every)
     else:
+        if not args.tum_root:
+            p.error("--source tum requires --tum-root <dataset dir>")
         from octree_slam_tpu.io.tum import TUMDataset
         ds = TUMDataset(args.tum_root, max_frames=args.frames)
         cfg = SLAMConfig(width=args.width, height=args.height,
