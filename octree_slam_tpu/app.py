@@ -59,6 +59,9 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
                 donate_argnums=0)
         return donating[render](s, f)
 
+    if save_dir:
+        import os
+        os.makedirs(save_dir, exist_ok=True)
     result = RunResult()
     t_start = time.perf_counter()
     out = None
@@ -122,6 +125,9 @@ def main(argv=None):
     p.add_argument("--max-depth", type=int, default=9)
     p.add_argument("--resolution", type=float, default=0.02)
     p.add_argument("--render-every", type=int, default=1)
+    p.add_argument("--node-capacity", type=int, default=None,
+                   help="static SVO node-pool size (power of two; "
+                        "default from SLAMConfig)")
     p.add_argument("--save-dir", type=str, default=None)
     p.add_argument("--log-every", type=int, default=10)
     args = p.parse_args(argv)
@@ -129,11 +135,15 @@ def main(argv=None):
     from octree_slam_tpu.utils import runtime
     runtime.setup()
 
+    cap = ({"node_capacity": args.node_capacity,
+            "leaf_capacity": args.node_capacity // 4,
+            "extract_capacity": args.node_capacity // 8}
+           if args.node_capacity else {})
     if args.source == "orbit":
         from octree_slam_tpu.sensor import sources
         cfg = SLAMConfig(width=args.width, height=args.height,
                          max_depth=args.max_depth,
-                         voxel_resolution=args.resolution)
+                         voxel_resolution=args.resolution, **cap)
         scene = sources.default_scene()
         gt = [sources.orbit_pose(i * 0.01, radius=2.0)
               for i in range(args.frames)]
@@ -153,9 +163,11 @@ def main(argv=None):
         cfg = SLAMConfig(width=args.width, height=args.height,
                          focal_x=ds.FX, focal_y=ds.FY,
                          max_depth=args.max_depth,
-                         voxel_resolution=args.resolution)
+                         voxel_resolution=args.resolution, **cap)
         init = ds.gt_pose(0)
-        res = run_slam(ds.frame, len(ds), cfg, initial_pose=init,
+        frames = ds.prefetched()
+        res = run_slam(lambda i: next(frames), len(ds), cfg,
+                       initial_pose=init,
                        gt_fn=ds.gt_pose, render_every=args.render_every,
                        save_dir=args.save_dir, log_every=args.log_every)
 

@@ -9,9 +9,13 @@ bumps a by 2 saturating at 255 (svo.cu:332).
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
-EMPTY_VALUE = jnp.uint32(127 << 24)  # fresh node: rgb=0, alpha=127 (svo.cu:274)
+# Fresh node: rgb=0, alpha=127 (svo.cu:274). A host-side int, not a
+# jnp scalar: creating a device array at import time would initialize the
+# JAX backend before the app can pick a platform (utils/runtime.py).
+EMPTY_VALUE = np.uint32(127 << 24)
 OCCUPIED_ALPHA = 127                 # occupied iff alpha > 127 (svo.cu:528)
 
 

@@ -42,10 +42,16 @@ def load_bmp(path: str) -> Texture:
 def save_image(path: str, rgba) -> None:
     """Write a framebuffer array ([H,W,3|4] float [0,1] or uint8) to disk —
     the replacement for the GL window presentation path."""
-    import numpy as np
-    from PIL import Image
-
     arr = np.asarray(rgba)
     if arr.dtype != np.uint8:
         arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+    if path.endswith(".png"):
+        try:
+            from octree_slam_tpu.io import native
+            if native.available():
+                native.write_png(path, arr)
+                return
+        except Exception:
+            pass
+    from PIL import Image
     Image.fromarray(arr).save(path)

@@ -91,15 +91,56 @@ class TUMDataset:
 
     def frame(self, i: int) -> Frame:
         import jax.numpy as jnp
-        from PIL import Image
 
         (td, fd), (tr, fr) = self.pairs[i]
-        depth_raw = np.asarray(Image.open(os.path.join(self.root, fd)))
+        depth_path = os.path.join(self.root, fd)
+        rgb_path = os.path.join(self.root, fr)
+        try:
+            from octree_slam_tpu.io import native
+            if native.available():
+                depth_raw = native.read_png(depth_path)
+                color = native.read_png(rgb_path)
+            else:
+                raise ImportError
+        except (ImportError, OSError):
+            from PIL import Image
+            depth_raw = np.asarray(Image.open(depth_path))
+            color = np.asarray(Image.open(rgb_path).convert("RGB"))
         depth_mm = (depth_raw.astype(np.float32) / DEPTH_FACTOR_TO_MM)
         depth_mm = np.clip(depth_mm, 0, 65535).astype(np.uint16)
-        color = np.asarray(Image.open(os.path.join(self.root, fr)).convert("RGB"))
         return Frame(depth=jnp.asarray(depth_mm), color=jnp.asarray(color),
                      timestamp=jnp.float32(td))
+
+    def prefetched(self, n_threads: int = 3, capacity: int = 8):
+        """Generator of Frames decoded ahead by the native threaded
+        prefetcher (native/src/prefetch.cpp): PNG inflate overlaps the TPU
+        step instead of serializing with it. Falls back to sequential
+        frame() decoding when the native runtime is unavailable."""
+        import jax.numpy as jnp
+        from octree_slam_tpu.io import native
+
+        if not self.pairs:
+            return
+        if not native.available():
+            for i in range(len(self.pairs)):
+                yield self.frame(i)
+            return
+        probe = np.asarray(self.frame(0).depth)
+        h, w = probe.shape
+        dps = [os.path.join(self.root, fd) for (_, fd), _ in self.pairs]
+        rps = [os.path.join(self.root, fr) for _, (_, fr) in self.pairs]
+        with native.FramePrefetcher(dps, rps, w, h,
+                                    depth_to_mm=1.0 / DEPTH_FACTOR_TO_MM,
+                                    n_threads=n_threads,
+                                    capacity=capacity) as pf:
+            for i in range(len(self.pairs)):
+                nxt = pf.next()
+                if nxt is None:
+                    return
+                depth_mm, rgb = nxt
+                yield Frame(depth=jnp.asarray(depth_mm),
+                            color=jnp.asarray(rgb),
+                            timestamp=jnp.float32(self.pairs[i][0][0]))
 
     def gt_pose(self, i: int) -> np.ndarray | None:
         """Ground-truth world_T_cam nearest to frame i's timestamp."""

@@ -16,10 +16,11 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import numpy as np
 import jax.numpy as jnp
 
 # Sentinel for invalid points: sorts after every real key (max int32).
-INVALID_KEY = jnp.int32(0x7FFFFFFF)
+INVALID_KEY = np.int32(0x7FFFFFFF)
 
 
 def encode(points: jnp.ndarray, center: jnp.ndarray, half_size,

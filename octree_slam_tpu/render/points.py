@@ -17,10 +17,11 @@ from __future__ import annotations
 import functools
 from typing import Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
-DEPTH_INF = jnp.int32(0x7FFFFFFF)
+DEPTH_INF = np.int32(0x7FFFFFFF)
 _DEPTH_SCALE = 1.0e4  # depth quantization (0.1 mm in eye units)
 
 

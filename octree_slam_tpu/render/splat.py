@@ -25,13 +25,14 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from octree_slam_tpu.map import morton
 from octree_slam_tpu.map.svo import SVONodePool, InsertStats
 
-EMPTY = jnp.int32(0x7FFFFFFF)
+EMPTY = np.int32(0x7FFFFFFF)
 
 
 class LeafList(NamedTuple):

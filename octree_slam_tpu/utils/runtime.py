@@ -24,6 +24,15 @@ def setup(cache_dir: str = "/root/.jax_cache",
     if _DONE:
         return
     _DONE = True
+    # This image's sitecustomize pins jax_platforms="axon,cpu" (the TPU
+    # tunnel) regardless of the JAX_PLATFORMS env var; re-assert the user's
+    # choice so `JAX_PLATFORMS=cpu python -m octree_slam_tpu.app ...` works.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
     jax.config.update("jax_default_matmul_precision", matmul_precision)
     try:
         os.makedirs(cache_dir, exist_ok=True)
