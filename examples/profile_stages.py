@@ -1,6 +1,8 @@
 """Per-stage TPU timing of the SLAM step (SURVEY.md section 5 tracing).
 
-Uses chained/donated calls so the axon result cache can't fake timings.
+Timing on the axon remote platform MUST force a host fetch per measurement
+(utils.timing.sync): block_until_ready returns before the computation runs.
+Calls are chained through state so results can't be served from any cache.
 """
 
 import pathlib
@@ -21,18 +23,20 @@ from octree_slam_tpu.map import svo
 from octree_slam_tpu.render import raycast
 from octree_slam_tpu.render.splat import render_splat
 from octree_slam_tpu.sensor import sources, tracking
+from octree_slam_tpu.utils.timing import sync
 
 
-def timeit_frames(name, fn, state0, frames, n=6):
-    """fn(state, frame) -> (state, out); chained through state."""
-    state, out = fn(state0, frames[0])
-    jax.block_until_ready(out)
+def bench_chain(name, fn, state0, n=4):
+    """fn(state, i) -> state', where state' depends on the whole stage.
+    Syncs (host fetch) once per iteration; reports mean ms."""
+    state = fn(state0, 0)
+    sync(state)
     t0 = time.perf_counter()
     for i in range(n):
-        state, out = fn(state, frames[(i + 1) % len(frames)])
-    jax.block_until_ready(out)
-    print(f"{name:34s} {(time.perf_counter() - t0) / n * 1000:9.2f} ms",
-          flush=True)
+        state = fn(state, i + 1)
+        sync(state)
+    dt = (time.perf_counter() - t0) / n
+    print(f"{name:34s} {dt * 1000:9.1f} ms", flush=True)
     return state
 
 
@@ -46,107 +50,95 @@ def main():
         pose = sources.orbit_pose(i * 0.01, radius=2.0)
         f = sources.render_frame(scene, pose, cfg.focal_x, cfg.focal_y,
                                  width=cfg.width, height=cfg.height)
-        jax.block_until_ready(f.depth)
+        sync(f.depth)
         frames.append(f)
         poses.append(pose)
+    print("frames ready", flush=True)
 
-    # pyramid (chained via a running bias so calls differ)
+    # --- pyramid ---
     pyr_fn = jax.jit(lambda d, c: tracking.build_pyramid(d, c, cfg))
-
-    def pyr_chain(s, f):
-        p = pyr_fn(f.depth + s[1].astype(jnp.uint16), f.color)
-        return (p, s[1] + 1), p[0].vertex
-    timeit_frames("build_pyramid", pyr_chain, (None, jnp.int32(0)), frames)
+    bench_chain(
+        "build_pyramid",
+        lambda s, i: pyr_fn(frames[i % 4].depth + s,
+                            frames[i % 4].color)[0].vertex.astype(jnp.uint16)[:1, :1],
+        jnp.zeros((1, 1), jnp.uint16))
 
     pyrs = [pyr_fn(f.depth, f.color) for f in frames]
-    track_fn = jax.jit(lambda a, b: tracking.track(list(a), list(b), cfg))
+    sync(pyrs)
 
-    def track_chain(s, i):
-        T, st = track_fn(tuple(pyrs[s % 4]), tuple(pyrs[(s + 1) % 4]))
-        return s + 1, T
-    state, out = 0, None
-    jax.block_until_ready(track_fn(tuple(pyrs[0]), tuple(pyrs[1])))
-    t0 = time.perf_counter()
-    for i in range(6):
-        _, T = track_chain(i, None)
-    jax.block_until_ready(T)
-    print(f"{'track (3 lvl, 19 iters)':34s} {(time.perf_counter() - t0) / 6 * 1000:9.2f} ms", flush=True)
+    # --- track ---
+    track_fn = jax.jit(
+        lambda a, b, eps: tracking.track(
+            [l._replace(vertex=l.vertex + eps) for l in a], list(b), cfg))
+    bench_chain(
+        "track (3 lvl, 19 GN iters)",
+        lambda s, i: track_fn(tuple(pyrs[i % 3]), tuple(pyrs[(i + 1) % 3]),
+                              s[0, 0] * 1e-9)[0],
+        jnp.zeros((4, 4), jnp.float32))
 
-    # insert chained through the pool
+    # --- insert ---
     insert_fn = jax.jit(
         lambda p, x, c: svo.insert(p, x, c, depth=cfg.max_depth,
                                    unique_cap=cfg.insert_unique_cap),
         donate_argnums=0)
-    pool = svo.create(cfg.node_capacity, jnp.zeros(3), jnp.float32(5.12))
+    pool0 = svo.create(cfg.node_capacity, jnp.zeros(3), jnp.float32(5.12))
 
-    def ins_chain(pool, f):
-        i = int(jnp.sum(f.depth) % 4)
-        v = pyrs[i][0].vertex.reshape(-1, 3)
-        pts = v @ poses[i][:3, :3].T + poses[i][:3, 3]
-        cols = f.color.reshape(-1, 3).astype(jnp.float32) / 255.0
+    def ins(pool, i):
+        v = pyrs[i % 4][0].vertex.reshape(-1, 3)
+        pts = v @ poses[i % 4][:3, :3].T + poses[i % 4][:3, 3]
+        cols = frames[i % 4].color.reshape(-1, 3).astype(jnp.float32) / 255.0
         pool, st = insert_fn(pool, pts, cols)
-        return pool, st.n_unique
-    pool = timeit_frames("svo.insert (307k pts)", ins_chain, pool, frames)
+        return pool
+    pool = bench_chain("svo.insert (307k pts)", ins, pool0)
 
-    # splat render chained via pose jitter
-    from octree_slam_tpu.render.splat import LeafList, append_new_leaves, \
+    # --- splat render ---
+    from octree_slam_tpu.render.splat import append_new_leaves, \
         create_leaf_list
     leaves = create_leaf_list(cfg.leaf_capacity)
-    _, st = svo.insert(pool, pyrs[0][0].vertex.reshape(-1, 3) @ poses[0][:3, :3].T
-                       + poses[0][:3, 3],
+    _, st = svo.insert(pool, pyrs[0][0].vertex.reshape(-1, 3)
+                       @ poses[0][:3, :3].T + poses[0][:3, 3],
                        frames[0].color.reshape(-1, 3).astype(jnp.float32) / 255.0,
                        depth=cfg.max_depth, unique_cap=cfg.insert_unique_cap)
     leaves = append_new_leaves(leaves, st)
+    sync(leaves)
     splat_fn = jax.jit(lambda T: render_splat(
         pool, leaves, T, cfg.focal_x, cfg.focal_y, width=cfg.width,
         height=cfg.height, depth=cfg.max_depth))
+    bench_chain("render_splat 640x480",
+                lambda s, i: splat_fn(poses[i % 4] + s[0, 0] * 1e-9),
+                jnp.zeros((4, 4), jnp.float32))
 
-    def splat_chain(s, f):
-        T = poses[s % 4]
-        return s + 1, splat_fn(T + (s % 3) * 1e-6)
-    _ = None
-    jax.block_until_ready(splat_fn(poses[0]))
-    t0 = time.perf_counter()
-    for i in range(6):
-        _, fb = splat_chain(i, None)
-    jax.block_until_ready(fb)
-    print(f"{'render_splat 640x480':34s} {(time.perf_counter() - t0) / 6 * 1000:9.2f} ms", flush=True)
-
-    # cone trace with accel grid
-    accel = jax.block_until_ready(raycast.build_accel(pool, level=6))
+    # --- cone trace ---
+    accel = raycast.build_accel(pool, level=6)
+    sync(accel)
     cone_fn = jax.jit(lambda T: raycast.cone_trace(
         pool, T, cfg.focal_x, cfg.focal_y, width=cfg.width, height=cfg.height,
         max_depth=cfg.max_depth, max_iters=cfg.max_march_iters,
         accel=accel, accel_level=6))
-    jax.block_until_ready(cone_fn(poses[0]))
-    t0 = time.perf_counter()
-    for i in range(3):
-        fb = cone_fn(poses[i % 4] + (i % 3) * 1e-6)
-    jax.block_until_ready(fb)
-    print(f"{'cone_trace+accel 640x480':34s} {(time.perf_counter() - t0) / 3 * 1000:9.2f} ms", flush=True)
+    bench_chain("cone_trace+accel 640x480",
+                lambda s, i: cone_fn(poses[i % 4] + s[0, 0] * 1e-9),
+                jnp.zeros((4, 4), jnp.float32), n=2)
 
-    # build_accel cost
     ba = jax.jit(lambda p, b: raycast.build_accel(
         p._replace(n_nodes=p.n_nodes + b), level=6))
-    jax.block_until_ready(ba(pool, jnp.int32(0)))
-    t0 = time.perf_counter()
-    for i in range(3):
-        a = ba(pool, jnp.int32(i))
-    jax.block_until_ready(a)
-    print(f"{'build_accel level 6':34s} {(time.perf_counter() - t0) / 3 * 1000:9.2f} ms", flush=True)
+    bench_chain("build_accel level 6",
+                lambda s, i: ba(pool, s)[0].astype(jnp.int32)[:1, :1, 0],
+                jnp.zeros((1, 1), jnp.int32), n=2)
 
-    # full step, donated
+    # --- full steps ---
     step_fn = jax.jit(lambda s, f: pipeline.step(s, f, cfg, render="splat"),
                       donate_argnums=0)
     state = pipeline.init_state(cfg)
     state = state._replace(pose=jnp.array(poses[0], copy=True))
-    timeit_frames("full step (splat)", step_fn, state, frames)
+    bench_chain("full step (splat)",
+                lambda s, i: step_fn(s, frames[i % 4])[0], state)
 
     step_cone = jax.jit(lambda s, f: pipeline.step(s, f, cfg, render="cone"),
                         donate_argnums=0)
     state = pipeline.init_state(cfg)
     state = state._replace(pose=jnp.array(poses[0], copy=True))
-    timeit_frames("full step (cone)", step_cone, state, frames, n=3)
+    bench_chain("full step (cone)",
+                lambda s, i: step_cone(s, frames[i % 4])[0], state, n=2)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,25 @@ def project(points: jnp.ndarray, mvp: jnp.ndarray, width: int, height: int):
     return jnp.stack([px, py], axis=-1), ndc[..., 2], inside
 
 
+def project_clipless(points: jnp.ndarray, mvp: jnp.ndarray, width: int,
+                     height: int):
+    """Like project() but valid only requires the vertex to be in front of
+    the camera (w > 0), not inside the frustum. Triangle pipelines use this
+    so primitives partially off-screen still rasterize their on-screen part
+    (the reference clamps the scan AABB to the viewport instead,
+    rasterize_kernels.cu:300-310); fragments are bounds- and depth-checked
+    individually."""
+    ones = jnp.ones(points.shape[:-1] + (1,), points.dtype)
+    hom = jnp.concatenate([points, ones], axis=-1)
+    clip = hom @ mvp.T
+    w = clip[..., 3]
+    ok = (w > 1e-8) & jnp.all(jnp.isfinite(clip), axis=-1)
+    ndc = clip[..., :3] / jnp.where(ok, w, 1.0)[..., None]
+    px = (ndc[..., 0] * 0.5 + 0.5) * width
+    py = (1.0 - (ndc[..., 1] * 0.5 + 0.5)) * height
+    return jnp.stack([px, py], axis=-1), ndc[..., 2], ok
+
+
 def _resolve(idx: jnp.ndarray, qdepth: jnp.ndarray, colors: jnp.ndarray,
              valid: jnp.ndarray, num_pix: int):
     """Two-pass z-buffer resolve: min-scatter depth, then color where we won."""

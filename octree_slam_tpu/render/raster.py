@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from octree_slam_tpu.core.types import Mesh
-from octree_slam_tpu.render.points import DEPTH_INF, _DEPTH_SCALE, project
+from octree_slam_tpu.render.points import (DEPTH_INF, _DEPTH_SCALE,
+                                           project, project_clipless)
 
 
 class RasterMesh(NamedTuple):
@@ -74,8 +75,9 @@ def rasterize(rm: RasterMesh, mvp: jnp.ndarray, *, width: int, height: int,
     light = jnp.asarray(light_pos, jnp.float32)
     eye = jnp.asarray(eye_pos, jnp.float32)
 
-    # --- vertex shade: project all corners ---
-    xy, z, ok = project(rm.pos.reshape(-1, 3), mvp, width, height)
+    # --- vertex shade: project all corners (clipless: partially
+    # off-screen triangles still draw their on-screen part) ---
+    xy, z, ok = project_clipless(rm.pos.reshape(-1, 3), mvp, width, height)
     xy = xy.reshape(F, 3, 2)
     z = z.reshape(F, 3)
     ok = ok.reshape(F, 3)
@@ -114,8 +116,8 @@ def rasterize(rm: RasterMesh, mvp: jnp.ndarray, *, width: int, height: int,
         bary = jnp.stack([w0, w1, w2], -1)
         inside = jnp.all(bary >= -1e-6, axis=-1)
 
-        hit = alive & in_box & inside
         depth = bary @ z3
+        hit = alive & in_box & inside & (depth >= -1.0) & (depth <= 1.0)
         frag_pos = bary @ pos3
         frag_nrm = bary @ nrm3
         frag_col = bary @ col3
@@ -183,13 +185,84 @@ def rasterize(rm: RasterMesh, mvp: jnp.ndarray, *, width: int, height: int,
     return out.reshape(height, width, 4)
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height", "samples"))
+def rasterize_wireframe(rm: RasterMesh, mvp: jnp.ndarray, *, width: int,
+                        height: int, samples: int = 64) -> jnp.ndarray:
+    """Debug wireframe pipeline (rasterizationKernelWire,
+    rasterize_kernels.cu:340-377): each triangle edge is sampled at
+    `samples` points and scattered with the same two-pass depth resolve as
+    the solid rasterizer. White lines on black, coverage in alpha."""
+    F = rm.pos.shape[0]
+    num_pix = width * height
+    xy, z, ok = project_clipless(rm.pos.reshape(-1, 3), mvp, width, height)
+    xy = xy.reshape(F, 3, 2)
+    z = z.reshape(F, 3)
+    tri_ok = rm.valid & jnp.all(ok.reshape(F, 3), axis=1)
+
+    t = jnp.linspace(0.0, 1.0, samples)[:, None]          # [S,1]
+    # edges (0,1), (1,2), (2,0): [F, 3, S, 2]
+    p0 = xy
+    p1 = xy[:, jnp.array([1, 2, 0])]
+    z0 = z
+    z1 = z[:, jnp.array([1, 2, 0])]
+    pts = p0[:, :, None, :] * (1 - t) + p1[:, :, None, :] * t
+    zs = z0[:, :, None] * (1 - t[:, 0]) + z1[:, :, None] * t[:, 0]
+    px = jnp.round(pts[..., 0] - 0.5).astype(jnp.int32)
+    py = jnp.round(pts[..., 1] - 0.5).astype(jnp.int32)
+    hit = (tri_ok[:, None, None] & (px >= 0) & (px < width)
+           & (py >= 0) & (py < height) & (zs >= -1.0) & (zs <= 1.0))
+    idx = jnp.where(hit, py * width + px, num_pix).reshape(-1)
+    q = jnp.round(zs.reshape(-1) * _DEPTH_SCALE).astype(jnp.int32)
+    hitf = hit.reshape(-1)
+
+    zbuf = jnp.full((num_pix,), DEPTH_INF, jnp.int32)
+    zbuf = zbuf.at[idx].min(jnp.where(hitf, q, DEPTH_INF), mode="drop")
+    won = hitf & (zbuf[jnp.minimum(idx, num_pix - 1)] == q)
+    fb = jnp.zeros((num_pix, 4), jnp.float32)
+    fb = fb.at[jnp.where(won, idx, num_pix)].set(
+        jnp.ones(4, jnp.float32), mode="drop")
+    return fb.reshape(height, width, 4)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def rasterize_vertices(rm: RasterMesh, mvp: jnp.ndarray, *, width: int,
+                       height: int) -> jnp.ndarray:
+    """Debug vertex-cloud pipeline (rasterizationKernelVertices,
+    rasterize_kernels.cu:380-410): projected corners as single white
+    pixels with depth resolve."""
+    F = rm.pos.shape[0]
+    num_pix = width * height
+    xy, z, ok = project(rm.pos.reshape(-1, 3), mvp, width, height)
+    ok = ok & jnp.repeat(rm.valid, 3)
+    px = jnp.round(xy[:, 0] - 0.5).astype(jnp.int32)
+    py = jnp.round(xy[:, 1] - 0.5).astype(jnp.int32)
+    hit = ok & (px >= 0) & (px < width) & (py >= 0) & (py < height)
+    idx = jnp.where(hit, py * width + px, num_pix)
+    q = jnp.round(z * _DEPTH_SCALE).astype(jnp.int32)
+    zbuf = jnp.full((num_pix,), DEPTH_INF, jnp.int32)
+    zbuf = zbuf.at[idx].min(jnp.where(hit, q, DEPTH_INF), mode="drop")
+    won = hit & (zbuf[jnp.minimum(idx, num_pix - 1)] == q)
+    fb = jnp.zeros((num_pix, 4), jnp.float32)
+    fb = fb.at[jnp.where(won, idx, num_pix)].set(
+        jnp.ones(4, jnp.float32), mode="drop")
+    return fb.reshape(height, width, 4)
+
+
 def rasterize_mesh(mesh: Mesh, camera, *, width: int, height: int,
-                   frag_budget: int = 256, texture=None,
+                   frag_budget: int | None = None, texture=None,
                    shading: str = "diffuse", light_pos=(10.0, 10.0, 10.0),
                    cull_backfaces: bool = True) -> jnp.ndarray:
     """Convenience wrapper: assemble + rasterize with a core.types.Camera
-    (host API of CUDARenderer::rasterize, cuda_renderer.cpp:116-135)."""
+    (host API of CUDARenderer::rasterize, cuda_renderer.cpp:116-135).
+
+    frag_budget=None picks a per-triangle budget that keeps total candidate
+    fragments near 4x the pixel count: few big triangles get enough pixels
+    to cover the screen; dense meshes get small budgets. Too-small budgets
+    silently truncate large on-screen triangles."""
     rm = assemble(mesh)
+    if frag_budget is None:
+        f = max(int(mesh.faces.shape[0]), 1)
+        frag_budget = int(min(max(256, 4 * width * height // f), 65536))
     eye = -camera.view[:3, :3].T @ camera.view[:3, 3]
     return rasterize(rm, camera.mvp, width=width, height=height,
                      frag_budget=frag_budget, texture=texture,

@@ -28,7 +28,7 @@ class Renderer:
 
     def rasterize(self, mesh: Mesh, camera: Camera, texture: Texture | None = None,
                   light_pos=(10.0, 10.0, 10.0), shading: str = "phong",
-                  frag_budget: int = 256) -> jnp.ndarray:
+                  frag_budget: int | None = None) -> jnp.ndarray:
         """Software triangle pipeline (CUDARenderer::rasterize ->
         rasterizeMesh, rasterize_kernels.cu:484-613)."""
         return raster.rasterize_mesh(
@@ -36,6 +36,20 @@ class Renderer:
             frag_budget=frag_budget,
             texture=texture.data if texture is not None else None,
             shading=shading, light_pos=light_pos)
+
+    def rasterize_wireframe(self, mesh: Mesh, camera: Camera,
+                            samples: int = 64) -> jnp.ndarray:
+        """Debug edge view (rasterizationKernelWire path,
+        rasterize_kernels.cu:340-377)."""
+        return raster.rasterize_wireframe(
+            raster.assemble(mesh), camera.mvp,
+            width=self.width, height=self.height, samples=samples)
+
+    def rasterize_vertices(self, mesh: Mesh, camera: Camera) -> jnp.ndarray:
+        """Debug vertex-cloud view (rasterize_kernels.cu:380-410)."""
+        return raster.rasterize_vertices(
+            raster.assemble(mesh), camera.mvp,
+            width=self.width, height=self.height)
 
     def pixel_passthrough(self, color: jnp.ndarray) -> jnp.ndarray:
         """Display the raw camera stream (writeColorToPBO,

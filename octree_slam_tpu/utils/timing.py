@@ -15,6 +15,23 @@ from collections import defaultdict
 from typing import Dict
 
 import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sync(*arrays) -> None:
+    """Force completion of `arrays` and everything they depend on.
+
+    jax.block_until_ready is NOT reliable on the axon remote-TPU platform
+    (it returns immediately while the computation is still queued — measured
+    in examples/bisect_slow.py); fetching bytes to host is. This pulls one
+    element per array, which forces the producing computation to finish.
+    Use this, never bare block_until_ready, around anything timed.
+    """
+    for a in arrays:
+        for leaf in jax.tree_util.tree_leaves(a):
+            if hasattr(leaf, "ravel"):
+                np.asarray(jax.device_get(leaf.ravel()[:1]))
 
 
 class StageStats:
@@ -27,7 +44,7 @@ class StageStats:
         t0 = time.perf_counter()
         yield
         if block_on:
-            jax.block_until_ready(block_on)
+            sync(*block_on)
         dt = time.perf_counter() - t0
         self.total[name] += dt
         self.count[name] += 1

@@ -105,3 +105,27 @@ class TestRasterize:
             mesh, cam, width=64, height=48, frag_budget=512,
             cull_backfaces=False))
         assert (fb[..., 3] > 0).sum() > 10
+
+
+class TestDebugPipelines:
+    def test_wireframe_draws_edges_not_interior(self):
+        mesh = tri_mesh([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], [[0, 1, 2]])
+        cam = front_cam()
+        rm = raster.assemble(mesh)
+        fb = np.asarray(raster.rasterize_wireframe(
+            rm, cam.mvp, width=64, height=48, samples=128))
+        assert fb[..., 3].sum() > 10          # edges present
+        # triangle centroid should NOT be covered (edges only)
+        assert fb[26, 32, 3] == 0.0
+        # the bottom edge y=-1 spans the screen bottom half: some coverage
+        ys, xs = np.nonzero(fb[..., 3])
+        assert ys.max() > 30
+
+    def test_vertices_pipeline_marks_corners(self):
+        mesh = tri_mesh([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], [[0, 1, 2]])
+        cam = front_cam()
+        rm = raster.assemble(mesh)
+        fb = np.asarray(raster.rasterize_vertices(
+            rm, cam.mvp, width=64, height=48))
+        n_lit = int((fb[..., 3] > 0).sum())
+        assert 1 <= n_lit <= 3
