@@ -60,7 +60,7 @@ def main():
     bench_chain(
         "build_pyramid",
         lambda s, i: pyr_fn(frames[i % 4].depth + s,
-                            frames[i % 4].color)[0].vertex.astype(jnp.uint16)[:1, :1],
+                            frames[i % 4].color)[0].vertex.astype(jnp.uint16)[:1, :1, 0],
         jnp.zeros((1, 1), jnp.uint16))
 
     pyrs = [pyr_fn(f.depth, f.color) for f in frames]
@@ -120,9 +120,13 @@ def main():
                 jnp.zeros((4, 4), jnp.float32), n=2)
 
     ba = jax.jit(lambda p, b: raycast.build_accel(
-        p._replace(n_nodes=p.n_nodes + b), level=6))
-    bench_chain("build_accel level 6",
-                lambda s, i: ba(pool, s)[0].astype(jnp.int32)[:1, :1, 0],
+        p._replace(n_nodes=p.n_nodes + b[0, 0]), level=6))
+
+    def ba_chain(s, i):
+        out = ba(pool, s)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return (leaf.reshape(-1)[:1].astype(jnp.int32) * 0).reshape(1, 1)
+    bench_chain("build_accel level 6", ba_chain,
                 jnp.zeros((1, 1), jnp.int32), n=2)
 
     # --- full steps ---
