@@ -125,6 +125,10 @@ def main(argv=None):
     p.add_argument("--max-depth", type=int, default=9)
     p.add_argument("--resolution", type=float, default=0.02)
     p.add_argument("--render-every", type=int, default=1)
+    p.add_argument("--render", choices=["splat", "cone", "none"],
+                   default="splat",
+                   help="map view: voxel splatting (real-time), exact "
+                        "voxel cone tracing, or none")
     p.add_argument("--node-capacity", type=int, default=None,
                    help="static SVO node-pool size (power of two; "
                         "default from SLAMConfig)")
@@ -154,6 +158,7 @@ def main(argv=None):
 
         res = run_slam(frame_fn, args.frames, cfg, initial_pose=gt[0],
                        gt_fn=lambda i: gt[i], render_every=args.render_every,
+                       render_mode=args.render,
                        save_dir=args.save_dir, log_every=args.log_every)
     else:
         if not args.tum_root:
@@ -169,6 +174,7 @@ def main(argv=None):
         res = run_slam(lambda i: next(frames), len(ds), cfg,
                        initial_pose=init,
                        gt_fn=ds.gt_pose, render_every=args.render_every,
+                       render_mode=args.render,
                        save_dir=args.save_dir, log_every=args.log_every)
 
     print(json.dumps({

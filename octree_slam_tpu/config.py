@@ -56,7 +56,11 @@ class SLAMConfig:
     max_range: float = 10.0             # meters
     start_dist: float = 0.002
     max_march_iters: int = 96           # replaces while-live-rays + remove_if
-    accel_level: int = 6                # entry-grid level for the cone tracer
+    accel_level: int = 6                # entry/dist grid level for cone tracing
+    use_dense_mips: bool = True         # dense value-mip render cache
+                                        # (613MB HBM at max_depth 9; see
+                                        # map/mips.py) — the fast cone path
+    dist_max_skip: int = 15             # empty-space skip radius (cells)
     fov: float = 45.0                   # degrees (vertical), for pix footprint
 
     # --- Mesh voxelization (voxelization.cu:24-25: GRID_RES=8 -> 256^3) ---

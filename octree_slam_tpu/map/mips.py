@@ -1,0 +1,145 @@
+"""Dense value-mip render cache + empty-space distance field.
+
+TPU-first acceleration structure for the cone tracer. The reference descends
+its pointer SVO per ray step (coneTrace, cone_tracing_kernels.cu:76-103) —
+a chain of dependent random gathers, the slowest primitive on TPU (~2.4 ms
+per 307k-lane gather on v5e, and ~0.5 ms fixed cost per unfused kernel). This
+module trades HBM (plentiful on TPU: 16 GB) for gathers (scarce):
+
+  * `values`: ONE flat u32 buffer concatenating dense morton-ordered RGBA8
+    mip grids for octree levels 1..max_depth — the dense mirror of the SVO's
+    interior + leaf values (same mipmap rule, svo.cu:417-439). Because
+    level l starts at offset (8^l - 8)/7 and a morton key prefix IS the
+    level-l cell index, sampling ANY level-of-detail is a single gather at
+      flat_idx = ((1 << 3l) - 8) / 7 + (key >> 3(max_depth - l)).
+    This is the GigaVoxels brick-pool idea (scaffolded but disabled in the
+    reference, svo.h:8, svo.cu:467-496) re-shaped for a vector machine:
+    no pointers, no bricks, no per-level indirection.
+  * `dist`: a Chebyshev distance-to-occupied field (in cells, saturated at
+    `max_skip`) over the level `dist_level` grid, xyz-ordered so it can be
+    built with 3D min-pool windows. Rays step `dist - 0.5` cells through
+    empty space instead of marching node-by-node — replacing the
+    reference's live-ray stream compaction (cone_tracing_kernels.cu:188)
+    with O(log) skips.
+
+Updates ride the SVO insert: insert already computes every touched
+node's blended/mipmapped value; it emits (flat_idx, value) pairs
+(InsertStats.mip_idx/mip_val) and `apply_updates` scatters them here —
+one kernel per frame.
+
+Memory: sum_{l=1..D} 8^l u32 words = 613 MB at D=9 (512^3 leaves), 9.6 MB
+at D=7. Gate with SLAMConfig.use_dense_mips for deeper trees.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from octree_slam_tpu.core import packing
+
+
+def level_offset(level: int) -> int:
+    """Start of the level-`level` grid in the flat values buffer (host)."""
+    return ((1 << (3 * level)) - 8) // 7
+
+
+def total_cells(max_depth: int) -> int:
+    return level_offset(max_depth + 1)
+
+
+def flat_index(keys: jnp.ndarray, key_depth: int, level) -> jnp.ndarray:
+    """Flat values-buffer index for morton keys of depth `key_depth` sampled
+    at `level` (traced or static). All fused integer math — no gathers."""
+    lvl = jnp.asarray(level, jnp.int32)
+    offset = (((jnp.int32(1) << (3 * lvl)) - 8) // 7)
+    return offset + (keys >> (3 * (key_depth - lvl)))
+
+
+class RenderCache(NamedTuple):
+    """Dense mips + distance field (the SLAMState render acceleration)."""
+
+    values: jnp.ndarray  # u32[total_cells(D)] RGBA8, EMPTY_VALUE = untouched
+    dist: jnp.ndarray    # i32[G^3] xyz-ordered chebyshev distance in cells
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "dist_level"))
+def create(*, max_depth: int, dist_level: int) -> RenderCache:
+    g = 1 << dist_level
+    return RenderCache(
+        values=jnp.full((total_cells(max_depth),), packing.EMPTY_VALUE,
+                        jnp.uint32),
+        dist=jnp.zeros((g * g * g,), jnp.int32),
+    )
+
+
+def apply_updates(values: jnp.ndarray, mip_idx: jnp.ndarray,
+                  mip_val: jnp.ndarray) -> jnp.ndarray:
+    """Scatter an insert's touched (flat_idx, value) pairs — one kernel.
+    Invalid entries carry idx == len(values) and drop."""
+    return values.at[mip_idx].set(mip_val, mode="drop")
+
+
+@functools.lru_cache(maxsize=4)
+def _morton_to_xyz_perm(level: int) -> np.ndarray:
+    """Permutation p with xyz_linear[i] = morton[p[i]] for a 2^level grid.
+    Host-side constant (embedded in the jit program)."""
+    g = 1 << level
+    lin = np.arange(g * g * g, dtype=np.int64)
+    x = lin % g
+    y = (lin // g) % g
+    z = lin // (g * g)
+    m = np.zeros_like(lin)
+    for b in range(level):
+        m |= ((x >> b) & 1) << (3 * b)
+        m |= ((y >> b) & 1) << (3 * b + 1)
+        m |= ((z >> b) & 1) << (3 * b + 2)
+    return m.astype(np.int32)
+
+
+def interleave3(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray,
+                bits: int) -> jnp.ndarray:
+    """Morton code from integer coords: z gets bit 2, y bit 1, x bit 0 per
+    level — matching morton.encode's octant = x + 2y + 4z (svo.cu:50-57)."""
+    m = jnp.zeros_like(x)
+    for b in range(bits):
+        m = m | (((x >> b) & 1) << (3 * b))
+        m = m | (((y >> b) & 1) << (3 * b + 1))
+        m = m | (((z >> b) & 1) << (3 * b + 2))
+    return m
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_depth", "dist_level", "max_skip"))
+def rebuild_dist(values: jnp.ndarray, *, max_depth: int, dist_level: int,
+                 max_skip: int = 7) -> jnp.ndarray:
+    """Chebyshev distance (cells, saturated at max_skip) to the nearest
+    occupied level-`dist_level` cell, xyz-ordered flat.
+
+    Occupancy reads the dense mip at dist_level (alpha is a subtree max,
+    svo.cu:436-438, so alpha > 127 <=> subtree contains occupied leaves).
+    Built with a logarithmic distance transform: round j takes a 3^3
+    min-pool with window dilation 2^j and adds 2^j, which extends exact
+    Chebyshev distances from 2^j - 1 to 2^(j+1) - 1 — ceil(log2(max_skip+1))
+    kernels total instead of max_skip.
+    """
+    g = 1 << dist_level
+    lo = level_offset(dist_level)
+    level_vals = jax.lax.dynamic_slice(values, (lo,), (g * g * g,))
+    perm = jnp.asarray(_morton_to_xyz_perm(dist_level))
+    occ = packing.is_occupied(level_vals)[perm].reshape(g, g, g)
+
+    dist = jnp.where(occ, 0, max_skip).astype(jnp.int32)
+    j = 0
+    while (1 << j) <= max_skip:
+        w = 1 << j
+        pooled = jax.lax.reduce_window(
+            dist, np.int32(max_skip), jax.lax.min, (3, 3, 3), (1, 1, 1),
+            "SAME", window_dilation=(w, w, w))
+        dist = jnp.minimum(dist, pooled + w)
+        j += 1
+    return jnp.minimum(dist, max_skip).reshape(-1)

@@ -96,6 +96,11 @@ class InsertStats(NamedTuple):
     new_leaf_keys: jnp.ndarray    # i32[U] morton keys of first-seen leaves, -1 pad
     new_leaf_nodes: jnp.ndarray   # i32[U] node indices of those leaves
     new_leaf_count: jnp.ndarray   # i32[]
+    # Dense-mip mirror updates (map/mips.py): every touched (cell, value) at
+    # every level, ready for one scatter into RenderCache.values. Shape (1,)
+    # dummies when emit_mips=False.
+    mip_idx: jnp.ndarray          # i32[M] flat mip indices (invalid = huge)
+    mip_val: jnp.ndarray          # u32[M]
 
 
 def _unique_compact(skeys, svalid, scolors_u8, unique_cap: int):
@@ -137,10 +142,12 @@ def _unique_compact(skeys, svalid, scolors_u8, unique_cap: int):
     return ukeys, mean_rgb, ulive, u_count
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "unique_cap"))
+@functools.partial(jax.jit,
+                   static_argnames=("depth", "unique_cap", "emit_mips"))
 def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
            valid: jnp.ndarray | None = None, *, depth: int,
-           unique_cap: int = 1 << 16) -> Tuple[SVONodePool, InsertStats]:
+           unique_cap: int = 1 << 16,
+           emit_mips: bool = False) -> Tuple[SVONodePool, InsertStats]:
     """Fuse a colored point set into the octree at a static depth.
 
     points: f32[N,3] world coords; colors: f32[N,3] in [0,1];
@@ -174,37 +181,93 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     value = pool.value
     n_nodes = pool.n_nodes
 
-    # --- Top-down over uniques: allocate + record node path per level. ---
+    # --- Phase 1: descend the EXISTING tree once per unique (the only
+    # irreducible pointer chase: depth-1 dependent gathers). Unlike the
+    # per-level allocate-then-step loop this touches no interleaved
+    # scatters, so phase 2 can batch all levels into single kernels
+    # (v5e: ~0.5 ms fixed cost per unfused kernel dominates insert). ---
     cur = jnp.where(ulive, morton.octant_at(ukeys, depth, 1), 0)
-    paths = [cur]
-    reached = ulive
-    reached_per_level = [reached]
-    total_new = jnp.int32(0)
-    shallow = jnp.int32(0)
-
+    exist_level = jnp.where(ulive, 1, 0)   # deepest pre-existing node level
+    path_old = [cur]                       # node index at level l (stale
+    exists = ulive                         # below exist_level)
     for level in range(1, depth):
-        prefix = morton.level_prefix(ukeys, depth, level)
-        first = compaction.first_occurrence(prefix, ulive) & reached
-
-        need0 = first & (child[cur] == 0)
-        ranks, _ = compaction.exclusive_ranks(need0)
-        tile_base = n_nodes + 8 * ranks
-        ok = tile_base + 8 <= cap
-        need = need0 & ok
-        scatter_idx = jnp.where(need, cur, cap)
-        child = child.at[scatter_idx].set(tile_base, mode="drop")
-        n_new = jnp.sum(need.astype(jnp.int32))
-        n_nodes = n_nodes + 8 * n_new
-        total_new = total_new + n_new
-        if level <= 6:
-            shallow = shallow + n_new
-
         tile = child[cur]
-        reached = reached & (tile > 0)
-        octant = morton.octant_at(ukeys, depth, level + 1)
-        cur = jnp.where(reached, tile + octant, 0)
-        paths.append(cur)
-        reached_per_level.append(reached)
+        has = exists & (tile > 0)
+        cur = jnp.where(has, tile + morton.octant_at(ukeys, depth, level + 1),
+                        cur)
+        exists = has
+        exist_level = jnp.where(has, level + 1, exist_level)
+        path_old.append(cur)
+
+    # --- Phase 2: batched allocation over all levels at once. ---
+    # first_occurrence at EVERY level from one divergence computation:
+    # two sorted uniques share prefix_l iff their keys agree above bit
+    # 3*(depth-l); div_level = the shallowest level where they differ.
+    x = ukeys ^ jnp.concatenate([ukeys[:1] ^ jnp.int32(-1), ukeys[:-1]])
+    sm = x
+    for s in (1, 2, 4, 8, 16):
+        sm = sm | (sm >> s)
+    sm = sm & jnp.int32(0x7FFFFFFF)        # drop sign bit from the -1 row
+    h = jax.lax.population_count(sm.astype(jnp.uint32)).astype(jnp.int32) - 1
+    div_level = depth - h // 3             # first level where prefix differs
+
+    levels = jnp.arange(1, depth, dtype=jnp.int32)[:, None]     # [L-1, 1]
+    first_all = ulive[None, :] & (div_level[None, :] <= levels)  # [L-1, U]
+    # a new tile hangs off the level-l node iff the path stops at or above l
+    need = first_all & (exist_level[None, :] <= levels)
+
+    # flat allocation ranks in (level, unique) order -> tile bases
+    flat = need.reshape(-1).astype(jnp.int32)
+    ranks = jnp.cumsum(flat) - flat
+    tile_base = (n_nodes + 8 * ranks).reshape(need.shape)
+    fits = tile_base + 8 <= cap
+    alloc = need & fits
+    n_new = jnp.sum(alloc.astype(jnp.int32))
+    total_new = n_new
+    shallow = jnp.sum((alloc & (levels <= 6)).astype(jnp.int32))
+
+    # broadcast each segment's tile base (or -1 = none) from its first-
+    # occurrence row to every row of the segment: forward-fill scan with a
+    # "last non-sentinel wins" operator (associative; keys are sorted so
+    # segments are contiguous)
+    SENT = jnp.int32(-(1 << 30))
+    seg_seed = jnp.where(first_all, jnp.where(alloc, tile_base, -1), SENT)
+    seg_tile = jax.lax.associative_scan(
+        lambda a, b: jnp.where(b == SENT, a, b), seg_seed, axis=1)
+
+    # node index at every level for every unique, old or new:
+    # level l+1 node = (existing path) or (parent segment's new tile + octant)
+    octants = jnp.stack(
+        [morton.octant_at(ukeys, depth, l + 1) for l in range(1, depth)])
+    path_old_m = jnp.stack(path_old[1:])                    # [L-1, U] level l+1
+    new_node = jnp.maximum(seg_tile, 0) + octants
+    node_at = jnp.where(exist_level[None, :] >= levels + 1,
+                        path_old_m, new_node)               # [L-1, U]
+    # reached: the whole path down to level l+1 exists pre-insert or its
+    # tile was allocated (capacity may truncate) — monotone AND along levels
+    ok_lvl = (exist_level[None, :] >= levels + 1) | (seg_tile >= 0)
+    reached_m = jnp.cumprod(ok_lvl.astype(jnp.int32), axis=0).astype(bool) \
+        & ulive[None, :]
+
+    # ONE child-pointer scatter for every allocated tile across all levels:
+    # parent node = level-l node (row l-1 of the path matrix; level-1 nodes
+    # are the root tile itself)
+    parent_idx = jnp.concatenate(
+        [jnp.where(ulive, morton.octant_at(ukeys, depth, 1), 0)[None, :],
+         node_at[:-1]])
+    # capacity truncation can break the chain mid-path: only write tiles
+    # whose parent node itself was reached (otherwise seg_base would carry
+    # a stale neighbor segment's tile into the scatter)
+    parent_ok = jnp.concatenate(
+        [ulive[None, :], reached_m[:-1]]) if depth > 1 else ulive[None, :]
+    scatter_idx = jnp.where(alloc & parent_ok, parent_idx, cap).reshape(-1)
+    child = child.at[scatter_idx].set(tile_base.reshape(-1), mode="drop")
+    n_nodes = n_nodes + 8 * n_new
+
+    paths = [path_old[0]] + [node_at[i] for i in range(depth - 1)]
+    reached_per_level = [ulive] + [reached_m[i] for i in range(depth - 1)]
+    cur = node_at[-1] if depth > 1 else path_old[0]
+    reached = reached_per_level[-1]
 
     # --- Leaf blend (uniques are already deduplicated). ---
     leaf_ok = ulive & reached
@@ -212,6 +275,13 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     blended = packing.blend_value(old, mean_rgb)
     leaf_idx = jnp.where(leaf_ok, cur, cap)
     value = value.at[leaf_idx].set(blended, mode="drop")
+
+    if emit_mips:
+        from octree_slam_tpu.map import mips as mips_mod
+        mip_invalid = jnp.int32(mips_mod.total_cells(depth))
+        mip_idx_parts = [jnp.where(
+            leaf_ok, mips_mod.flat_index(ukeys, depth, depth), mip_invalid)]
+        mip_val_parts = [blended]
 
     # First-ever-written leaves (old alpha == exactly the init value 127 and
     # untouched rgb) — the renderer's persistent voxel list appends these.
@@ -229,12 +299,20 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     for level in range(depth - 1, 0, -1):
         prefix = morton.level_prefix(ukeys, depth, level)
         node = paths[level - 1]  # ancestor at `level` per unique-leaf row
+        # the level-`level` node has a tile on this row's path iff the path
+        # reached level+1 (no gather needed: known from allocation)
         mask = (compaction.first_occurrence(prefix, ulive)
-                & reached_per_level[level - 1] & (child[node] > 0))
+                & reached_per_level[level])
         if level < depth - 1:
             lcap = max(lcap // 4, 2048)
-        (cn,), _ = compaction.compact_multi(
-            [jnp.where(mask, node, cap)], mask, lcap, fill=cap)
+        if lcap >= U:
+            # compaction wouldn't shrink anything: work on masked rows
+            cn = jnp.where(mask, node, cap)
+            cpfx = jnp.where(mask, prefix, 0)
+        else:
+            (cn, cpfx), _ = compaction.compact_multi(
+                [jnp.where(mask, node, cap), jnp.where(mask, prefix, 0)],
+                mask, lcap, fill=cap)
         clive = cn < cap
 
         tile = jnp.where(clive, child[jnp.minimum(cn, cap - 1)], 0)
@@ -254,6 +332,19 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
             avg_b.astype(jnp.int32), max_a)
         widx = jnp.where(clive & (tile > 0), cn, cap)
         value = value.at[widx].set(packed_v, mode="drop")
+        if emit_mips:
+            ok_mip = clive & (tile > 0)
+            mip_idx_parts.append(jnp.where(
+                ok_mip,
+                jnp.int32(mips_mod.level_offset(level)) + cpfx, mip_invalid))
+            mip_val_parts.append(packed_v)
+
+    if emit_mips:
+        mip_idx = jnp.concatenate(mip_idx_parts)
+        mip_val = jnp.concatenate(mip_val_parts)
+    else:
+        mip_idx = jnp.full((1,), jnp.int32(2**31 - 1), jnp.int32)
+        mip_val = jnp.zeros((1,), jnp.uint32)
 
     overflowed = (pool.overflowed | (n_nodes + 8 > cap)
                   | (u_count > U))
@@ -268,6 +359,8 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
         new_leaf_keys=new_leaf_keys,
         new_leaf_nodes=new_leaf_nodes,
         new_leaf_count=jnp.minimum(nl_count, U),
+        mip_idx=mip_idx,
+        mip_val=mip_val,
     )
     return new_pool, stats
 

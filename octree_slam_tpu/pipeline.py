@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from octree_slam_tpu.config import SLAMConfig
 from octree_slam_tpu.core.types import Frame, PyramidLevel
+from octree_slam_tpu.map import mips as mips_mod
 from octree_slam_tpu.map import svo
 from octree_slam_tpu.map.svo import SVONodePool
 from octree_slam_tpu.render import raycast
@@ -43,7 +44,8 @@ from octree_slam_tpu.sensor import tracking
 class SLAMState(NamedTuple):
     pool: SVONodePool
     leaves: LeafList
-    accel: raycast.AccelGrid   # dense entry grid for the cone tracer
+    accel: object              # render acceleration: mips.RenderCache when
+                               # cfg.use_dense_mips, else raycast.AccelGrid
     pose: jnp.ndarray          # f32[4,4] world_T_cam
     last_pyramid: Tuple[PyramidLevel, ...]
     initialized: jnp.ndarray   # bool[] at least one frame ingested
@@ -90,7 +92,10 @@ def init_state(cfg: SLAMConfig, map_center=(0.0, 0.0, 0.0),
     return SLAMState(
         pool=pool,
         leaves=create_leaf_list(cfg.leaf_capacity),
-        accel=raycast.build_accel(pool, level=_accel_level(cfg)),
+        accel=(mips_mod.create(max_depth=cfg.max_depth,
+                               dist_level=_accel_level(cfg))
+               if cfg.use_dense_mips
+               else raycast.build_accel(pool, level=_accel_level(cfg))),
         pose=pose,
         last_pyramid=_empty_pyramid(cfg),
         initialized=jnp.bool_(False),
@@ -126,25 +131,45 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     colors = frame.color.reshape(-1, 3).astype(jnp.float32) / 255.0
     pool, istats = svo.insert(state.pool, world_pts, colors,
                               depth=cfg.max_depth,
-                              unique_cap=cfg.insert_unique_cap)
+                              unique_cap=cfg.insert_unique_cap,
+                              emit_mips=cfg.use_dense_mips)
     leaves = append_new_leaves(state.leaves, istats)
 
-    # Entry grid refresh: child pointers are write-once, so the cached
-    # per-cell entry nodes only go stale when a tile appears at a shallow
-    # level — rare after warmup.
     lvl = _accel_level(cfg)
-    accel = jax.lax.cond(
-        istats.shallow_allocs > 0,
-        lambda: raycast.build_accel(pool, level=lvl),
-        lambda: state.accel)
+    if cfg.use_dense_mips:
+        # Dense-mip render cache (map/mips.py): mirror this insert's touched
+        # values (one scatter) and refresh the empty-space distance field.
+        values = mips_mod.apply_updates(state.accel.values, istats.mip_idx,
+                                        istats.mip_val)
+        dist = mips_mod.rebuild_dist(values, max_depth=cfg.max_depth,
+                                     dist_level=lvl,
+                                     max_skip=cfg.dist_max_skip)
+        accel = mips_mod.RenderCache(values=values, dist=dist)
+    else:
+        # Entry grid refresh: child pointers are write-once, so the cached
+        # per-cell entry nodes only go stale when a tile appears at a
+        # shallow level — rare after warmup.
+        accel = jax.lax.cond(
+            istats.shallow_allocs > 0,
+            lambda: raycast.build_accel(pool, level=lvl),
+            lambda: state.accel)
 
     # --- Render the map from the tracked pose. ---
     if render == "cone":
-        fb = raycast.cone_trace(
-            pool, pose, cfg.focal_x, cfg.focal_y,
-            width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,
-            max_iters=cfg.max_march_iters, max_range=cfg.max_range,
-            start_dist=cfg.start_dist, accel=accel, accel_level=lvl)
+        if cfg.use_dense_mips:
+            fb = raycast.cone_trace_dense(
+                accel, pool.center, pool.half_size, pose,
+                cfg.focal_x, cfg.focal_y,
+                width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,
+                dist_level=lvl, max_iters=cfg.max_march_iters,
+                max_range=cfg.max_range, start_dist=cfg.start_dist,
+                max_skip=cfg.dist_max_skip)
+        else:
+            fb = raycast.cone_trace(
+                pool, pose, cfg.focal_x, cfg.focal_y,
+                width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,
+                max_iters=cfg.max_march_iters, max_range=cfg.max_range,
+                start_dist=cfg.start_dist, accel=accel, accel_level=lvl)
     elif render == "splat":
         fb = render_splat(
             pool, leaves, pose, cfg.focal_x, cfg.focal_y,

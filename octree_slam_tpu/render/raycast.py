@@ -231,6 +231,131 @@ def cone_trace(pool: SVONodePool, world_T_cam: jnp.ndarray, fx, fy, *,
     return fb.reshape(height, width, 4)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "max_depth", "dist_level",
+                     "max_iters", "max_skip"))
+def cone_trace_dense(cache, center: jnp.ndarray, half_size, world_T_cam,
+                     fx, fy, *, width: int, height: int, max_depth: int,
+                     dist_level: int = 6, max_iters: int = 48,
+                     max_range: float = 10.0, start_dist: float = 0.002,
+                     max_skip: int = 7) -> jnp.ndarray:
+    """Cone trace the dense value-mip render cache (map/mips.py).
+
+    Same accumulation semantics as cone_trace (coneTrace,
+    cone_tracing_kernels.cu:53-146) but TWO gathers per step total — one
+    distance-field lookup, one any-LOD value sample from the flat mip
+    buffer — instead of a per-level pointer descent; empty space is crossed
+    in (dist-1)-cell skips instead of node-sized steps. This is the
+    kernel-count-bound design the v5e measurements demand (~0.5 ms per
+    unfused gather regardless of size).
+    """
+    from octree_slam_tpu.map import mips as mips_mod
+
+    origin, dirs = make_rays(world_T_cam, fx, fy, width, height)
+    n = dirs.shape[0]
+    pix_scale = 1.0 / fy
+
+    depth_bits = max_depth
+    n_leaf = 1 << max_depth
+    bbox0 = center - half_size
+    leaf_cell = (2.0 * half_size) / n_leaf
+    g = 1 << dist_level
+    cell_l = (2.0 * half_size) / g  # dist-grid cell edge
+    oct_size = half_size
+
+    linf = jnp.max(jnp.abs(dirs), axis=-1)
+    inv_dirs = jnp.where(jnp.abs(dirs) > 1e-9, 1.0 / dirs, jnp.inf)
+
+    state = dict(
+        ray_len=jnp.full((n,), start_dist, jnp.float32),
+        rgb=jnp.zeros((n, 3), jnp.float32),
+        w=jnp.zeros((n,), jnp.float32),
+        active=jnp.ones((n,), bool),
+        it=jnp.int32(0),
+    )
+
+    def body(s):
+        ray_len = s["ray_len"]
+        pos = origin + dirs * ray_len[:, None]
+        q = jnp.clip(jnp.floor((pos - bbox0) / leaf_cell).astype(jnp.int32),
+                     0, n_leaf - 1)
+
+        # --- distance-field lookup (gather 1) ---
+        shift_l = max_depth - dist_level
+        cx = q[:, 0] >> shift_l
+        cy = q[:, 1] >> shift_l
+        cz = q[:, 2] >> shift_l
+        d = cache.dist[(cz << (2 * dist_level)) | (cy << dist_level) | cx]
+        free = d > 0
+
+        # --- any-LOD value sample (gather 2) ---
+        pix_size = ray_len * pix_scale
+        lod = jnp.ceil(jnp.log2(jnp.maximum(
+            oct_size / jnp.maximum(pix_size, 1e-9), 1.0)))
+        lod = jnp.clip(lod.astype(jnp.int32), 1, max_depth)
+        shift = max_depth - lod
+        m = mips_mod.interleave3(q[:, 0] >> shift, q[:, 1] >> shift,
+                                 q[:, 2] >> shift, depth_bits)
+        fidx = ((jnp.int32(1) << (3 * lod)) - 8) // 7 + m
+        value = cache.values[fidx]
+
+        r, gg, b, a = packing.unpack_rgba8(value)
+        alpha = jnp.where(free, 0.0,
+                          jnp.maximum(a - 127, 0).astype(jnp.float32))
+        contrib = (alpha / 127.0)[:, None] * jnp.stack(
+            [r, gg, b], axis=-1).astype(jnp.float32)
+
+        active = s["active"]
+        rgb = jnp.where(active[:, None], s["rgb"] + contrib, s["rgb"])
+        w_new = s["w"] + jnp.where(active, alpha, 0.0)
+        saturated = active & (w_new >= 127.0)
+        w_out = jnp.where(saturated, 255.0, w_new)
+
+        # --- step: exact exit of the current cell (+ dist-1 cells of
+        #     guaranteed-empty L-infinity ball when in free space) ---
+        s_lod = oct_size * 2.0 / jnp.exp2(lod.astype(jnp.float32))
+        lev_cell = jnp.where(free, cell_l, s_lod)
+        lev_shift = jnp.where(free, shift_l, shift)
+        corner = bbox0 + (q >> lev_shift[:, None]).astype(jnp.float32) \
+            * lev_cell[:, None]
+        t_axis = jnp.where(
+            jnp.abs(dirs) > 1e-9,
+            jnp.where(dirs > 0,
+                      (corner + lev_cell[:, None] - pos),
+                      (corner - pos)) * inv_dirs,
+            jnp.inf)  # axis-parallel rays never exit through this face
+        t_exit = jnp.maximum(jnp.min(t_axis, axis=-1), 0.0)
+        skip = jnp.where(
+            free, (d - 1).astype(jnp.float32) * cell_l / jnp.maximum(linf, 1e-6),
+            0.0)
+        eps = 0.05 * leaf_cell
+        step = jnp.maximum(t_exit + skip + eps, 0.25 * leaf_cell)
+        ray_len = jnp.where(active, ray_len + step, ray_len)
+
+        oor = active & ~saturated & (ray_len > max_range)
+        scale = 127.0 / jnp.maximum(w_out, 1.0)
+        rgb = jnp.where(oor[:, None], rgb * scale[:, None], rgb)
+        w_out = jnp.where(oor, 255.0, w_out)
+
+        return dict(
+            ray_len=ray_len,
+            rgb=rgb,
+            w=w_out,
+            active=active & ~saturated & ~oor,
+            it=s["it"] + 1,
+        )
+
+    def cond(s):
+        return (s["it"] < max_iters) & jnp.any(s["active"])
+
+    state = jax.lax.while_loop(cond, body, state)
+    rgb = jnp.clip(state["rgb"], 0.0, 255.0) / 255.0
+    a = jnp.clip(state["w"], 0.0, 255.0) / 255.0
+    fb = jnp.concatenate([rgb, a[:, None]], axis=-1)
+    return fb.reshape(height, width, 4)
+
+
 def to_u8(framebuffer: jnp.ndarray) -> jnp.ndarray:
     """f32 [0,1] rgba -> u8, the PBO-style output."""
     return jnp.round(jnp.clip(framebuffer, 0.0, 1.0) * 255.0).astype(jnp.uint8)
