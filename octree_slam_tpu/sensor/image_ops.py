@@ -112,20 +112,23 @@ def subsample_depth(depth_mm: jnp.ndarray,
     oh, ow = h // 2, w // 2
     gate = 3.0 * sigma_depth
     d = depth_mm.astype(jnp.float32)
-    center = d[::2, ::2][:oh, :ow]
     pad = jnp.pad(d, 2)
     inb = jnp.pad(jnp.ones((h, w), jnp.float32), 2)
-    s = jnp.zeros((oh, ow), jnp.float32)
-    cnt = jnp.zeros((oh, ow), jnp.float32)
+    # Accumulate the gated window at FULL resolution with contiguous shifts
+    # and decimate once at the end: strided slices relayout lanes on TPU
+    # (~0.7 ms each; the original 50-slice formulation measured 35 ms on
+    # v5e), while the redundant full-res elementwise work is nearly free.
+    s = jnp.zeros((h, w), jnp.float32)
+    cnt = jnp.zeros((h, w), jnp.float32)
     for dy in range(-2, 3):
         for dx in range(-2, 3):
-            nb = jax.lax.dynamic_slice(pad, (2 + dy, 2 + dx), (h, w))[::2, ::2][:oh, :ow]
-            m = jax.lax.dynamic_slice(inb, (2 + dy, 2 + dx), (h, w))[::2, ::2][:oh, :ow]
-            ok = m * (jnp.abs(nb - center) < gate).astype(jnp.float32)
+            nb = jax.lax.dynamic_slice(pad, (2 + dy, 2 + dx), (h, w))
+            m = jax.lax.dynamic_slice(inb, (2 + dy, 2 + dx), (h, w))
+            ok = m * (jnp.abs(nb - d) < gate).astype(jnp.float32)
             s = s + nb * ok
             cnt = cnt + ok
     out = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), 0.0)
-    return out.astype(depth_mm.dtype)
+    return out[::2, ::2][:oh, :ow].astype(depth_mm.dtype)
 
 
 def subsample(img: jnp.ndarray) -> jnp.ndarray:
