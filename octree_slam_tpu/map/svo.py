@@ -114,12 +114,15 @@ def _unique_compact(skeys, svalid, scolors_u8, unique_cap: int):
     first = compaction.first_occurrence(skeys, svalid)
     ranks, u_count = compaction.exclusive_ranks(first)
 
-    upos = jnp.full((unique_cap,), n, jnp.int32)
+    # one scatter for (position, key) pairs — shared indices
     idx_u = jnp.where(first, ranks, unique_cap)
-    upos = upos.at[idx_u].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
-    ukeys = jnp.full((unique_cap,), morton.INVALID_KEY, jnp.int32)
-    ukeys = ukeys.at[idx_u].set(skeys, mode="drop")
+    buf = jnp.concatenate(
+        [jnp.full((unique_cap, 1), n, jnp.int32),
+         jnp.full((unique_cap, 1), morton.INVALID_KEY, jnp.int32)], axis=1)
+    buf = buf.at[idx_u].set(
+        jnp.stack([jnp.arange(n, dtype=jnp.int32), skeys], axis=-1),
+        mode="drop")
+    upos, ukeys = buf[:, 0], buf[:, 1]
 
     w = svalid.astype(jnp.float32)
     csum = jnp.cumsum(scolors_u8 * w[:, None], axis=0)   # f32[N,3]
@@ -216,24 +219,25 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     # a new tile hangs off the level-l node iff the path stops at or above l
     need = first_all & (exist_level[None, :] <= levels)
 
-    # flat allocation ranks in (level, unique) order -> tile bases
+    # flat allocation ranks in (level, unique) order -> tile bases. ONE
+    # inclusive cumsum gives every row its segment's rank: `need` is true
+    # only at segment-start rows, and between a row and its own segment's
+    # start there are no other starts, so cumsum(need)[u] is exactly
+    # rank(start)+1 — a free segment broadcast, no forward-fill scan.
     flat = need.reshape(-1).astype(jnp.int32)
-    ranks = jnp.cumsum(flat) - flat
-    tile_base = (n_nodes + 8 * ranks).reshape(need.shape)
+    inc = jnp.cumsum(flat).reshape(need.shape)
+    tile_base = n_nodes + 8 * (inc - 1)
     fits = tile_base + 8 <= cap
     alloc = need & fits
     n_new = jnp.sum(alloc.astype(jnp.int32))
     total_new = n_new
     shallow = jnp.sum((alloc & (levels <= 6)).astype(jnp.int32))
 
-    # broadcast each segment's tile base (or -1 = none) from its first-
-    # occurrence row to every row of the segment: forward-fill scan with a
-    # "last non-sentinel wins" operator (associative; keys are sorted so
-    # segments are contiguous)
-    SENT = jnp.int32(-(1 << 30))
-    seg_seed = jnp.where(first_all, jnp.where(alloc, tile_base, -1), SENT)
-    seg_tile = jax.lax.associative_scan(
-        lambda a, b: jnp.where(b == SENT, a, b), seg_seed, axis=1)
+    # every row's view of its segment's new tile (-1 = segment has none):
+    # the segment needed a tile iff this row's own path stops at or above l
+    # (identical for all rows of a segment)
+    seg_needed = ulive[None, :] & (exist_level[None, :] <= levels)
+    seg_tile = jnp.where(seg_needed & fits, tile_base, -1)
 
     # node index at every level for every unique, old or new:
     # level l+1 node = (existing path) or (parent segment's new tile + octant)
@@ -288,10 +292,12 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     is_new_leaf = leaf_ok & (old == packing.EMPTY_VALUE)
     nl_ranks, nl_count = compaction.exclusive_ranks(is_new_leaf)
     nl_idx = jnp.where(is_new_leaf, nl_ranks, U)
-    new_leaf_keys = jnp.full((U,), -1, jnp.int32)
-    new_leaf_keys = new_leaf_keys.at[nl_idx].set(ukeys, mode="drop")
-    new_leaf_nodes = jnp.zeros((U,), jnp.int32)
-    new_leaf_nodes = new_leaf_nodes.at[nl_idx].set(cur, mode="drop")
+    nl_buf = jnp.concatenate(
+        [jnp.full((U, 1), -1, jnp.int32), jnp.zeros((U, 1), jnp.int32)],
+        axis=1)
+    nl_buf = nl_buf.at[nl_idx].set(jnp.stack([ukeys, cur], axis=-1),
+                                   mode="drop")
+    new_leaf_keys, new_leaf_nodes = nl_buf[:, 0], nl_buf[:, 1]
 
     # --- Bottom-up mipmap over unique parents, shrinking caps per level. ---
     # Deepest parents first so shallower averages see refreshed children.
