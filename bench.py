@@ -90,6 +90,9 @@ def main():
         width=640, height=480,
         max_depth=9, voxel_resolution=0.02,  # 10.24 m volume at 2 cm leaves
         node_capacity=1 << 20,
+        # the 14-frame orbit map tops out ~77k leaves; the splat gather and
+        # packed scatter-min scale with this capacity (overflow is flagged)
+        leaf_capacity=1 << 18,
     )
     scene = sources.default_scene()
 

@@ -64,16 +64,20 @@ class RenderCache(NamedTuple):
     """Dense mips + distance field (the SLAMState render acceleration)."""
 
     values: jnp.ndarray  # u32[total_cells(D)] RGBA8, EMPTY_VALUE = untouched
+    occ: jnp.ndarray     # bool[G^3] xyz-ordered occupancy at dist_level
     dist: jnp.ndarray    # i32[G^3] xyz-ordered chebyshev distance in cells
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth", "dist_level"))
-def create(*, max_depth: int, dist_level: int) -> RenderCache:
+@functools.partial(jax.jit,
+                   static_argnames=("max_depth", "dist_level", "max_skip"))
+def create(*, max_depth: int, dist_level: int,
+           max_skip: int = 15) -> RenderCache:
     g = 1 << dist_level
     return RenderCache(
         values=jnp.full((total_cells(max_depth),), packing.EMPTY_VALUE,
                         jnp.uint32),
-        dist=jnp.zeros((g * g * g,), jnp.int32),
+        occ=jnp.zeros((g * g * g,), bool),
+        dist=jnp.full((g * g * g,), max_skip, jnp.int32),
     )
 
 
@@ -82,6 +86,58 @@ def apply_updates(values: jnp.ndarray, mip_idx: jnp.ndarray,
     """Scatter an insert's touched (flat_idx, value) pairs — one kernel.
     Invalid entries carry idx == len(values) and drop."""
     return values.at[mip_idx].set(mip_val, mode="drop")
+
+
+def deinterleave3(m: jnp.ndarray, bits: int):
+    """Inverse of interleave3: morton code -> (x, y, z) integer coords."""
+    x = jnp.zeros_like(m)
+    y = jnp.zeros_like(m)
+    z = jnp.zeros_like(m)
+    for b in range(bits):
+        x = x | (((m >> (3 * b)) & 1) << b)
+        y = y | (((m >> (3 * b + 1)) & 1) << b)
+        z = z | (((m >> (3 * b + 2)) & 1) << b)
+    return x, y, z
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_depth", "dist_level", "max_skip"))
+def update(cache: RenderCache, mip_idx: jnp.ndarray, mip_val: jnp.ndarray,
+           *, max_depth: int, dist_level: int,
+           max_skip: int = 15) -> RenderCache:
+    """Per-frame cache refresh from an insert's (flat_idx, value) pairs:
+    one value scatter, one occupancy scatter (xyz-ordered, avoiding the
+    morton->xyz permutation gather every frame), and the log-round
+    distance transform over the updated occupancy."""
+    g = 1 << dist_level
+    values = apply_updates(cache.values, mip_idx, mip_val)
+
+    lo = level_offset(dist_level)
+    hi = level_offset(dist_level + 1)
+    in_level = (mip_idx >= lo) & (mip_idx < hi)
+    x, y, z = deinterleave3(jnp.where(in_level, mip_idx - lo, 0), dist_level)
+    xyz = (z << (2 * dist_level)) | (y << dist_level) | x
+    occ = cache.occ.at[jnp.where(in_level, xyz, g * g * g)].set(
+        packing.is_occupied(mip_val), mode="drop")
+
+    dist = _dist_from_occ(occ.reshape(g, g, g), max_skip).reshape(-1)
+    return RenderCache(values=values, occ=occ, dist=dist)
+
+
+def _dist_from_occ(occ3d: jnp.ndarray, max_skip: int) -> jnp.ndarray:
+    """Log-round Chebyshev distance transform: round j min-pools a 3^3
+    window with dilation 2^j and adds 2^j, extending exact distances from
+    2^j - 1 to 2^(j+1) - 1."""
+    dist = jnp.where(occ3d, 0, max_skip).astype(jnp.int32)
+    j = 0
+    while (1 << j) <= max_skip:
+        w = 1 << j
+        pooled = jax.lax.reduce_window(
+            dist, np.int32(max_skip), jax.lax.min, (3, 3, 3), (1, 1, 1),
+            "SAME", window_dilation=(w, w, w))
+        dist = jnp.minimum(dist, pooled + w)
+        j += 1
+    return jnp.minimum(dist, max_skip)
 
 
 @functools.lru_cache(maxsize=4)
@@ -132,14 +188,4 @@ def rebuild_dist(values: jnp.ndarray, *, max_depth: int, dist_level: int,
     level_vals = jax.lax.dynamic_slice(values, (lo,), (g * g * g,))
     perm = jnp.asarray(_morton_to_xyz_perm(dist_level))
     occ = packing.is_occupied(level_vals)[perm].reshape(g, g, g)
-
-    dist = jnp.where(occ, 0, max_skip).astype(jnp.int32)
-    j = 0
-    while (1 << j) <= max_skip:
-        w = 1 << j
-        pooled = jax.lax.reduce_window(
-            dist, np.int32(max_skip), jax.lax.min, (3, 3, 3), (1, 1, 1),
-            "SAME", window_dilation=(w, w, w))
-        dist = jnp.minimum(dist, pooled + w)
-        j += 1
-    return jnp.minimum(dist, max_skip).reshape(-1)
+    return _dist_from_occ(occ, max_skip).reshape(-1)

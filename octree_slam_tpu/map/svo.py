@@ -114,15 +114,13 @@ def _unique_compact(skeys, svalid, scolors_u8, unique_cap: int):
     first = compaction.first_occurrence(skeys, svalid)
     ranks, u_count = compaction.exclusive_ranks(first)
 
-    # one scatter for (position, key) pairs — shared indices
+    # two 1-D scatters: a single (U,2) pair scatter measured SLOWER (2.5ms
+    # vs 2x0.5ms) — the (8,128)-tiled 2-D layout defeats the scatter path
     idx_u = jnp.where(first, ranks, unique_cap)
-    buf = jnp.concatenate(
-        [jnp.full((unique_cap, 1), n, jnp.int32),
-         jnp.full((unique_cap, 1), morton.INVALID_KEY, jnp.int32)], axis=1)
-    buf = buf.at[idx_u].set(
-        jnp.stack([jnp.arange(n, dtype=jnp.int32), skeys], axis=-1),
-        mode="drop")
-    upos, ukeys = buf[:, 0], buf[:, 1]
+    upos = jnp.full((unique_cap,), n, jnp.int32)
+    upos = upos.at[idx_u].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    ukeys = jnp.full((unique_cap,), morton.INVALID_KEY, jnp.int32)
+    ukeys = ukeys.at[idx_u].set(skeys, mode="drop")
 
     w = svalid.astype(jnp.float32)
     csum = jnp.cumsum(scolors_u8 * w[:, None], axis=0)   # f32[N,3]
@@ -292,12 +290,10 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     is_new_leaf = leaf_ok & (old == packing.EMPTY_VALUE)
     nl_ranks, nl_count = compaction.exclusive_ranks(is_new_leaf)
     nl_idx = jnp.where(is_new_leaf, nl_ranks, U)
-    nl_buf = jnp.concatenate(
-        [jnp.full((U, 1), -1, jnp.int32), jnp.zeros((U, 1), jnp.int32)],
-        axis=1)
-    nl_buf = nl_buf.at[nl_idx].set(jnp.stack([ukeys, cur], axis=-1),
-                                   mode="drop")
-    new_leaf_keys, new_leaf_nodes = nl_buf[:, 0], nl_buf[:, 1]
+    new_leaf_keys = jnp.full((U,), -1, jnp.int32)
+    new_leaf_keys = new_leaf_keys.at[nl_idx].set(ukeys, mode="drop")
+    new_leaf_nodes = jnp.zeros((U,), jnp.int32)
+    new_leaf_nodes = new_leaf_nodes.at[nl_idx].set(cur, mode="drop")
 
     # --- Bottom-up mipmap over unique parents, shrinking caps per level. ---
     # Deepest parents first so shallower averages see refreshed children.
@@ -322,9 +318,11 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
         clive = cn < cap
 
         tile = jnp.where(clive, child[jnp.minimum(cn, cap - 1)], 0)
-        kid_idx = jnp.minimum(
-            tile[:, None] + jnp.arange(8, dtype=jnp.int32)[None, :], cap - 1)
-        kid_val = value[kid_idx]
+        # tiles are 8-aligned, so the 8 children are one contiguous row of
+        # the tile-major view — a row gather (32B blocks) instead of 8x
+        # scalar gathers (measured 3.7ms -> sub-ms for the deepest level)
+        kid_val = value.reshape(cap // 8, 8)[
+            jnp.minimum(tile >> 3, cap // 8 - 1)]
         r, g, b, a = packing.unpack_rgba8(kid_val)
         occ = (a > packing.OCCUPIED_ALPHA).astype(jnp.float32)
         n_occ = jnp.sum(occ, axis=1)

@@ -93,7 +93,8 @@ def init_state(cfg: SLAMConfig, map_center=(0.0, 0.0, 0.0),
         pool=pool,
         leaves=create_leaf_list(cfg.leaf_capacity),
         accel=(mips_mod.create(max_depth=cfg.max_depth,
-                               dist_level=_accel_level(cfg))
+                               dist_level=_accel_level(cfg),
+                               max_skip=cfg.dist_max_skip)
                if cfg.use_dense_mips
                else raycast.build_accel(pool, level=_accel_level(cfg))),
         pose=pose,
@@ -138,13 +139,10 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     lvl = _accel_level(cfg)
     if cfg.use_dense_mips:
         # Dense-mip render cache (map/mips.py): mirror this insert's touched
-        # values (one scatter) and refresh the empty-space distance field.
-        values = mips_mod.apply_updates(state.accel.values, istats.mip_idx,
-                                        istats.mip_val)
-        dist = mips_mod.rebuild_dist(values, max_depth=cfg.max_depth,
-                                     dist_level=lvl,
-                                     max_skip=cfg.dist_max_skip)
-        accel = mips_mod.RenderCache(values=values, dist=dist)
+        # values and occupancy, refresh the empty-space distance field.
+        accel = mips_mod.update(state.accel, istats.mip_idx, istats.mip_val,
+                                max_depth=cfg.max_depth, dist_level=lvl,
+                                max_skip=cfg.dist_max_skip)
     else:
         # Entry grid refresh: child pointers are write-once, so the cached
         # per-cell entry nodes only go stale when a tile appears at a

@@ -22,10 +22,14 @@ def insert_cloud(pool, pts, cols, cache=None):
                           jnp.asarray(cols, jnp.float32),
                           depth=DEPTH, unique_cap=1 << 12, emit_mips=True)
     if cache is not None:
-        values = mips.apply_updates(cache.values, st.mip_idx, st.mip_val)
-        dist = mips.rebuild_dist(values, max_depth=DEPTH, dist_level=4,
-                                 max_skip=5)
-        cache = mips.RenderCache(values=values, dist=dist)
+        cache = mips.update(cache, st.mip_idx, st.mip_val,
+                            max_depth=DEPTH, dist_level=4, max_skip=5)
+        # invariant: the incremental xyz occupancy + dist must equal a
+        # from-scratch rebuild off the values buffer
+        ref = mips.rebuild_dist(cache.values, max_depth=DEPTH, dist_level=4,
+                                max_skip=5)
+        np.testing.assert_array_equal(np.asarray(cache.dist),
+                                      np.asarray(ref))
     return pool, st, cache
 
 
@@ -39,7 +43,7 @@ def random_cloud(n=500, seed=0):
 class TestMipConsistency:
     def test_leaf_values_mirror_tree(self):
         pool = make_pool()
-        cache = mips.create(max_depth=DEPTH, dist_level=4)
+        cache = mips.create(max_depth=DEPTH, dist_level=4, max_skip=5)
         pts, cols = random_cloud()
         pool, st, cache = insert_cloud(pool, pts, cols, cache)
 
@@ -55,7 +59,7 @@ class TestMipConsistency:
 
     def test_interior_values_mirror_tree(self):
         pool = make_pool()
-        cache = mips.create(max_depth=DEPTH, dist_level=4)
+        cache = mips.create(max_depth=DEPTH, dist_level=4, max_skip=5)
         pts, cols = random_cloud()
         pool, st, cache = insert_cloud(pool, pts, cols, cache)
 
@@ -70,7 +74,7 @@ class TestMipConsistency:
 
     def test_second_insert_updates_mips(self):
         pool = make_pool()
-        cache = mips.create(max_depth=DEPTH, dist_level=4)
+        cache = mips.create(max_depth=DEPTH, dist_level=4, max_skip=5)
         pts, cols = random_cloud()
         pool, st, cache = insert_cloud(pool, pts, cols, cache)
         pool, st2, cache = insert_cloud(pool, pts, cols, cache)
@@ -87,7 +91,7 @@ class TestMipConsistency:
 
     def test_dist_field_zero_at_occupied_positive_in_space(self):
         pool = make_pool()
-        cache = mips.create(max_depth=DEPTH, dist_level=4)
+        cache = mips.create(max_depth=DEPTH, dist_level=4, max_skip=5)
         # single occupied corner cluster
         pts = np.full((50, 3), -0.55, np.float32)
         cols = np.full((50, 3), 0.5, np.float32)
@@ -123,7 +127,7 @@ class TestMipConsistency:
 class TestDenseConeTrace:
     def test_dense_matches_pointer_cone_trace(self):
         pool = make_pool()
-        cache = mips.create(max_depth=DEPTH, dist_level=4)
+        cache = mips.create(max_depth=DEPTH, dist_level=4, max_skip=5)
         rng = np.random.default_rng(1)
         # a flat wall in front of the camera
         xs = rng.uniform(-0.4, 0.4, 4000)
