@@ -70,6 +70,39 @@ def sharded_step(cfg: SLAMConfig, mesh: Mesh, axis_name: str = "px"):
     )
 
 
+def splat_sharded(pool_value, leaf_keys, leaf_nodes, center, half_size,
+                  world_T_cam, fx, fy, cfg: SLAMConfig, mesh: Mesh,
+                  axis_name: str = "map"):
+    """Map-sharded splat rendering: the persistent leaf registry is sharded
+    over the mesh (model-parallel axis for the map), each device z-buffers
+    its own leaf shard, and ONE pmin over ICI composites the packed
+    depth<<16|RGB565 words into the exact global z-resolve — a 1.2 MB
+    all-reduce per frame at 640x480.
+
+    This is the scale-out path for maps beyond one chip's HBM: leaves (and
+    in a full deployment the node pool, sharded by Morton range) never
+    leave their device; only the screen-sized buffer crosses ICI.
+    Returns the finished f32[H, W, 4] framebuffer, replicated.
+    """
+    from jax import shard_map
+    from octree_slam_tpu.render import splat as sp
+
+    def local(values_s, keys_s, nodes_s, c_s, h_s, T_s):
+        live = keys_s >= 0
+        buf = sp.splat_zbuffer(values_s, keys_s, nodes_s, live, c_s, h_s,
+                               T_s, fx, fy, width=cfg.width,
+                               height=cfg.height, depth=cfg.max_depth,
+                               max_range=cfg.max_range)
+        buf = jax.lax.pmin(buf, axis_name)
+        return sp.finish_zbuffer(buf, width=cfg.width, height=cfg.height)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P(), P(), P()),
+        out_specs=P(),
+    )(pool_value, leaf_keys, leaf_nodes, center, half_size, world_T_cam)
+
+
 def icp_psum(v1, n1, v2, n2, cfg: SLAMConfig, mesh: Mesh,
              axis_name: str = "px") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Explicit shard_map ICP reduction: rows sharded, partial normal

@@ -80,23 +80,20 @@ def _unpack_rgb565(v: jnp.ndarray):
     return r, g, b
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "depth",
-                                             "dilate"))
-def render_splat(pool: SVONodePool, leaves: LeafList,
-                 world_T_cam: jnp.ndarray, fx, fy, *, width: int, height: int,
-                 depth: int, max_range: float = 10.0,
-                 dilate: int = 2) -> jnp.ndarray:
-    """Render occupied leaf voxels to f32[height, width, 4].
+def splat_zbuffer(pool_value: jnp.ndarray, keys: jnp.ndarray,
+                  nodes: jnp.ndarray, live: jnp.ndarray,
+                  center: jnp.ndarray, half_size, world_T_cam: jnp.ndarray,
+                  fx, fy, *, width: int, height: int, depth: int,
+                  max_range: float = 10.0) -> jnp.ndarray:
+    """Project a (possibly sharded) leaf set into a packed z-buffer:
+    i32[H*W] words of quantized-depth<<16 | RGB565, EMPTY where nothing
+    landed. The packed word orders by depth, so buffers from disjoint leaf
+    shards composite exactly with an elementwise/collective MIN
+    (parallel.distributed.splat_sharded uses pmin over ICI)."""
+    keys = jnp.where(live, keys, 0)
+    centers = morton.decode_centers(keys, center, half_size, depth)
 
-    One packed scatter-min resolves visibility and color together; `dilate`
-    rounds of 3x3 min-depth dilation close sub-pixel holes.
-    """
-    lc = leaves.keys.shape[0]
-    live = (jnp.arange(lc) < leaves.count) & (leaves.keys >= 0)
-    keys = jnp.where(live, leaves.keys, 0)
-    centers = morton.decode_centers(keys, pool.center, pool.half_size, depth)
-
-    vals = pool.value[jnp.where(live, leaves.nodes, 0)]
+    vals = pool_value[jnp.where(live, nodes, 0)]
     alpha = ((vals >> 24) & 0xFF).astype(jnp.int32)
     occupied = live & (alpha > 127)
     r = (vals & 0xFF).astype(jnp.int32)
@@ -120,8 +117,12 @@ def render_splat(pool: SVONodePool, leaves: LeafList,
     num_pix = width * height
     idx = jnp.where(inb, py * width + px, num_pix)
     buf = jnp.full((num_pix,), EMPTY, jnp.int32)
-    buf = buf.at[idx].min(jnp.where(inb, word, EMPTY), mode="drop")
+    return buf.at[idx].min(jnp.where(inb, word, EMPTY), mode="drop")
 
+
+def finish_zbuffer(buf: jnp.ndarray, *, width: int, height: int,
+                   dilate: int = 2) -> jnp.ndarray:
+    """Packed z-buffer -> f32[H, W, 4] framebuffer with hole dilation."""
     img = buf.reshape(height, width)
     # image-space hole filling: min-depth over 3x3 neighborhoods
     for _ in range(dilate):
@@ -138,3 +139,23 @@ def render_splat(pool: SVONodePool, leaves: LeafList,
     rgb = jnp.stack([rr, gg, bb], axis=-1).astype(jnp.float32) / 255.0
     a = hit.astype(jnp.float32)
     return jnp.concatenate([rgb * a[..., None], a[..., None]], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "depth",
+                                             "dilate"))
+def render_splat(pool: SVONodePool, leaves: LeafList,
+                 world_T_cam: jnp.ndarray, fx, fy, *, width: int, height: int,
+                 depth: int, max_range: float = 10.0,
+                 dilate: int = 2) -> jnp.ndarray:
+    """Render occupied leaf voxels to f32[height, width, 4].
+
+    One packed scatter-min resolves visibility and color together; `dilate`
+    rounds of 3x3 min-depth dilation close sub-pixel holes.
+    """
+    lc = leaves.keys.shape[0]
+    live = (jnp.arange(lc) < leaves.count) & (leaves.keys >= 0)
+    buf = splat_zbuffer(pool.value, leaves.keys, leaves.nodes, live,
+                        pool.center, pool.half_size, world_T_cam, fx, fy,
+                        width=width, height=height, depth=depth,
+                        max_range=max_range)
+    return finish_zbuffer(buf, width=width, height=height, dilate=dilate)

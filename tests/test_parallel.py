@@ -45,3 +45,41 @@ class TestMesh:
         import __graft_entry__ as ge
         fn, args = ge.entry()
         jax.jit(fn).lower(*args)  # trace/lower only; full compile is slow on CPU
+
+
+class TestShardedSplat:
+    def test_sharded_splat_matches_single_device(self):
+        """Leaf-sharded z-buffers composited with pmin over the mesh must
+        equal the single-device render exactly."""
+        from octree_slam_tpu.map import morton
+        from octree_slam_tpu.render import splat as sp
+
+        rng = np.random.default_rng(5)
+        depth, cap = 6, 1 << 12
+        lc = 1 << 10
+        cfg = SLAMConfig(width=64, height=48, focal_x=60.0, focal_y=60.0,
+                         max_depth=depth, max_range=8.0)
+        n_live = 700
+        keys = np.full(lc, -1, np.int32)
+        keys[:n_live] = rng.integers(0, 1 << (3 * depth), n_live)
+        nodes = rng.integers(0, cap, lc).astype(np.int32)
+        values = (rng.integers(0, 2**24, cap).astype(np.uint32)
+                  | np.uint32(0xFF000000))
+        center = jnp.zeros(3, jnp.float32)
+        half = jnp.float32(0.64)
+        pose = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(-1.0)
+
+        live = jnp.asarray(keys >= 0)
+        buf = sp.splat_zbuffer(
+            jnp.asarray(values), jnp.asarray(keys), jnp.asarray(nodes), live,
+            center, half, pose, cfg.focal_x, cfg.focal_y,
+            width=cfg.width, height=cfg.height, depth=depth,
+            max_range=cfg.max_range)
+        fb_single = sp.finish_zbuffer(buf, width=cfg.width, height=cfg.height)
+
+        mesh = distributed.make_mesh(8, axis_name="map")
+        fb_sharded = distributed.splat_sharded(
+            jnp.asarray(values), jnp.asarray(keys), jnp.asarray(nodes),
+            center, half, pose, cfg.focal_x, cfg.focal_y, cfg, mesh)
+        np.testing.assert_array_equal(np.asarray(fb_single),
+                                      np.asarray(fb_sharded))
