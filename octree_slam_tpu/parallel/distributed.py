@@ -20,7 +20,7 @@ libraries anywhere). The TPU rebuild is designed mesh-ready from the start:
 
 from __future__ import annotations
 
-import functools
+
 from typing import Tuple
 
 import jax

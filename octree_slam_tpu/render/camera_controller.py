@@ -10,7 +10,7 @@ drives the framebuffer). Fixes the reference's deltaTime bug
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Tuple
 
 import numpy as np

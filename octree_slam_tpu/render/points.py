@@ -15,7 +15,6 @@ own depth equals the resolved depth.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import numpy as np
 import jax

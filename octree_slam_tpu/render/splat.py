@@ -23,7 +23,7 @@ cone tracer up to its alpha-blending of freshly observed voxels.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import numpy as np
 import jax

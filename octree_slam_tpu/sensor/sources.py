@@ -18,7 +18,7 @@ uint16 millimeters; zero = no return.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

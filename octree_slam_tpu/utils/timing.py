@@ -15,7 +15,7 @@ from collections import defaultdict
 from typing import Dict
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 
 
