@@ -103,6 +103,22 @@ def make_rays(world_T_cam: jnp.ndarray, fx, fy, width: int, height: int
     return world_T_cam[:3, 3], d_cam @ R.T
 
 
+def _ray_box(origin: jnp.ndarray, dirs: jnp.ndarray, inv_dirs: jnp.ndarray,
+             lo: jnp.ndarray, hi: jnp.ndarray):
+    """Slab-method ray/AABB interval per ray: (t_enter f32[N], t_exit f32[N]).
+    Axis-parallel rays outside the slab get an empty interval."""
+    o = origin[None, :]
+    ta = (lo[None, :] - o) * inv_dirs
+    tb = (hi[None, :] - o) * inv_dirs
+    par = jnp.abs(dirs) <= 1e-9
+    inside = (o >= lo[None, :]) & (o <= hi[None, :])
+    tmin = jnp.where(par, jnp.where(inside, -jnp.inf, jnp.inf),
+                     jnp.minimum(ta, tb))
+    tmax = jnp.where(par, jnp.where(inside, jnp.inf, -jnp.inf),
+                     jnp.maximum(ta, tb))
+    return jnp.max(tmin, axis=-1), jnp.min(tmax, axis=-1)
+
+
 def _quantize(pool: SVONodePool, targets: jnp.ndarray, max_depth: int):
     """Integer leaf-grid coordinates of world points, clipped to the volume
     (boundary clamping matches the reference's unbounded octant walk)."""
@@ -171,11 +187,19 @@ def cone_trace(pool: SVONodePool, world_T_cam: jnp.ndarray, fx, fy, *,
     n = dirs.shape[0]
     pix_scale = 1.0 / fy  # per-pixel angular footprint (replaces :171)
 
+    # clip rays to the octree volume (see cone_trace_dense)
+    inv_dirs = jnp.where(jnp.abs(dirs) > 1e-9, 1.0 / dirs, jnp.inf)
+    t0, t1 = _ray_box(origin, dirs, inv_dirs,
+                      pool.center - pool.half_size,
+                      pool.center + pool.half_size)
+    miss = (t0 > t1) | (t1 < 0.0) | (t0 > max_range)
+    start = jnp.maximum(start_dist, jnp.where(t0 > 0.0, t0 + 1e-4, 0.0))
+
     state = dict(
-        ray_len=jnp.full((n,), start_dist, jnp.float32),
+        ray_len=jnp.where(miss, jnp.float32(max_range), start),
         rgb=jnp.zeros((n, 3), jnp.float32),
-        w=jnp.zeros((n,), jnp.float32),
-        active=jnp.ones((n,), bool),
+        w=jnp.where(miss, 255.0, 0.0),
+        active=~miss,
         it=jnp.int32(0),
     )
 
@@ -267,11 +291,21 @@ def cone_trace_dense(cache, center: jnp.ndarray, half_size, world_T_cam,
     linf = jnp.max(jnp.abs(dirs), axis=-1)
     inv_dirs = jnp.where(jnp.abs(dirs) > 1e-9, 1.0 / dirs, jnp.inf)
 
+    # Ray/volume clipping: advance rays starting outside the octree to
+    # their entry face; rays that miss the volume entirely finish with
+    # zero alpha (a camera inside the map — the SLAM case — has
+    # t_enter <= 0 and this is a no-op). Without this, the position
+    # quantization clamps outside samples onto boundary cells.
+    t0, t1 = _ray_box(origin, dirs, inv_dirs, center - half_size,
+                      center + half_size)
+    miss = (t0 > t1) | (t1 < 0.0) | (t0 > max_range)
+    start = jnp.maximum(start_dist, jnp.where(t0 > 0.0, t0 + 1e-4, 0.0))
+
     state = dict(
-        ray_len=jnp.full((n,), start_dist, jnp.float32),
+        ray_len=jnp.where(miss, jnp.float32(max_range), start),
         rgb=jnp.zeros((n, 3), jnp.float32),
-        w=jnp.zeros((n,), jnp.float32),
-        active=jnp.ones((n,), bool),
+        w=jnp.where(miss, 255.0, 0.0),
+        active=~miss,
         it=jnp.int32(0),
     )
 
