@@ -94,7 +94,7 @@ def main():
     # --- splat render ---
     from octree_slam_tpu.render.splat import append_new_leaves, \
         create_leaf_list
-    leaves = create_leaf_list(cfg.leaf_capacity)
+    leaves = create_leaf_list(cfg.leaf_capacity, cfg.node_capacity)
     _, st = svo.insert(pool, pyrs[0][0].vertex.reshape(-1, 3)
                        @ poses[0][:3, :3].T + poses[0][:3, 3],
                        frames[0].color.reshape(-1, 3).astype(jnp.float32) / 255.0,

@@ -69,17 +69,44 @@ class SVONodePool(NamedTuple):
         return self.child.shape[0]
 
 
-def create(capacity: int, center, half_size) -> SVONodePool:
-    """Fresh pool with an empty root tile (initOctree, svo.cu:24-31).
+def prealloc_levels(capacity: int) -> int:
+    """Number of fully-preallocated shallow levels for a pool of this
+    capacity (see create)."""
+    for pre in (4, 3, 2, 1):
+        if 2 * _LEVEL_BASE[pre + 1] <= capacity:
+            return pre
+    return 1
 
-    Values are pre-initialized to the fresh-node word (rgb=0, alpha=127,
-    svo.cu:274); since tiles are allocated monotonically and never freed this
-    is equivalent to the reference's init-at-split and saves a scatter.
+
+# node index of (level l, morton cell m) in the dense-preallocated region:
+# _LEVEL_BASE[l] + m — the same (8^l - 8)/7 layout as the value mips.
+_LEVEL_BASE = [0] + [((1 << (3 * l)) - 8) // 7 for l in range(1, 12)]
+
+
+def create(capacity: int, center, half_size) -> SVONodePool:
+    """Fresh pool with the shallow levels fully preallocated.
+
+    The reference starts from an empty root tile (initOctree, svo.cu:24-31)
+    and splits lazily. Here the top `prealloc_levels` levels are dense with
+    a fixed breadth-first layout (node of cell m at level l sits at
+    (8^l - 8)/7 + m, child tile = base(l+1) + 8m): any shallow node's index
+    is pure bit math, so insert's existing-tree descent starts below them
+    (fewer dependent gathers — the one irreducible pointer chase) and no
+    insert ever allocates there. Costs 4680 of `capacity` slots at the
+    default 4 levels. Values are pre-initialized to the fresh-node word
+    (rgb=0, alpha=127, svo.cu:274), equivalent to init-at-split.
     """
+    pre = prealloc_levels(capacity)
+    import numpy as np
+    child_np = np.zeros((capacity,), np.int32)
+    for l in range(1, pre):
+        base, nxt = _LEVEL_BASE[l], _LEVEL_BASE[l + 1]
+        m = np.arange(nxt - base, dtype=np.int32)
+        child_np[base + m] = nxt + 8 * m
     return SVONodePool(
-        child=jnp.zeros((capacity,), jnp.int32),
+        child=jnp.asarray(child_np),
         value=jnp.full((capacity,), packing.EMPTY_VALUE, jnp.uint32),
-        n_nodes=jnp.int32(8),
+        n_nodes=jnp.int32(_LEVEL_BASE[pre + 1]),
         center=jnp.asarray(center, jnp.float32),
         half_size=jnp.asarray(half_size, jnp.float32),
         overflowed=jnp.bool_(False),
@@ -96,6 +123,9 @@ class InsertStats(NamedTuple):
     new_leaf_keys: jnp.ndarray    # i32[U] morton keys of first-seen leaves, -1 pad
     new_leaf_nodes: jnp.ndarray   # i32[U] node indices of those leaves
     new_leaf_count: jnp.ndarray   # i32[]
+    touched_leaf_nodes: jnp.ndarray  # i32[U] node idx of every leaf this
+                                     #        insert blended (-1 pad)
+    touched_leaf_vals: jnp.ndarray   # u32[U] their post-blend values
     # Dense-mip mirror updates (map/mips.py): every touched (cell, value) at
     # every level, ready for one scatter into RenderCache.values. Shape (1,)
     # dummies when emit_mips=False.
@@ -183,15 +213,22 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     n_nodes = pool.n_nodes
 
     # --- Phase 1: descend the EXISTING tree once per unique (the only
-    # irreducible pointer chase: depth-1 dependent gathers). Unlike the
-    # per-level allocate-then-step loop this touches no interleaved
-    # scatters, so phase 2 can batch all levels into single kernels
-    # (v5e: ~0.5 ms fixed cost per unfused kernel dominates insert). ---
-    cur = jnp.where(ulive, morton.octant_at(ukeys, depth, 1), 0)
-    exist_level = jnp.where(ulive, 1, 0)   # deepest pre-existing node level
-    path_old = [cur]                       # node index at level l (stale
-    exists = ulive                         # below exist_level)
-    for level in range(1, depth):
+    # irreducible pointer chase: dependent gathers). The shallow levels are
+    # dense-preallocated with a fixed layout (create), so their node
+    # indices are pure bit math and the gather chain starts below them.
+    # Unlike the per-level allocate-then-step loop this touches no
+    # interleaved scatters, so phase 2 can batch all levels into single
+    # kernels (v5e: ~0.5 ms fixed cost per unfused kernel). ---
+    pre = min(prealloc_levels(cap), depth)
+    path_old = [
+        jnp.where(ulive, jnp.int32(_LEVEL_BASE[l])
+                  + morton.level_prefix(ukeys, depth, l), 0)
+        for l in range(1, pre + 1)
+    ]
+    cur = path_old[-1]
+    exist_level = jnp.where(ulive, pre, 0)
+    exists = ulive
+    for level in range(pre, depth):
         tile = child[cur]
         has = exists & (tile > 0)
         cur = jnp.where(has, tile + morton.octant_at(ukeys, depth, level + 1),
@@ -363,6 +400,8 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
         new_leaf_keys=new_leaf_keys,
         new_leaf_nodes=new_leaf_nodes,
         new_leaf_count=jnp.minimum(nl_count, U),
+        touched_leaf_nodes=jnp.where(leaf_ok, cur, -1),
+        touched_leaf_vals=blended,
         mip_idx=mip_idx,
         mip_val=mip_val,
     )

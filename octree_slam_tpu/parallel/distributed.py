@@ -70,7 +70,7 @@ def sharded_step(cfg: SLAMConfig, mesh: Mesh, axis_name: str = "px"):
     )
 
 
-def splat_sharded(pool_value, leaf_keys, leaf_nodes, center, half_size,
+def splat_sharded(leaf_vals, leaf_keys, center, half_size,
                   world_T_cam, fx, fy, cfg: SLAMConfig, mesh: Mesh,
                   axis_name: str = "map"):
     """Map-sharded splat rendering: the persistent leaf registry is sharded
@@ -87,9 +87,9 @@ def splat_sharded(pool_value, leaf_keys, leaf_nodes, center, half_size,
     from jax import shard_map
     from octree_slam_tpu.render import splat as sp
 
-    def local(values_s, keys_s, nodes_s, c_s, h_s, T_s):
+    def local(vals_s, keys_s, c_s, h_s, T_s):
         live = keys_s >= 0
-        buf = sp.splat_zbuffer(values_s, keys_s, nodes_s, live, c_s, h_s,
+        buf = sp.splat_zbuffer(vals_s, keys_s, live, c_s, h_s,
                                T_s, fx, fy, width=cfg.width,
                                height=cfg.height, depth=cfg.max_depth,
                                max_range=cfg.max_range)
@@ -98,9 +98,9 @@ def splat_sharded(pool_value, leaf_keys, leaf_nodes, center, half_size,
 
     return shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(axis_name), P(axis_name), P(), P(), P()),
+        in_specs=(P(axis_name), P(axis_name), P(), P(), P()),
         out_specs=P(),
-    )(pool_value, leaf_keys, leaf_nodes, center, half_size, world_T_cam)
+    )(leaf_vals, leaf_keys, center, half_size, world_T_cam)
 
 
 def icp_psum(v1, n1, v2, n2, cfg: SLAMConfig, mesh: Mesh,

@@ -91,7 +91,7 @@ def init_state(cfg: SLAMConfig, map_center=(0.0, 0.0, 0.0),
             else jnp.array(initial_pose, jnp.float32, copy=True))
     return SLAMState(
         pool=pool,
-        leaves=create_leaf_list(cfg.leaf_capacity),
+        leaves=create_leaf_list(cfg.leaf_capacity, cfg.node_capacity),
         accel=(mips_mod.create(max_depth=cfg.max_depth,
                                dist_level=_accel_level(cfg),
                                max_skip=cfg.dist_max_skip)

@@ -36,37 +36,58 @@ EMPTY = np.int32(0x7FFFFFFF)
 
 
 class LeafList(NamedTuple):
-    """Persistent append-only registry of written leaf voxels."""
+    """Persistent append-only registry of written leaf voxels.
+
+    `vals` mirrors every registered leaf's current packed value and
+    `node2pos` maps node index -> registry position, so the per-frame splat
+    render reads values sequentially instead of a 262k-lane random gather
+    from the node pool (~3.7 ms on v5e); insert's touched-leaf values keep
+    the mirror fresh through append_new_leaves."""
 
     keys: jnp.ndarray    # i32[LC] morton keys at map depth
     nodes: jnp.ndarray   # i32[LC] node-pool indices
+    vals: jnp.ndarray    # u32[LC] current packed leaf values
+    node2pos: jnp.ndarray  # i32[node_capacity] node -> registry position
     count: jnp.ndarray   # i32[]
     overflowed: jnp.ndarray  # bool[]
 
 
-def create_leaf_list(capacity: int) -> LeafList:
+def create_leaf_list(capacity: int, node_capacity: int) -> LeafList:
     return LeafList(
         keys=jnp.full((capacity,), -1, jnp.int32),
         nodes=jnp.zeros((capacity,), jnp.int32),
+        vals=jnp.zeros((capacity,), jnp.uint32),
+        node2pos=jnp.full((node_capacity,), -1, jnp.int32),
         count=jnp.int32(0),
         overflowed=jnp.bool_(False),
     )
 
 
 def append_new_leaves(leaves: LeafList, stats: InsertStats) -> LeafList:
-    """Append this insert's first-seen leaves at the cursor."""
+    """Append this insert's first-seen leaves at the cursor and refresh the
+    value mirror for every leaf this insert touched."""
     lc = leaves.keys.shape[0]
+    nc = leaves.node2pos.shape[0]
     u = stats.new_leaf_keys.shape[0]
     pos = leaves.count + jnp.arange(u, dtype=jnp.int32)
     ok = (jnp.arange(u) < stats.new_leaf_count) & (pos < lc)
     idx = jnp.where(ok, pos, lc)
     keys = leaves.keys.at[idx].set(stats.new_leaf_keys, mode="drop")
     nodes = leaves.nodes.at[idx].set(stats.new_leaf_nodes, mode="drop")
+    node2pos = leaves.node2pos.at[
+        jnp.where(ok, stats.new_leaf_nodes, nc)].set(pos, mode="drop")
+
+    tn = stats.touched_leaf_nodes
+    tpos = node2pos[jnp.clip(tn, 0, nc - 1)]
+    t_ok = (tn >= 0) & (tn < nc) & (tpos >= 0)
+    vals = leaves.vals.at[jnp.where(t_ok, tpos, lc)].set(
+        stats.touched_leaf_vals, mode="drop")
+
     new_count = jnp.minimum(leaves.count + stats.new_leaf_count, lc)
     overflowed = leaves.overflowed | (
         leaves.count + stats.new_leaf_count > lc)
-    return LeafList(keys=keys, nodes=nodes, count=new_count,
-                    overflowed=overflowed)
+    return LeafList(keys=keys, nodes=nodes, vals=vals, node2pos=node2pos,
+                    count=new_count, overflowed=overflowed)
 
 
 def _pack_rgb565(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -80,8 +101,8 @@ def _unpack_rgb565(v: jnp.ndarray):
     return r, g, b
 
 
-def splat_zbuffer(pool_value: jnp.ndarray, keys: jnp.ndarray,
-                  nodes: jnp.ndarray, live: jnp.ndarray,
+def splat_zbuffer(vals: jnp.ndarray, keys: jnp.ndarray,
+                  live: jnp.ndarray,
                   center: jnp.ndarray, half_size, world_T_cam: jnp.ndarray,
                   fx, fy, *, width: int, height: int, depth: int,
                   max_range: float = 10.0) -> jnp.ndarray:
@@ -93,7 +114,6 @@ def splat_zbuffer(pool_value: jnp.ndarray, keys: jnp.ndarray,
     keys = jnp.where(live, keys, 0)
     centers = morton.decode_centers(keys, center, half_size, depth)
 
-    vals = pool_value[jnp.where(live, nodes, 0)]
     alpha = ((vals >> 24) & 0xFF).astype(jnp.int32)
     occupied = live & (alpha > 127)
     r = (vals & 0xFF).astype(jnp.int32)
@@ -154,7 +174,7 @@ def render_splat(pool: SVONodePool, leaves: LeafList,
     """
     lc = leaves.keys.shape[0]
     live = (jnp.arange(lc) < leaves.count) & (leaves.keys >= 0)
-    buf = splat_zbuffer(pool.value, leaves.keys, leaves.nodes, live,
+    buf = splat_zbuffer(leaves.vals, leaves.keys, live,
                         pool.center, pool.half_size, world_T_cam, fx, fy,
                         width=width, height=height, depth=depth,
                         max_range=max_range)

@@ -69,9 +69,10 @@ class TestShardedSplat:
         half = jnp.float32(0.64)
         pose = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(-1.0)
 
+        vals = jnp.asarray(values)[jnp.asarray(nodes)]
         live = jnp.asarray(keys >= 0)
         buf = sp.splat_zbuffer(
-            jnp.asarray(values), jnp.asarray(keys), jnp.asarray(nodes), live,
+            vals, jnp.asarray(keys), live,
             center, half, pose, cfg.focal_x, cfg.focal_y,
             width=cfg.width, height=cfg.height, depth=depth,
             max_range=cfg.max_range)
@@ -79,7 +80,7 @@ class TestShardedSplat:
 
         mesh = distributed.make_mesh(8, axis_name="map")
         fb_sharded = distributed.splat_sharded(
-            jnp.asarray(values), jnp.asarray(keys), jnp.asarray(nodes),
+            vals, jnp.asarray(keys),
             center, half, pose, cfg.focal_x, cfg.focal_y, cfg, mesh)
         np.testing.assert_array_equal(np.asarray(fb_single),
                                       np.asarray(fb_sharded))

@@ -54,9 +54,12 @@ class TestInsert:
         cols = jnp.array([[1.0, 0.5, 0.25]], jnp.float32)
         pool, stats = svo.insert(pool, pts, cols, depth=4)
         assert int(stats.n_valid) == 1
-        # one tile per interior level below the root tile
-        assert int(stats.new_nodes) == 8 * 3
-        assert int(pool.n_nodes) == 8 + 24
+        # shallow levels are dense-preallocated (svo.create); this insert
+        # only allocates the tiles below them along the single path
+        pre = svo.prealloc_levels(1 << 12)
+        expected_new = 8 * (4 - pre)
+        assert int(stats.new_nodes) == expected_new
+        assert int(pool.n_nodes) == svo._LEVEL_BASE[pre + 1] + expected_new
         val, reached = svo.query_points(pool, pts, depth=4)
         r, g, b, a = packing.unpack_rgba8(val)
         assert int(reached[0]) == 4
