@@ -249,8 +249,13 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     h = jax.lax.population_count(sm.astype(jnp.uint32)).astype(jnp.int32) - 1
     div_level = depth - h // 3             # first level where prefix differs
 
-    levels = jnp.arange(1, depth, dtype=jnp.int32)[:, None]     # [L-1, 1]
-    first_all = ulive[None, :] & (div_level[None, :] <= levels)  # [L-1, U]
+    # rows cover only the non-preallocated levels mat_lo..depth-1 (tiles
+    # can never hang off levels < pre, so those rows would be all-False
+    # work; when depth <= pre the single remaining row degenerates to
+    # no-allocation correctly)
+    mat_lo = min(pre, depth - 1)
+    levels = jnp.arange(mat_lo, depth, dtype=jnp.int32)[:, None]  # [L', 1]
+    first_all = ulive[None, :] & (div_level[None, :] <= levels)  # [L', U]
     # a new tile hangs off the level-l node iff the path stops at or above l
     need = first_all & (exist_level[None, :] <= levels)
 
@@ -277,11 +282,11 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     # node index at every level for every unique, old or new:
     # level l+1 node = (existing path) or (parent segment's new tile + octant)
     octants = jnp.stack(
-        [morton.octant_at(ukeys, depth, l + 1) for l in range(1, depth)])
-    path_old_m = jnp.stack(path_old[1:])                    # [L-1, U] level l+1
+        [morton.octant_at(ukeys, depth, l + 1) for l in range(mat_lo, depth)])
+    path_old_m = jnp.stack(path_old[mat_lo:])               # [L', U] level l+1
     new_node = jnp.maximum(seg_tile, 0) + octants
     node_at = jnp.where(exist_level[None, :] >= levels + 1,
-                        path_old_m, new_node)               # [L-1, U]
+                        path_old_m, new_node)               # [L', U]
     # reached: the whole path down to level l+1 exists pre-insert or its
     # tile was allocated (capacity may truncate) — monotone AND along levels
     ok_lvl = (exist_level[None, :] >= levels + 1) | (seg_tile >= 0)
@@ -292,20 +297,20 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     # parent node = level-l node (row l-1 of the path matrix; level-1 nodes
     # are the root tile itself)
     parent_idx = jnp.concatenate(
-        [jnp.where(ulive, morton.octant_at(ukeys, depth, 1), 0)[None, :],
-         node_at[:-1]])
+        [path_old[mat_lo - 1][None, :], node_at[:-1]])
     # capacity truncation can break the chain mid-path: only write tiles
-    # whose parent node itself was reached (otherwise seg_base would carry
-    # a stale neighbor segment's tile into the scatter)
-    parent_ok = jnp.concatenate(
-        [ulive[None, :], reached_m[:-1]]) if depth > 1 else ulive[None, :]
+    # whose parent node itself was reached (otherwise seg_tile would carry
+    # a stale neighbor segment's tile into the scatter); the level-pre
+    # parents always exist (preallocated)
+    parent_ok = jnp.concatenate([ulive[None, :], reached_m[:-1]])
     scatter_idx = jnp.where(alloc & parent_ok, parent_idx, cap).reshape(-1)
     child = child.at[scatter_idx].set(tile_base.reshape(-1), mode="drop")
     n_nodes = n_nodes + 8 * n_new
 
-    paths = [path_old[0]] + [node_at[i] for i in range(depth - 1)]
-    reached_per_level = [ulive] + [reached_m[i] for i in range(depth - 1)]
-    cur = node_at[-1] if depth > 1 else path_old[0]
+    paths = path_old[:mat_lo] + [node_at[i] for i in range(depth - mat_lo)]
+    reached_per_level = [ulive] * mat_lo \
+        + [reached_m[i] for i in range(depth - mat_lo)]
+    cur = node_at[-1]
     reached = reached_per_level[-1]
 
     # --- Leaf blend (uniques are already deduplicated). ---

@@ -199,3 +199,21 @@ class TestExtract:
         assert k1 == k2
         a2 = np.asarray(out2.colors)[: int(out2.count), 3]
         assert np.all(a2 >= a1.min())
+
+
+class TestFullyPreallocated:
+    def test_depth_not_above_prealloc_levels(self):
+        """depth <= preallocated levels: insert never allocates, still
+        blends and queries correctly (degenerate single-row alloc matrix)."""
+        import numpy as np
+        cap = 1 << 15  # prealloc_levels -> 4
+        assert svo.prealloc_levels(cap) == 4
+        pool = svo.create(cap, jnp.zeros(3), 1.0)
+        pts, cols = random_points(100, seed=9)
+        pool, stats = svo.insert(pool, jnp.asarray(pts), jnp.asarray(cols),
+                                 depth=4)
+        assert int(stats.new_nodes) == 0
+        vals, reached = svo.query_points(pool, jnp.asarray(pts), depth=4)
+        assert np.all(np.asarray(reached) == 4)
+        _, _, _, a = packing.unpack_rgba8(vals)
+        assert np.all(np.asarray(a) >= 129)
