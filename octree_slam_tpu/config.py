@@ -61,6 +61,8 @@ class SLAMConfig:
                                         # (613MB HBM at max_depth 9; see
                                         # map/mips.py) — the fast cone path
     dist_max_skip: int = 15             # empty-space skip radius (cells)
+    cone_scale: int = 1                 # cone-trace at (W/s, H/s), upsample
+                                        # s x (exact at 1; 2 = ~4x faster)
     fov: float = 45.0                   # degrees (vertical), for pix footprint
 
     # --- Mesh voxelization (voxelization.cu:24-25: GRID_RES=8 -> 256^3) ---

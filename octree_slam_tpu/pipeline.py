@@ -155,13 +155,20 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     # --- Render the map from the tracked pose. ---
     if render == "cone":
         if cfg.use_dense_mips:
+            s = max(1, cfg.cone_scale)
+            assert cfg.width % s == 0 and cfg.height % s == 0, \
+                "cone_scale must divide the frame size"
             fb = raycast.cone_trace_dense(
                 accel, pool.center, pool.half_size, pose,
-                cfg.focal_x, cfg.focal_y,
-                width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,
+                cfg.focal_x / s, cfg.focal_y / s,
+                width=cfg.width // s, height=cfg.height // s,
+                max_depth=cfg.max_depth,
                 dist_level=lvl, max_iters=cfg.max_march_iters,
                 max_range=cfg.max_range, start_dist=cfg.start_dist,
                 max_skip=cfg.dist_max_skip)
+            if s > 1:  # nearest upsample back to the display resolution
+                fb = jnp.repeat(jnp.repeat(fb, s, axis=0), s, axis=1)
+                fb = fb[:cfg.height, :cfg.width]
         else:
             fb = raycast.cone_trace(
                 pool, pose, cfg.focal_x, cfg.focal_y,

@@ -178,3 +178,29 @@ class TestDenseConeTrace:
         assert fb.shape == (24, 32, 4)
         assert np.isfinite(fb).all()
         assert fb[..., 3].max() > 0  # the wall renders
+
+
+def test_cone_scale_halves_resolution():
+    """cone_scale renders at reduced resolution and upsamples back."""
+    import jax
+    from octree_slam_tpu import pipeline
+    from octree_slam_tpu.config import SLAMConfig
+    from octree_slam_tpu.core.types import Frame
+
+    cfg = SLAMConfig(width=32, height=24, focal_x=30.0, focal_y=30.0,
+                     max_depth=6, voxel_resolution=0.02,
+                     node_capacity=1 << 14, insert_unique_cap=1 << 12,
+                     leaf_capacity=1 << 12, max_march_iters=24,
+                     pyramid_depth=2, pyramid_iters=(2, 2),
+                     accel_level=4, cone_scale=2)
+    state = pipeline.init_state(cfg)
+    frame = Frame(depth=jnp.full((24, 32), 800, jnp.uint16),
+                  color=jnp.full((24, 32, 3), 90, jnp.uint8),
+                  timestamp=jnp.float32(0.0))
+    step = jax.jit(lambda s, f: pipeline.step(s, f, cfg, render="cone"))
+    state, out = step(state, frame)
+    fb = np.asarray(out.framebuffer)
+    assert fb.shape == (24, 32, 4)
+    assert np.isfinite(fb).all()
+    # nearest upsample: 2x2 blocks identical
+    assert np.array_equal(fb[0::2, 0::2], fb[1::2, 1::2])
