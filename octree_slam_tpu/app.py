@@ -41,12 +41,17 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
              cfg: SLAMConfig, initial_pose=None, gt_fn=None,
              render_every: int = 1, render_mode: str = "splat",
              save_dir: str | None = None,
-             log_every: int = 0) -> RunResult:
+             log_every: int = 0,
+             initial_state: "pipeline.SLAMState | None" = None,
+             state_out: list | None = None) -> RunResult:
     """Drive the SLAM pipeline over a frame stream.
 
     frame_fn(i) -> Frame; gt_fn(i) -> optional ground-truth world_T_cam.
+    initial_state resumes a checkpoint (load_state); if state_out is a
+    list, the final SLAMState is appended for checkpointing.
     """
-    state = pipeline.init_state(cfg, initial_pose=initial_pose)
+    state = (initial_state if initial_state is not None
+             else pipeline.init_state(cfg, initial_pose=initial_pose))
     # Donating hot-loop step: the previous state's buffers are recycled
     # in place (map updates without a 12MB pool copy per frame). Safe here
     # because this loop is the only holder of `state`.
@@ -96,6 +101,8 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
     if result.gt_poses and len(result.gt_poses) == len(result.poses):
         result.ate_rmse = metrics.ate_rmse(
             np.stack(result.poses), np.stack(result.gt_poses))
+    if state_out is not None:
+        state_out.append(state)
     return result
 
 
@@ -133,12 +140,20 @@ def main(argv=None):
                    help="static SVO node-pool size (power of two; "
                         "default from SLAMConfig)")
     p.add_argument("--save-dir", type=str, default=None)
+    p.add_argument("--save-state", type=str, default=None,
+                   help="write the full SLAM state (map + pose) to this "
+                        ".npz when the run ends")
+    p.add_argument("--load-state", type=str, default=None,
+                   help="resume from a state .npz written by --save-state "
+                        "(config must match)")
     p.add_argument("--log-every", type=int, default=10)
     args = p.parse_args(argv)
 
     from octree_slam_tpu.utils import runtime
     runtime.setup()
 
+    resume = None
+    state_sink: list = []
     cap = ({"node_capacity": args.node_capacity,
             "leaf_capacity": args.node_capacity // 4,
             "extract_capacity": args.node_capacity // 8}
@@ -156,10 +171,13 @@ def main(argv=None):
             return sources.render_frame(scene, gt[i], cfg.focal_x, cfg.focal_y,
                                         width=cfg.width, height=cfg.height)
 
+        if args.load_state:
+            resume = load_state(args.load_state, cfg)
         res = run_slam(frame_fn, args.frames, cfg, initial_pose=gt[0],
                        gt_fn=lambda i: gt[i], render_every=args.render_every,
                        render_mode=args.render,
-                       save_dir=args.save_dir, log_every=args.log_every)
+                       save_dir=args.save_dir, log_every=args.log_every,
+                       initial_state=resume, state_out=state_sink)
     else:
         if not args.tum_root:
             p.error("--source tum requires --tum-root <dataset dir>")
@@ -171,11 +189,17 @@ def main(argv=None):
                          voxel_resolution=args.resolution, **cap)
         init = ds.gt_pose(0)
         frames = ds.prefetched()
+        if args.load_state:
+            resume = load_state(args.load_state, cfg)
         res = run_slam(lambda i: next(frames), len(ds), cfg,
                        initial_pose=init,
                        gt_fn=ds.gt_pose, render_every=args.render_every,
                        render_mode=args.render,
-                       save_dir=args.save_dir, log_every=args.log_every)
+                       save_dir=args.save_dir, log_every=args.log_every,
+                       initial_state=resume, state_out=state_sink)
+
+    if args.save_state and state_sink:
+        save_state(args.save_state, state_sink[0])
 
     print(json.dumps({
         "fps": round(res.fps, 3),
