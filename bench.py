@@ -92,7 +92,7 @@ def main():
         node_capacity=1 << 20,
         # the 14-frame orbit map tops out ~77k leaves; the splat gather and
         # packed scatter-min scale with this capacity (overflow is flagged)
-        leaf_capacity=1 << 18,
+        leaf_capacity=1 << 17,
     )
     scene = sources.default_scene()
 
@@ -127,6 +127,7 @@ def main():
         "ate_rmse_m": round(ate, 5),
         "sync_floor_ms": round(sync_floor * 1e3, 2),
         "diverged": bool(out.diverged),
+        "map_overflowed": bool(out.map_overflowed),
         "map_nodes": int(out.map_nodes),
         "map_leaves": int(out.map_leaves),
         "device": str(jax.devices()[0]),

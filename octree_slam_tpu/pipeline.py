@@ -60,6 +60,7 @@ class StepOutput(NamedTuple):
     track_residual: jnp.ndarray
     map_nodes: jnp.ndarray     # i32[] total allocated nodes
     map_leaves: jnp.ndarray    # i32[] leaf voxels registered
+    map_overflowed: jnp.ndarray  # bool[] any static capacity exceeded
     diverged: jnp.ndarray
 
 
@@ -200,6 +201,7 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
         track_residual=tstats.residual,
         map_nodes=pool.n_nodes,
         map_leaves=leaves.count,
+        map_overflowed=pool.overflowed | leaves.overflowed,
         diverged=diverged,
     )
     return new_state, out
