@@ -100,15 +100,19 @@ def deinterleave3(m: jnp.ndarray, bits: int):
     return x, y, z
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("max_depth", "dist_level", "max_skip"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "dist_level", "max_skip", "with_dist"))
 def update(cache: RenderCache, mip_idx: jnp.ndarray, mip_val: jnp.ndarray,
            *, max_depth: int, dist_level: int,
-           max_skip: int = 15) -> RenderCache:
+           max_skip: int = 15, with_dist: bool = True) -> RenderCache:
     """Per-frame cache refresh from an insert's (flat_idx, value) pairs:
     one value scatter, one occupancy scatter (xyz-ordered, avoiding the
-    morton->xyz permutation gather every frame), and the log-round
-    distance transform over the updated occupancy."""
+    morton->xyz permutation gather every frame), and — when with_dist —
+    the log-round distance transform over the updated occupancy. Only the
+    cone tracer reads `dist`, so non-cone frames pass with_dist=False and
+    skip its reduce_window kernels (dist is then stale; every cone frame
+    refreshes it itself)."""
     g = 1 << dist_level
     values = apply_updates(cache.values, mip_idx, mip_val)
 
@@ -120,7 +124,8 @@ def update(cache: RenderCache, mip_idx: jnp.ndarray, mip_val: jnp.ndarray,
     occ = cache.occ.at[jnp.where(in_level, xyz, g * g * g)].set(
         packing.is_occupied(mip_val), mode="drop")
 
-    dist = _dist_from_occ(occ.reshape(g, g, g), max_skip).reshape(-1)
+    dist = (_dist_from_occ(occ.reshape(g, g, g), max_skip).reshape(-1)
+            if with_dist else cache.dist)
     return RenderCache(values=values, occ=occ, dist=dist)
 
 

@@ -93,6 +93,13 @@ class Octree:
         extracted = svo.extract_voxels(self.pool, depth=self.max_depth,
                                        capacity=self.extract_capacity)
         count = int(extracted.count)
+        if count >= self.extract_capacity:
+            import warnings
+            warnings.warn(
+                "Octree.expand_by_size: map has >= extract_capacity "
+                f"({self.extract_capacity}) occupied leaves; re-rooting "
+                "drops the excess — raise extract_capacity",
+                RuntimeWarning)
         self.max_depth = self._depth_for(new_size)
         self.pool = svo.create(self.capacity, self.pool.center,
                                jnp.float32(new_size))

@@ -173,12 +173,14 @@ def _unique_compact(skeys, svalid, scolors_u8, unique_cap: int):
     return ukeys, mean_rgb, ulive, u_count
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("depth", "unique_cap", "emit_mips"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "unique_cap", "emit_mips", "shallow_level"))
 def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
            valid: jnp.ndarray | None = None, *, depth: int,
            unique_cap: int = 1 << 16,
-           emit_mips: bool = False) -> Tuple[SVONodePool, InsertStats]:
+           emit_mips: bool = False,
+           shallow_level: int = 6) -> Tuple[SVONodePool, InsertStats]:
     """Fuse a colored point set into the octree at a static depth.
 
     points: f32[N,3] world coords; colors: f32[N,3] in [0,1];
@@ -271,7 +273,8 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     alloc = need & fits
     n_new = jnp.sum(alloc.astype(jnp.int32))
     total_new = n_new
-    shallow = jnp.sum((alloc & (levels <= 6)).astype(jnp.int32))
+    shallow = jnp.sum(
+        (alloc & (levels <= shallow_level)).astype(jnp.int32))
 
     # every row's view of its segment's new tile (-1 = segment has none):
     # the segment needed a tile iff this row's own path stops at or above l
@@ -339,7 +342,6 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
 
     # --- Bottom-up mipmap over unique parents, shrinking caps per level. ---
     # Deepest parents first so shallower averages see refreshed children.
-    lcap = U
     for level in range(depth - 1, 0, -1):
         prefix = morton.level_prefix(ukeys, depth, level)
         node = paths[level - 1]  # ancestor at `level` per unique-leaf row
@@ -347,8 +349,12 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
         # reached level+1 (no gather needed: known from allocation)
         mask = (compaction.first_occurrence(prefix, ulive)
                 & reached_per_level[level])
-        if level < depth - 1:
-            lcap = max(lcap // 4, 2048)
+        # distinct parents at `level` <= min(U uniques, 8^level cells):
+        # this bound is exact, so compaction can NEVER drop a touched
+        # parent (a fixed shrink schedule here silently left interior
+        # values and the distance-field occupancy stale for spread-out
+        # inserts)
+        lcap = min(U, 8 ** level)
         if lcap >= U:
             # compaction wouldn't shrink anything: work on masked rows
             cn = jnp.where(mask, node, cap)

@@ -131,19 +131,21 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     v = pyramid[0].vertex.reshape(-1, 3)
     world_pts = v @ pose[:3, :3].T + pose[:3, 3]
     colors = frame.color.reshape(-1, 3).astype(jnp.float32) / 255.0
+    lvl = _accel_level(cfg)
     pool, istats = svo.insert(state.pool, world_pts, colors,
                               depth=cfg.max_depth,
                               unique_cap=cfg.insert_unique_cap,
-                              emit_mips=cfg.use_dense_mips)
+                              emit_mips=cfg.use_dense_mips,
+                              shallow_level=lvl)
     leaves = append_new_leaves(state.leaves, istats)
 
-    lvl = _accel_level(cfg)
     if cfg.use_dense_mips:
         # Dense-mip render cache (map/mips.py): mirror this insert's touched
         # values and occupancy, refresh the empty-space distance field.
         accel = mips_mod.update(state.accel, istats.mip_idx, istats.mip_val,
                                 max_depth=cfg.max_depth, dist_level=lvl,
-                                max_skip=cfg.dist_max_skip)
+                                max_skip=cfg.dist_max_skip,
+                                with_dist=(render == "cone"))
     else:
         # Entry grid refresh: child pointers are write-once, so the cached
         # per-cell entry nodes only go stale when a tile appears at a

@@ -49,7 +49,9 @@ def update(state: FlyCameraState, inputs: CameraInputs,
     fwd = np.array([math.sin(yaw) * math.cos(pitch),
                     math.sin(pitch),
                     math.cos(yaw) * math.cos(pitch)])
-    right = np.array([math.cos(yaw), 0.0, -math.sin(yaw)])
+    # right = normalize(cross(forward, up)) — matching look_at's
+    # s = f x up convention (flat-pitch closed form)
+    right = np.array([-math.cos(yaw), 0.0, math.sin(yaw)])
     up = np.array([0.0, 1.0, 0.0])
     pos = np.asarray(state.position) + state.move_speed * dt * (
         inputs.forward * fwd + inputs.strafe * right + inputs.rise * up)

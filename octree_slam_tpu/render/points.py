@@ -92,7 +92,8 @@ def render_points(points: jnp.ndarray, colors: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("width", "height", "max_splat"))
 def render_voxels(centers: jnp.ndarray, colors: jnp.ndarray, scale,
                   live: jnp.ndarray, view: jnp.ndarray, mvp: jnp.ndarray, *,
-                  width: int, height: int, max_splat: int = 4) -> jnp.ndarray:
+                  width: int, height: int, max_splat: int = 4,
+                  proj_focal=None) -> jnp.ndarray:
     """Voxel-cube view as depth-tested square splats sized by the projected
     voxel footprint (the TPU stand-in for instanced cube rasterization,
     opengl_renderer.cpp:101-172; exact cubes come from the triangle
@@ -105,9 +106,10 @@ def render_voxels(centers: jnp.ndarray, colors: jnp.ndarray, scale,
     valid = valid & live
     cam = centers @ view[:3, :3].T + view[:3, 3]
     dist = jnp.maximum(-cam[..., 2], 1e-4)  # camera looks down -z in GL view
-    # projected half-size in pixels: scale/dist * (half screen / tan(fov/2));
-    # read the focal from the projection matrix (P[1,1] = 1/tan(fov/2)).
-    focal_px = mvp[1, 1]  # approximate; used only for splat extent
+    # projected half-size in pixels: scale/dist * (half screen / tan(fov/2)).
+    # P[1,1] = 1/tan(fov/2) must come from the PROJECTION matrix — mvp[1,1]
+    # folds in view rotation and collapses for pitched cameras.
+    focal_px = mvp[1, 1] if proj_focal is None else proj_focal
     r_px = jnp.clip(scale / dist * jnp.abs(focal_px) * (height / 2.0),
                     0.0, float(max_splat))
     xi = jnp.floor(xy[:, 0]).astype(jnp.int32)

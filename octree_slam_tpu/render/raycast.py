@@ -194,6 +194,7 @@ def cone_trace(pool: SVONodePool, world_T_cam: jnp.ndarray, fx, fy, *,
                       pool.center + pool.half_size)
     miss = (t0 > t1) | (t1 < 0.0) | (t0 > max_range)
     start = jnp.maximum(start_dist, jnp.where(t0 > 0.0, t0 + 1e-4, 0.0))
+    limit = jnp.minimum(jnp.float32(max_range), t1)
 
     state = dict(
         ray_len=jnp.where(miss, jnp.float32(max_range), start),
@@ -234,8 +235,8 @@ def cone_trace(pool: SVONodePool, world_T_cam: jnp.ndarray, fx, fy, *,
         step = oct_size / jnp.exp2(reached.astype(jnp.float32))
         ray_len = jnp.where(active, ray_len + step, ray_len)
 
-        # out of range: rescale color, finish (:131-139)
-        oor = active & ~saturated & (ray_len > max_range)
+        # out of range / out of volume: rescale color, finish (:131-139)
+        oor = active & ~saturated & (ray_len > limit)
         scale = 127.0 / jnp.maximum(w_out, 1.0)
         rgb = jnp.where(oor[:, None], rgb * scale[:, None], rgb)
         w_out = jnp.where(oor, 255.0, w_out)
@@ -300,6 +301,9 @@ def cone_trace_dense(cache, center: jnp.ndarray, half_size, world_T_cam,
                       center + half_size)
     miss = (t0 > t1) | (t1 < 0.0) | (t0 > max_range)
     start = jnp.maximum(start_dist, jnp.where(t0 > 0.0, t0 + 1e-4, 0.0))
+    # terminate where the ray leaves the volume, not only at max_range —
+    # past t1 the quantization would clamp samples onto boundary cells
+    limit = jnp.minimum(jnp.float32(max_range), t1)
 
     state = dict(
         ray_len=jnp.where(miss, jnp.float32(max_range), start),
@@ -350,7 +354,7 @@ def cone_trace_dense(cache, center: jnp.ndarray, half_size, world_T_cam,
         skip = (d - 1).astype(jnp.float32) * cell_l / jnp.maximum(linf, 1e-6)
         step = jnp.maximum(t_exit + skip + eps, 0.25 * leaf_cell)
         ray_len = jnp.where(free, ray_len + step, ray_len)
-        oor = s["active"] & (ray_len > max_range)
+        oor = s["active"] & (ray_len > limit)
         w = jnp.where(oor, 255.0, s["w"])
         return dict(ray_len=ray_len, rgb=s["rgb"], w=w,
                     active=s["active"] & ~oor, it=s["it"] + 1,
@@ -407,7 +411,7 @@ def cone_trace_dense(cache, center: jnp.ndarray, half_size, world_T_cam,
         step = jnp.maximum(t_exit + skip + eps, 0.25 * leaf_cell)
         ray_len = jnp.where(active, ray_len + step, ray_len)
 
-        oor = active & ~saturated & (ray_len > max_range)
+        oor = active & ~saturated & (ray_len > limit)
         scale = 127.0 / jnp.maximum(w_out, 1.0)
         rgb = jnp.where(oor[:, None], rgb * scale[:, None], rgb)
         w_out = jnp.where(oor, 255.0, w_out)

@@ -85,7 +85,8 @@ class Renderer:
         live = jnp.arange(grid.centers.shape[0]) < grid.count
         return points_mod.render_voxels(
             grid.centers, grid.colors, grid.scale, live, camera.view,
-            camera.mvp, width=self.width, height=self.height)
+            camera.mvp, width=self.width, height=self.height,
+            proj_focal=camera.projection[1, 1])
 
     def render_points(self, vertex_map: jnp.ndarray, color: jnp.ndarray,
                       camera: Camera) -> jnp.ndarray:

@@ -29,10 +29,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from octree_slam_tpu.core import packing
 from octree_slam_tpu.map import morton
 from octree_slam_tpu.map.svo import SVONodePool, InsertStats
+from octree_slam_tpu.render.points import DEPTH_INF
 
-EMPTY = np.int32(0x7FFFFFFF)
+EMPTY = DEPTH_INF  # no-hit sentinel: sorts after every packed depth word
 
 
 class LeafList(NamedTuple):
@@ -114,11 +116,8 @@ def splat_zbuffer(vals: jnp.ndarray, keys: jnp.ndarray,
     keys = jnp.where(live, keys, 0)
     centers = morton.decode_centers(keys, center, half_size, depth)
 
-    alpha = ((vals >> 24) & 0xFF).astype(jnp.int32)
-    occupied = live & (alpha > 127)
-    r = (vals & 0xFF).astype(jnp.int32)
-    g = ((vals >> 8) & 0xFF).astype(jnp.int32)
-    b = ((vals >> 16) & 0xFF).astype(jnp.int32)
+    r, g, b, _ = packing.unpack_rgba8(vals)
+    occupied = live & packing.is_occupied(vals)
 
     # world -> camera (camera looks down +z; pinhole matches the sensor
     # model, image_kernels.cu:49-51)
