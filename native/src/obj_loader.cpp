@@ -83,8 +83,16 @@ ObjData* oslam_obj_load(const char* path) {
         }
         corners.push_back(c);
       }
-      for (size_t k = 1; k + 1 < corners.size(); ++k)
-        tris.push_back({corners[0], corners[k], corners[k + 1]});
+      // Drop corners whose vertex index is out of range (malformed token or
+      // forward reference): keeping them would emit faces indexing past the
+      // vertex array and over-read pos[] in the normal fallback below.
+      const size_t nv_now = pos.size() / 3;
+      std::vector<Corner> ok;
+      ok.reserve(corners.size());
+      for (const Corner& c : corners)
+        if (c.v >= 0 && static_cast<size_t>(c.v) < nv_now) ok.push_back(c);
+      for (size_t k = 1; k + 1 < ok.size(); ++k)
+        tris.push_back({ok[0], ok[k], ok[k + 1]});
     }
     // mtllib/usemtl/o/g/s lines are ignored, as in objloader.cpp
   }

@@ -80,7 +80,7 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
             gt = gt_fn(i)
             if gt is not None:
                 result.gt_poses.append(np.asarray(gt))
-        if save_dir and render:
+        if save_dir and render != "none":
             from octree_slam_tpu.io.bmp import save_image
             save_image(f"{save_dir}/frame_{i:05d}.png",
                        np.asarray(out.framebuffer))
@@ -118,7 +118,23 @@ def load_state(path: str, cfg: SLAMConfig) -> pipeline.SLAMState:
     z = np.load(path)
     template = pipeline.init_state(cfg)
     flat, treedef = jax.tree_util.tree_flatten(template)
-    loaded = [jnp.asarray(z[f"a{i}"]) for i in range(int(z["n"]))]
+    if int(z["n"]) != len(flat):
+        raise ValueError(
+            f"checkpoint {path!r} has {int(z['n'])} arrays but the current "
+            f"config expects {len(flat)} — it was written under a different "
+            f"SLAMConfig (capacities / pyramid_depth / use_dense_mips)")
+    paths = jax.tree_util.tree_flatten_with_path(template)[0]
+    loaded = []
+    for i, ((kp, t), _) in enumerate(zip(paths, flat)):
+        a = z[f"a{i}"]
+        if tuple(a.shape) != tuple(t.shape) or a.dtype != t.dtype:
+            name = jax.tree_util.keystr(kp)
+            raise ValueError(
+                f"checkpoint {path!r} field {name}: stored "
+                f"{a.dtype}{list(a.shape)} vs expected "
+                f"{t.dtype}{list(t.shape)} — config mismatch (likely "
+                f"node/leaf capacity, image size, or use_dense_mips)")
+        loaded.append(jnp.asarray(a))
     return jax.tree_util.tree_unflatten(treedef, loaded)
 
 
@@ -154,6 +170,11 @@ def main(argv=None):
 
     resume = None
     state_sink: list = []
+    if args.node_capacity is not None:
+        if args.node_capacity % 8 != 0 or args.node_capacity < 4096:
+            p.error("--node-capacity must be a multiple of 8 and >= 4096 "
+                    "(the pool is tiled in 8-child blocks and must hold the "
+                    "dense-preallocated shallow levels)")
     cap = ({"node_capacity": args.node_capacity,
             "leaf_capacity": args.node_capacity // 4,
             "extract_capacity": args.node_capacity // 8}

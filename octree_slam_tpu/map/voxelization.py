@@ -72,8 +72,11 @@ def prepare_mesh(mesh: Mesh, bbox: BoundingBox, log_n: int,
         a, b, c, ua, ub, uc = tris.pop()
         tmin = np.minimum(np.minimum(a, b), c)
         tmax = np.maximum(np.maximum(a, b), c)
-        dims = np.floor(tmax / cell - lo / cell).astype(np.int64) - \
-            np.floor(tmin / cell - lo / cell).astype(np.int64) + 1
+        # must be the exact expression the kernel uses (floor((t-lo)/cell),
+        # see voxelize) — a different rounding path can under-estimate dims
+        # and let a triangle exceed tri_budget in-kernel (ADVICE r1)
+        dims = np.floor((tmax - lo) / cell).astype(np.int64) - \
+            np.floor((tmin - lo) / cell).astype(np.int64) + 1
         if int(np.prod(np.clip(dims, 1, n))) <= tri_budget:
             out.append((a, b, c, ua, ub, uc))
             continue
