@@ -12,8 +12,11 @@ host fetch (utils.timing.sync) and the measured per-frame sync round-trip
 floor (~30 ms of tunnel latency, not TPU work) is reported separately and
 subtracted: `value` is the device-side frame rate 1/(t_frame - t_sync).
 
-The headline value uses the real-time voxel-splat map render; the exact
-voxel-cone-traced render mode is measured alongside (`cone_trace_fps`).
+The headline value uses the real-time voxel-splat map render; the
+cone-traced render mode (slab-volume splatting, render/conesplat.py) is
+measured alongside (`cone_trace_fps`), with the exact per-ray march as the
+semantics control (`cone_march_fps`) and the PSNR between the two final
+images as the quality evidence (`cone_psnr_db`).
 """
 
 from __future__ import annotations
@@ -122,6 +125,13 @@ def main():
                                         sync_floor)
     fps_cone, tp_cone, ate_cone, out_cone = run(cfg, frames, gt_poses,
                                                 "cone", sync_floor)
+    fps_march, tp_march, ate_m, out_march = run(cfg, frames, gt_poses,
+                                                "cone_march", sync_floor)
+
+    import numpy as np
+    d = (np.asarray(out_cone.framebuffer)[..., :3]
+         - np.asarray(out_march.framebuffer)[..., :3])
+    cone_psnr = 10.0 * np.log10(1.0 / max(float((d ** 2).mean()), 1e-12))
 
     result = {
         "metric": "track_fuse_render_fps_640x480",
@@ -131,6 +141,8 @@ def main():
         "latency_fps": round(fps_splat, 3),
         "cone_trace_fps": round(tp_cone, 3),
         "cone_latency_fps": round(fps_cone, 3),
+        "cone_march_fps": round(tp_march, 3),
+        "cone_psnr_db": round(cone_psnr, 2),
         "ate_rmse_m": round(ate, 5),
         "sync_floor_ms": round(sync_floor * 1e3, 2),
         "diverged": bool(out.diverged),

@@ -148,10 +148,13 @@ def main(argv=None):
     p.add_argument("--max-depth", type=int, default=9)
     p.add_argument("--resolution", type=float, default=0.02)
     p.add_argument("--render-every", type=int, default=1)
-    p.add_argument("--render", choices=["splat", "cone", "none"],
+    p.add_argument("--render", choices=["splat", "cone", "cone_march",
+                                        "none"],
                    default="splat",
-                   help="map view: voxel splatting (real-time), exact "
-                        "voxel cone tracing, or none")
+                   help="map view: voxel splatting (real-time), cone "
+                        "compositing via slab splatting (real-time), the "
+                        "exact cone-tracing march (slow, reference "
+                        "semantics), or none")
     p.add_argument("--node-capacity", type=int, default=None,
                    help="static SVO node-pool size (power of two; "
                         "default from SLAMConfig)")

@@ -63,6 +63,11 @@ class SLAMConfig:
     dist_max_skip: int = 15             # empty-space skip radius (cells)
     cone_scale: int = 1                 # cone-trace at (W/s, H/s), upsample
                                         # s x (exact at 1; 2 = ~4x faster)
+    # --- slab cone splatter (render/conesplat.py) — the real-time cone
+    #     path; the exact marchers stay behind render="cone_march" ---
+    cone_slabs: int = 16                # geometric depth slabs
+    cone_znear: float = 0.25            # nearest slab boundary (meters)
+    cone_max_scale: int = 8             # coarsest slab raster decimation
     fov: float = 45.0                   # degrees (vertical), for pix footprint
 
     # --- Mesh voxelization (voxelization.cu:24-25: GRID_RES=8 -> 256^3) ---

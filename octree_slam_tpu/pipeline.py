@@ -10,9 +10,12 @@ donated, so the map updates in place across frames.
 
 Render modes (the reference's compile-time flags, main.h:28-32, as runtime
 choices):
-  "splat" — persistent-leaf-list voxel splatting (the real-time path);
-  "cone"  — exact voxel cone tracing (CONE_TRACING mode);
-  "none"  — tracking + fusion only.
+  "splat"      — persistent-leaf-list voxel splatting (the real-time path);
+  "cone"       — cone-traced compositing via slab-volume splatting
+                 (CONE_TRACING mode semantics, real-time on TPU);
+  "cone_march" — the exact per-ray cone-tracing march (render/raycast.py,
+                 bit-faithful to cone_tracing_kernels.cu; slow on TPU);
+  "none"       — tracking + fusion only.
 
 Map sizing: the reference grows the octree to the observed cloud bbox
 (Scene::addPointCloudToOctree, scene.cpp:94-107 + Octree::expandBySize,
@@ -142,10 +145,12 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     if cfg.use_dense_mips:
         # Dense-mip render cache (map/mips.py): mirror this insert's touched
         # values and occupancy, refresh the empty-space distance field.
+        # Only the exact marcher reads `dist`; the slab cone splatter and
+        # the splat view never touch it.
         accel = mips_mod.update(state.accel, istats.mip_idx, istats.mip_val,
                                 max_depth=cfg.max_depth, dist_level=lvl,
                                 max_skip=cfg.dist_max_skip,
-                                with_dist=(render == "cone"))
+                                with_dist=(render == "cone_march"))
     else:
         # Entry grid refresh: child pointers are write-once, so the cached
         # per-cell entry nodes only go stale when a tile appears at a
@@ -157,6 +162,19 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
 
     # --- Render the map from the tracked pose. ---
     if render == "cone":
+        # Real-time cone compositing: slab-volume splatting over the leaf
+        # registry (render/conesplat.py) — same accumulation semantics as
+        # the march, no per-ray loop.
+        from octree_slam_tpu.render import conesplat
+        spec = conesplat.make_slab_spec(
+            width=cfg.width, height=cfg.height, fx=cfg.focal_x,
+            leaf_size=cfg.voxel_resolution, z_near=cfg.cone_znear,
+            z_far=cfg.max_range, n_slabs=cfg.cone_slabs,
+            max_scale=cfg.cone_max_scale)
+        fb = conesplat.render_cone_splat(
+            leaves, pool.center, pool.half_size, pose,
+            cfg.focal_x, cfg.focal_y, spec=spec, depth=cfg.max_depth)
+    elif render == "cone_march":
         if cfg.use_dense_mips:
             s = max(1, cfg.cone_scale)
             assert cfg.width % s == 0 and cfg.height % s == 0, \

@@ -1,0 +1,240 @@
+"""Cone-traced map rendering as slab-volume splatting (gather-free).
+
+The reference's cone tracer is a per-ray march: sample the SVO at the cone's
+LOD, accumulate front-to-back with alpha = max(node_alpha - 127, 0),
+terminate on saturation (w >= 127) or max range, and rescale the color by
+127/w for rays that exit unsaturated (coneTrace,
+src/rendering/cone_tracing_kernels.cu:53-146 + the live-ray relaunch loop
+at :157-198). Marching is the wrong shape for a TPU: measured on v5e, every
+while-loop trip costs ~7 ms (two 307k-lane random gathers + a flat ~0.5 ms
+per unfused kernel) and the bench scene needs a p99 of ~87 trips
+(examples/profile_cone.py) — ~700 ms/frame.
+
+This module computes the same accumulation by scattering instead of
+marching: the per-ray work is re-grouped per *leaf voxel*, of which the
+pipeline already keeps a persistent registry (render/splat.py).
+
+  1. Project every occupied leaf once (one matmul + fused math).
+  2. Bin it into a geometric depth slab k (z in [z0 r^k, z0 r^(k+1))) and
+     scatter-MIN a packed (quantized_z << 16 | payload) word into that
+     slab's raster — the nearest leaf per slab cell wins, which is the
+     scatter-space analog of "the march samples each surface crossing
+     once". TWO 1-D scatter-min kernels total (color word + alpha word),
+     independent of scene size or ray count.
+  3. Each slab's raster is decimated by a power-of-two scale matched to the
+     projected leaf footprint at the slab's depth (fx * leaf / z pixels,
+     rounded UP so a contiguous surface puts >= 1 leaf center per cell):
+     the cone footprint rule (cone_tracing_kernels.cu:68-69) expressed as
+     raster resolution instead of sampling LOD.
+  4. Composite the K slabs front-to-back per pixel (a fused, unrolled
+     elementwise chain) with the march's exact per-sample rule: while
+     unsaturated, add the full (alpha/127) * rgb contribution (the
+     reference adds the final sample uncapped, :106-121), then apply the
+     127/w exit rescale to unsaturated pixels (:131-139).
+
+Divergences from the march (documented; the exact marchers remain in
+render/raycast.py and tests compare the two):
+  * two distinct surfaces falling in the SAME slab and cell contribute only
+    the nearer one (the march composites both); K slabs keep this rare;
+  * a leaf contributes to the pixel(s) its center projects into rather than
+    to every ray crossing its cell — silhouettes are blocky at the slab
+    cell scale, and thin surfaces cannot be "tunneled through" the way the
+    march's node-sized steps can skip them (the slab image is arguably the
+    more correct one; see tests/test_conesplat.py);
+  * the march's per-step interior-mip color at coarse LOD is approximated
+    by the nearest leaf's color at the matched raster scale.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from octree_slam_tpu.core import packing
+from octree_slam_tpu.map import morton
+from octree_slam_tpu.render.splat import LeafList, _pack_rgb565, \
+    _unpack_rgb565
+
+EMPTY = jnp.int32(0x7FFFFFFF)
+
+
+class SlabSpec(NamedTuple):
+    """Static geometry of the slab pyramid (hashable: jit-static)."""
+
+    z_near: float
+    z_far: float
+    n_slabs: int
+    scales: tuple          # int per slab: raster decimation (power of two)
+    offsets: tuple         # int per slab: start cell in the flat buffer
+    total_cells: int
+    width: int
+    height: int
+
+    @property
+    def ratio(self) -> float:
+        return (self.z_far / self.z_near) ** (1.0 / self.n_slabs)
+
+
+def make_slab_spec(*, width: int, height: int, fx: float, leaf_size: float,
+                   z_near: float = 0.25, z_far: float = 10.0,
+                   n_slabs: int = 16, max_scale: int = 8) -> SlabSpec:
+    """Choose per-slab raster scales so one grid cell >= one projected leaf.
+
+    scale_k = 2^ceil(log2(fx * leaf / z_mid)) clamped to [1, max_scale]:
+    the projected footprint of a leaf at the slab's mid depth, in pixels,
+    rounded UP to a power of two so a contiguous surface leaves no empty
+    cells (each cell then receives ~1-4 leaf centers; scatter-min keeps the
+    nearest, matching the march's one sample per crossing).
+    """
+    r = (z_far / z_near) ** (1.0 / n_slabs)
+    scales = []
+    offsets = []
+    total = 0
+    for k in range(n_slabs):
+        z_mid = z_near * (r ** (k + 0.5))
+        fp = fx * leaf_size / z_mid
+        s = 1 << max(0, math.ceil(math.log2(max(fp, 1.0))))
+        s = max(1, min(max_scale, s))
+        while width % s or height % s:
+            s //= 2
+        scales.append(s)
+        offsets.append(total)
+        total += (width // s) * (height // s)
+    return SlabSpec(z_near=z_near, z_far=z_far, n_slabs=n_slabs,
+                    scales=tuple(scales), offsets=tuple(offsets),
+                    total_cells=total, width=width, height=height)
+
+
+def _per_slab_select(k: jnp.ndarray, table: Sequence[int]) -> jnp.ndarray:
+    """table[k] as a fused where-chain (tiny static table, no gather)."""
+    out = jnp.full_like(k, table[0])
+    for i in range(1, len(table)):
+        out = jnp.where(k == i, jnp.int32(table[i]), out)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "depth"))
+def render_cone_splat(leaves: LeafList, center: jnp.ndarray, half_size,
+                      world_T_cam: jnp.ndarray, fx, fy, *,
+                      spec: SlabSpec, depth: int) -> jnp.ndarray:
+    """Cone-composite the occupied leaf set to f32[H, W, 4].
+
+    Output convention matches raycast.cone_trace: rgb in [0, 1] accumulated
+    front-to-back in (alpha/127)*rgb8 units then /255, alpha = 1 for
+    finished rays (every ray finishes: saturation or range exit).
+    """
+    W, H = spec.width, spec.height
+    K = spec.n_slabs
+    lc = leaves.keys.shape[0]
+
+    live = (jnp.arange(lc) < leaves.count) & (leaves.keys >= 0)
+    keys = jnp.where(live, leaves.keys, 0)
+    centers = morton.decode_centers(keys, center, half_size, depth)
+    r8, g8, b8, a8 = packing.unpack_rgba8(leaves.vals)
+    w_leaf = jnp.maximum(a8.astype(jnp.int32) - 127, 0)
+
+    R = world_T_cam[:3, :3]
+    t = world_T_cam[:3, 3]
+    cam = (centers - t) @ R
+    z = cam[:, 2]
+    ok = live & (w_leaf > 0) & (z > 1e-3) & (z < spec.z_far)
+    zc = jnp.clip(z, spec.z_near * 1.0001, spec.z_far * 0.9999)
+
+    zs = jnp.where(ok, z, 1.0)
+    px = jnp.floor(fx * cam[:, 0] / zs + W / 2.0).astype(jnp.int32)
+    py = jnp.floor(H / 2.0 - fy * cam[:, 1] / zs).astype(jnp.int32)
+    ok = ok & (px >= 0) & (px < W) & (py >= 0) & (py < H)
+
+    log_r = math.log(spec.ratio)
+    k = jnp.floor(jnp.log(zc / spec.z_near) / log_r).astype(jnp.int32)
+    k = jnp.clip(k, 0, K - 1)
+
+    s = _per_slab_select(k, spec.scales)
+    off = _per_slab_select(k, spec.offsets)
+    sw = _per_slab_select(k, [W // sc for sc in spec.scales])
+
+    cell = off + (py // s) * sw + (px // s)
+    idx = jnp.where(ok, cell, spec.total_cells)
+
+    # nearest-leaf-per-cell resolve, ordered by quantized depth; two packed
+    # words share the key so ties pick the same surface. The key is biased
+    # by the leaf's alpha deficit (4 units ~ 1.2 mm per step, 15.5 cm at
+    # the full 127 deficit): a freshly observed speck (alpha ~129, color
+    # still half-blended) must not shadow the mature surface just behind
+    # it in the same cell — the march composites both, a min can keep only
+    # one, so keep the confident one.
+    qz = jnp.clip(z * (32766.0 / spec.z_far), 0, 32766).astype(jnp.int32)
+    prio = jnp.minimum(qz + ((255 - a8.astype(jnp.int32)) << 2), 32766)
+    word_rgb = (prio << 16) | _pack_rgb565(r8.astype(jnp.int32),
+                                           g8.astype(jnp.int32),
+                                           b8.astype(jnp.int32))
+    word_a = (prio << 16) | a8.astype(jnp.int32)
+    buf_rgb = jnp.full((spec.total_cells,), EMPTY, jnp.int32).at[idx].min(
+        jnp.where(ok, word_rgb, EMPTY), mode="drop")
+    buf_a = jnp.full((spec.total_cells,), EMPTY, jnp.int32).at[idx].min(
+        jnp.where(ok, word_a, EMPTY), mode="drop")
+
+    # --- front-to-back composite over slabs (unrolled; fuses to one pass).
+    # Per-sample rule mirrors coneTrace exactly: while w_acc < 127, add the
+    # FULL (alpha/127)*rgb8 contribution (the reference's final sample is
+    # not clipped, cone_tracing_kernels.cu:106-121). ---
+    w_acc = jnp.zeros((H, W), jnp.float32)
+    rgb_acc = jnp.zeros((H, W, 3), jnp.float32)
+    for kk in range(K):
+        sc = spec.scales[kk]
+        o = spec.offsets[kk]
+        hh, ww = H // sc, W // sc
+        n = hh * ww
+
+        def up(flat):
+            img = jax.lax.dynamic_slice(flat, (o,), (n,)).reshape(hh, ww)
+            if sc > 1:
+                img = jnp.repeat(jnp.repeat(img, sc, axis=0), sc, axis=1)
+            return img
+
+        wrgb = up(buf_rgb)
+        wa = up(buf_a)
+        occ = wrgb != EMPTY
+        alpha = jnp.maximum((wa & 0xFF) - 127, 0).astype(jnp.float32)
+        rr, gg, bb = _unpack_rgb565(wrgb & 0xFFFF)
+        rgb_s = jnp.stack([rr, gg, bb], axis=-1).astype(jnp.float32)
+        gate = (occ & (w_acc < 127.0)).astype(jnp.float32) * alpha
+        rgb_acc = rgb_acc + gate[..., None] * rgb_s
+        w_acc = w_acc + gate
+
+    # --- image-space hole repair. A curved surface spreads adjacent leaves
+    # across slabs, so a slab cell on a sphere limb can stay empty and the
+    # ray "tunnels" (black speckles). Borrow accumulation from the
+    # strongest 3x3 neighbor when this pixel is far weaker — the same
+    # image-space dilation idea as splat.finish_zbuffer, in alpha space. ---
+    for _ in range(2):
+        pw = jnp.pad(w_acc, 1)
+        pr = jnp.pad(rgb_acc, ((1, 1), (1, 1), (0, 0)))
+        best_w = w_acc
+        best_rgb = rgb_acc
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nw = jax.lax.dynamic_slice(pw, (1 + dy, 1 + dx), (H, W))
+                nr = jax.lax.dynamic_slice(pr, (1 + dy, 1 + dx, 0),
+                                           (H, W, 3))
+                better = nw > best_w
+                best_w = jnp.where(better, nw, best_w)
+                best_rgb = jnp.where(better[..., None], nr, best_rgb)
+        hole = (best_w > 8.0) & (w_acc * 4.0 < best_w)
+        w_acc = jnp.where(hole, best_w, w_acc)
+        rgb_acc = jnp.where(hole[..., None], best_rgb, rgb_acc)
+
+    # exit rescale for unsaturated rays (cone_tracing_kernels.cu:131-139):
+    # rgb was accumulated in (alpha * rgb8) units; the march divides each
+    # contribution by 127 — fold that in here, then /255 for the [0,1] fb.
+    saturated = w_acc >= 127.0
+    scale = jnp.where(saturated, 1.0, 127.0 / jnp.maximum(w_acc, 1.0))
+    rgb = jnp.clip(rgb_acc * scale[..., None] / 127.0, 0.0, 255.0) / 255.0
+    alpha_out = jnp.ones((H, W, 1), jnp.float32)
+    return jnp.concatenate([rgb, alpha_out], axis=-1)

@@ -259,12 +259,12 @@ def cone_trace(pool: SVONodePool, world_T_cam: jnp.ndarray, fx, fy, *,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "max_depth", "dist_level",
-                     "max_iters", "max_skip"))
+                     "max_iters", "max_skip", "debug_iters"))
 def cone_trace_dense(cache, center: jnp.ndarray, half_size, world_T_cam,
                      fx, fy, *, width: int, height: int, max_depth: int,
                      dist_level: int = 6, max_iters: int = 48,
                      max_range: float = 10.0, start_dist: float = 0.002,
-                     max_skip: int = 7) -> jnp.ndarray:
+                     max_skip: int = 7, debug_iters: bool = False):
     """Cone trace the dense value-mip render cache (map/mips.py).
 
     Same accumulation semantics as cone_trace (coneTrace,
@@ -365,7 +365,11 @@ def cone_trace_dense(cache, center: jnp.ndarray, half_size, world_T_cam,
         lambda s: (s["it"] < max_iters) & s["moving"], skip_body, state_p1)
     state_p1.pop("moving")
     state = state_p1
+    p1_trips = state["it"]
     state["it"] = jnp.int32(0)
+    if debug_iters:
+        state["fin"] = jnp.where(state["active"], jnp.int32(max_iters),
+                                 jnp.int32(0))
 
     def body(s):
         ray_len = s["ray_len"]
@@ -416,13 +420,17 @@ def cone_trace_dense(cache, center: jnp.ndarray, half_size, world_T_cam,
         rgb = jnp.where(oor[:, None], rgb * scale[:, None], rgb)
         w_out = jnp.where(oor, 255.0, w_out)
 
-        return dict(
+        nxt = dict(
             ray_len=ray_len,
             rgb=rgb,
             w=w_out,
             active=active & ~saturated & ~oor,
             it=s["it"] + 1,
         )
+        if debug_iters:
+            nxt["fin"] = jnp.where(active & ~nxt["active"], nxt["it"],
+                                   s["fin"])
+        return nxt
 
     def cond(s):
         return (s["it"] < max_iters) & jnp.any(s["active"])
@@ -431,7 +439,11 @@ def cone_trace_dense(cache, center: jnp.ndarray, half_size, world_T_cam,
     rgb = jnp.clip(state["rgb"], 0.0, 255.0) / 255.0
     a = jnp.clip(state["w"], 0.0, 255.0) / 255.0
     fb = jnp.concatenate([rgb, a[:, None]], axis=-1)
-    return fb.reshape(height, width, 4)
+    fb = fb.reshape(height, width, 4)
+    if debug_iters:
+        return fb, dict(p1_trips=p1_trips, p2_trips=state["it"],
+                        fin=state["fin"].reshape(height, width))
+    return fb
 
 
 def to_u8(framebuffer: jnp.ndarray) -> jnp.ndarray:

@@ -197,7 +197,8 @@ def test_cone_scale_halves_resolution():
     frame = Frame(depth=jnp.full((24, 32), 800, jnp.uint16),
                   color=jnp.full((24, 32, 3), 90, jnp.uint8),
                   timestamp=jnp.float32(0.0))
-    step = jax.jit(lambda s, f: pipeline.step(s, f, cfg, render="cone"))
+    step = jax.jit(lambda s, f: pipeline.step(s, f, cfg,
+                                              render="cone_march"))
     state, out = step(state, frame)
     fb = np.asarray(out.framebuffer)
     assert fb.shape == (24, 32, 4)
