@@ -43,12 +43,16 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
              save_dir: str | None = None,
              log_every: int = 0,
              initial_state: "pipeline.SLAMState | None" = None,
-             state_out: list | None = None) -> RunResult:
+             state_out: list | None = None,
+             auto_grow: bool = True) -> RunResult:
     """Drive the SLAM pipeline over a frame stream.
 
     frame_fn(i) -> Frame; gt_fn(i) -> optional ground-truth world_T_cam.
     initial_state resumes a checkpoint (load_state); if state_out is a
-    list, the final SLAMState is appended for checkpointing.
+    list, the final SLAMState is appended for checkpointing. With
+    auto_grow, the node pool / leaf registry double when 3/4 full (the
+    reference's per-insert realloc, svo.cu:609-614, amortized; each
+    doubling recompiles the step since shapes change).
     """
     state = (initial_state if initial_state is not None
              else pipeline.init_state(cfg, initial_pose=initial_pose))
@@ -59,8 +63,9 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
 
     def step_donated(s, f, render):
         if render not in donating:
+            c = cfg
             donating[render] = jax.jit(
-                lambda s_, f_: pipeline.step(s_, f_, cfg, render=render),
+                lambda s_, f_: pipeline.step(s_, f_, c, render=render),
                 donate_argnums=0)
         return donating[render](s, f)
 
@@ -92,6 +97,18 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
                 "map_nodes": int(out.map_nodes),
                 "diverged": bool(out.diverged),
             }))
+        if auto_grow:
+            grow_nodes, grow_leaves = pipeline.needs_growth(out, cfg)
+            if grow_nodes or grow_leaves:
+                state, cfg = pipeline.grow_state(
+                    state, cfg, grow_nodes=grow_nodes,
+                    grow_leaves=grow_leaves)
+                donating.clear()  # shapes changed: recompile
+                print(json.dumps({
+                    "frame": i, "event": "map_grow",
+                    "node_capacity": cfg.node_capacity,
+                    "leaf_capacity": cfg.leaf_capacity,
+                }))
     jax.block_until_ready(out.pose)
     dt = time.perf_counter() - t_start
     result.fps = n_frames / dt

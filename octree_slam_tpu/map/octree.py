@@ -84,20 +84,47 @@ class Octree:
         return stats
 
     def expand_by_size(self, add_size: float) -> None:
-        """Grow the volume to cover `size + add_size` (octree.cpp:362-378):
-        re-root into a pool with a doubled half-size (k times)."""
+        """Grow the volume to cover `size + add_size` (octree.cpp:362-378)
+        by doubling the half-size k times.
+
+        Each doubling is a value-preserving in-pool remap
+        (svo.reroot_double — the reference's expand() child-wrapping,
+        octree.cpp:184-206): every existing leaf keeps its value and world
+        position bit-for-bit, no extraction buffer involved. Only when the
+        30-bit key budget is exhausted (depth would exceed MAX_KEY_DEPTH)
+        does the map coarsen via extract + re-insert, like the reference's
+        own bounded max_depth recomputation (octree.cpp:284, svo.cu:35)."""
         old_size = self.size
         k = max(1, math.ceil(math.log2((old_size + add_size) / old_size)))
-        new_size = old_size * (2 ** k)
-        # preserve content
+        pre = svo.prealloc_levels(self.capacity)
+        for _ in range(k):
+            if self.max_depth + 1 > MAX_KEY_DEPTH:
+                self._expand_coarsen(self.size * 2.0)
+                continue
+            bridge = svo._LEVEL_BASE[pre + 1] - svo._LEVEL_BASE[pre]
+            while int(self.pool.n_nodes) + bridge > self.capacity:
+                self.grow_capacity(2 * self.capacity)
+            self.pool = svo.reroot_double(self.pool)
+            self.max_depth += 1
+
+    def grow_capacity(self, new_capacity: int) -> None:
+        """Reallocate the node pool at a larger capacity (the reference's
+        per-insert realloc, svo.cu:609-614, amortized to doublings)."""
+        self.pool = svo.grow_capacity(self.pool, new_capacity)
+        self.capacity = new_capacity
+
+    def _expand_coarsen(self, new_size: float) -> None:
+        """Depth-capped growth: the volume doubles but keys are exhausted,
+        so leaves coarsen — content is resampled through extract+reinsert
+        (lossy by necessity: 8 old leaves merge into 1)."""
         extracted = svo.extract_voxels(self.pool, depth=self.max_depth,
                                        capacity=self.extract_capacity)
         count = int(extracted.count)
         if count >= self.extract_capacity:
             import warnings
             warnings.warn(
-                "Octree.expand_by_size: map has >= extract_capacity "
-                f"({self.extract_capacity}) occupied leaves; re-rooting "
+                "Octree._expand_coarsen: map has >= extract_capacity "
+                f"({self.extract_capacity}) occupied leaves; coarsening "
                 "drops the excess — raise extract_capacity",
                 RuntimeWarning)
         self.max_depth = self._depth_for(new_size)

@@ -419,6 +419,135 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     return new_pool, stats
 
 
+def _reroot_dense_map(pre: int):
+    """Host-side index maps for one volume doubling (numpy constants).
+
+    The reference's Octree::expand wraps child i in a new parent at
+    oppositeNode(i) = ~i (octree.cpp:184-206, svo.h:20-23): an old cell
+    with morton key [i, rest...] at level l becomes [i, ~i, rest...] at
+    level l+1. Returns (src i64[dense], valid bool[dense]) where the new
+    dense node at flat index d takes its value from old dense index src[d].
+    Level-1 entries are invalid (recomputed as a mipmap afterwards)."""
+    import numpy as np
+    dense = _LEVEL_BASE[pre + 1]
+    src = np.full((dense,), 0, np.int64)
+    valid = np.zeros((dense,), bool)
+    for l in range(2, pre + 1):
+        base = _LEVEL_BASE[l]
+        m = np.arange(_LEVEL_BASE[l + 1] - base, dtype=np.int64)
+        s = 3 * (l - 2)
+        i1 = m >> (s + 3)
+        i2 = (m >> s) & 7
+        ok = i2 == (i1 ^ 7)
+        m_old = (i1 << s) | (m & ((1 << s) - 1))
+        src[base + m] = np.where(ok, _LEVEL_BASE[l - 1] + m_old, 0)
+        valid[base + m] = ok
+    return src, valid
+
+
+@jax.jit
+def reroot_double(pool: SVONodePool) -> SVONodePool:
+    """Double the volume (half_size x2, depth intent +1) preserving every
+    node value and child pointer — the TPU-native Octree::expand
+    (octree.cpp:184-206, expandBySize :362-378).
+
+    Because only the top `pre` levels are dense-preallocated and all
+    deeper tiles are addressed by absolute pool index, ONE doubling needs:
+      * a permutation of the dense shallow values ([i] -> [i, ~i] keys);
+      * one "bridge" block of 8^(pre-1) tiles holding what used to be the
+        dense level-`pre` nodes (values + their child pointers, copied
+        verbatim — the pointers still address the same unmoved tiles);
+      * a fresh level-1 mipmap.
+    Every node outside the dense region keeps its index: no extraction,
+    no re-insertion, no alpha/color loss (contrast with the round-1
+    extract+reinsert re-root, VERDICT.md round 1 item 2).
+
+    Requires pool capacity headroom of 8^pre nodes; sets `overflowed`
+    (and changes nothing else) when it does not fit.
+    """
+    cap = pool.capacity
+    pre = prealloc_levels(cap)
+    dense = _LEVEL_BASE[pre + 1]
+    n_bridge = _LEVEL_BASE[pre + 1] - _LEVEL_BASE[pre]  # 8^pre nodes
+    fits = pool.n_nodes + n_bridge <= cap
+
+    import numpy as np
+    src_np, valid_np = _reroot_dense_map(pre)
+    src = jnp.asarray(src_np)
+    valid = jnp.asarray(valid_np)
+
+    # new dense values: permuted old values, EMPTY where newly exposed
+    new_dense = jnp.where(valid, pool.value[src],
+                          jnp.uint32(packing.EMPTY_VALUE))
+
+    # level-1 mipmap over the new level-2 values (tiny, fused)
+    l2 = new_dense[_LEVEL_BASE[2]:_LEVEL_BASE[3]].reshape(8, 8)
+    r, g, b, a = packing.unpack_rgba8(l2)
+    occ = (a > packing.OCCUPIED_ALPHA).astype(jnp.float32)
+    n_occ = jnp.maximum(jnp.sum(occ, axis=1), 1.0)
+    l1 = packing.pack_rgba8(
+        (jnp.sum(r.astype(jnp.float32) * occ, 1) / n_occ).astype(jnp.int32),
+        (jnp.sum(g.astype(jnp.float32) * occ, 1) / n_occ).astype(jnp.int32),
+        (jnp.sum(b.astype(jnp.float32) * occ, 1) / n_occ).astype(jnp.int32),
+        jnp.max(a, axis=1))
+    new_dense = jax.lax.dynamic_update_slice(new_dense, l1, (0,))
+
+    # bridge block: verbatim copy of the old dense level-`pre` rows
+    old_lp_val = pool.value[_LEVEL_BASE[pre]:_LEVEL_BASE[pre + 1]]
+    old_lp_child = pool.child[_LEVEL_BASE[pre]:_LEVEL_BASE[pre + 1]]
+    base = pool.n_nodes
+    br_idx = jnp.where(fits, base + jnp.arange(n_bridge, dtype=jnp.int32),
+                       cap)
+    value = pool.value.at[br_idx].set(old_lp_val, mode="drop")
+    child = pool.child.at[br_idx].set(old_lp_child, mode="drop")
+
+    # dense level-`pre` child pointers: cell m = [i1, ~i1, p_rest] covers
+    # old level-(pre-1) cell p = [i1, p_rest] -> bridge tile base + 8p
+    m = jnp.arange(n_bridge, dtype=jnp.int32)
+    s = 3 * (pre - 2)
+    i1 = m >> (s + 3)
+    i2 = (m >> s) & 7
+    covered = i2 == (i1 ^ 7)
+    p = (i1 << s) | (m & ((1 << s) - 1))
+    lp_child = jnp.where(covered & fits, base + 8 * p, 0)
+
+    value = jax.lax.dynamic_update_slice(value, new_dense, (0,))
+    child = jax.lax.dynamic_update_slice(child, lp_child,
+                                         (_LEVEL_BASE[pre],))
+
+    return pool._replace(
+        child=jnp.where(fits, child, pool.child),
+        value=jnp.where(fits, value, pool.value),
+        n_nodes=jnp.where(fits, pool.n_nodes + n_bridge, pool.n_nodes),
+        half_size=jnp.where(fits, pool.half_size * 2.0, pool.half_size),
+        overflowed=pool.overflowed | ~fits,
+    )
+
+
+def grow_capacity(pool: SVONodePool, new_capacity: int) -> SVONodePool:
+    """Reallocate the pool at a larger static capacity (host-level; changes
+    array shapes, so jitted consumers recompile — the per-insert
+    cudaMalloc/memcpy/free of the reference, svo.cu:609-614, amortized to
+    once per doubling). Child pointers are absolute indices and the dense
+    prealloc layout depends only on prealloc_levels(capacity), so a plain
+    pad preserves the whole structure."""
+    cap = pool.capacity
+    assert new_capacity >= cap and new_capacity % 8 == 0
+    assert prealloc_levels(new_capacity) == prealloc_levels(cap), \
+        "growth across a prealloc-level boundary needs a rebuild " \
+        "(only possible for pools under 9360 nodes)"
+    pad = new_capacity - cap
+    if pad == 0:
+        return pool
+    return pool._replace(
+        child=jnp.concatenate([pool.child, jnp.zeros((pad,), jnp.int32)]),
+        value=jnp.concatenate(
+            [pool.value,
+             jnp.full((pad,), packing.EMPTY_VALUE, jnp.uint32)]),
+        overflowed=jnp.bool_(False),
+    )
+
+
 class ExtractedVoxels(NamedTuple):
     keys: jnp.ndarray     # i32[cap] leaf morton keys (depth = extraction depth)
     nodes: jnp.ndarray    # i32[cap] node-pool indices

@@ -109,6 +109,83 @@ def init_state(cfg: SLAMConfig, map_center=(0.0, 0.0, 0.0),
     )
 
 
+def needs_growth(out: StepOutput, cfg: SLAMConfig) -> Tuple[bool, bool]:
+    """Host-side check after a step: should the node pool / leaf registry
+    be reallocated before the next frame? Growth triggers at 3/4 occupancy
+    (proactive, so a typical frame never hits the hard cap) or on the
+    overflow flag (a huge frame outran the headroom; its excess voxels
+    drop for that frame but are re-observed and fused on later frames)."""
+    grow_nodes = (int(out.map_nodes) > cfg.node_capacity * 3 // 4
+                  or bool(out.map_overflowed))
+    grow_leaves = int(out.map_leaves) > cfg.leaf_capacity * 3 // 4
+    return grow_nodes, grow_leaves
+
+
+def grow_state(state: SLAMState, cfg: SLAMConfig, *,
+               grow_nodes: bool = True,
+               grow_leaves: bool = False) -> Tuple[SLAMState, SLAMConfig]:
+    """Double the node pool and/or leaf registry capacity, preserving all
+    content (the reference reallocs per insert, svo.cu:609-614; here
+    growth is amortized to doublings because shape changes recompile the
+    jitted step). Child pointers and node indices are absolute, so the
+    pool pads in place; the leaf registry pads, or is rebuilt from the
+    pool when it had overflowed (re-registering leaves that could not be
+    appended)."""
+    import dataclasses
+
+    new_cfg = dataclasses.replace(
+        cfg,
+        node_capacity=cfg.node_capacity * (2 if grow_nodes else 1),
+        leaf_capacity=cfg.leaf_capacity * (2 if grow_leaves else 1),
+    )
+    pool = (svo.grow_capacity(state.pool, new_cfg.node_capacity)
+            if grow_nodes else state.pool)
+
+    leaves = state.leaves
+    if bool(leaves.overflowed):
+        # some first-seen leaves were never registered (appends are
+        # first-write-only): rebuild the registry from the pool itself,
+        # doubling until the full leaf set fits
+        while True:
+            ex = svo.extract_voxels(pool, depth=new_cfg.max_depth,
+                                    capacity=new_cfg.leaf_capacity)
+            if int(ex.count) < new_cfg.leaf_capacity:
+                break
+            new_cfg = dataclasses.replace(
+                new_cfg, leaf_capacity=new_cfg.leaf_capacity * 2)
+        live = jnp.asarray(ex.nodes) >= 0
+        nodes = jnp.where(live, ex.nodes, 0)
+        node2pos = jnp.full((new_cfg.node_capacity,), -1, jnp.int32)
+        pos = jnp.arange(new_cfg.leaf_capacity, dtype=jnp.int32)
+        node2pos = node2pos.at[
+            jnp.where(live, nodes, new_cfg.node_capacity)].set(
+                pos, mode="drop")
+        leaves = LeafList(
+            keys=ex.keys, nodes=nodes,
+            vals=jnp.where(live, pool.value[nodes], 0),
+            node2pos=node2pos, count=ex.count,
+            overflowed=ex.count >= new_cfg.leaf_capacity)
+    else:
+        lc_pad = new_cfg.leaf_capacity - leaves.keys.shape[0]
+        nc_pad = new_cfg.node_capacity - leaves.node2pos.shape[0]
+        leaves = LeafList(
+            keys=jnp.concatenate(
+                [leaves.keys, jnp.full((lc_pad,), -1, jnp.int32)]),
+            nodes=jnp.concatenate(
+                [leaves.nodes, jnp.zeros((lc_pad,), jnp.int32)]),
+            vals=jnp.concatenate(
+                [leaves.vals, jnp.zeros((lc_pad,), jnp.uint32)]),
+            node2pos=jnp.concatenate(
+                [leaves.node2pos, jnp.full((nc_pad,), -1, jnp.int32)]),
+            count=leaves.count,
+            overflowed=leaves.overflowed,
+        ) if (lc_pad or nc_pad) else leaves
+
+    # accel is capacity-independent: RenderCache is sized by max_depth;
+    # AccelGrid entries are node indices, which growth preserves
+    return state._replace(pool=pool, leaves=leaves), new_cfg
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "render"))
 def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
          render: str = "splat") -> Tuple[SLAMState, StepOutput]:

@@ -29,6 +29,37 @@ class TestRunSlam:
         assert not res.diverged
         assert res.map_nodes > 100
 
+    def test_auto_grow_completes_without_overflow(self):
+        """A pool too small for the scene doubles mid-run instead of
+        silently dropping geometry (VERDICT round-1 item 5)."""
+        cfg = SLAMConfig(width=64, height=48, focal_x=55.0, focal_y=55.0,
+                         pyramid_depth=2, pyramid_iters=(2, 2),
+                         voxel_resolution=0.02, max_depth=8,
+                         node_capacity=9368,  # smallest pre=4 pool + slack
+                         leaf_capacity=1 << 9, max_march_iters=16)
+        scene = sources.default_scene()
+        gt = [sources.orbit_pose(i * 0.05) for i in range(5)]
+
+        def frame_fn(i):
+            return sources.render_frame(scene, gt[i], cfg.focal_x,
+                                        cfg.focal_y, width=cfg.width,
+                                        height=cfg.height)
+
+        sink: list = []
+        res = app.run_slam(frame_fn, 5, cfg, initial_pose=gt[0],
+                           render_every=0, state_out=sink)
+        assert res.frames == 5
+        state = sink[0]
+        assert state.pool.capacity > 9368          # growth happened
+        assert state.leaves.keys.shape[0] > (1 << 9)
+        assert not bool(state.pool.overflowed)
+        assert not bool(state.leaves.overflowed)
+        # registry rebuilt after its overflow: count matches the map
+        from octree_slam_tpu.map import svo as svo_mod
+        ex = svo_mod.extract_voxels(state.pool, depth=cfg.max_depth,
+                                    capacity=1 << 14)
+        assert int(state.leaves.count) == int(ex.count)
+
     def test_state_checkpoint_roundtrip(self, tmp_path):
         scene = sources.default_scene()
         pose = sources.orbit_pose(0.0)
