@@ -80,6 +80,15 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
         render = (render_mode if render_every > 0 and (i % render_every == 0)
                   else "none")
         state, out = step_donated(state, frame, render)
+        # unique-cap remainder: a close-range/fast-sweep frame can touch
+        # more distinct voxels than one insert pass handles; page through
+        # the rest in sorted key order (each leaf still blends once)
+        if bool(out.unique_overflow):
+            more, last_key = True, out.last_insert_key
+            while more:
+                state, (uo, last_key) = pipeline.insert_remainder(
+                    state, frame, cfg, last_key)
+                more = bool(uo)
         result.poses.append(np.asarray(out.pose))
         if gt_fn is not None:
             gt = gt_fn(i)

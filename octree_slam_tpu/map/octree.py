@@ -69,19 +69,30 @@ class Octree:
 
     # --- mutation ---
 
-    def add_cloud(self, points, colors, valid=None) -> svo.InsertStats:
-        """svoFromPointCloud path (octree.cpp:269-291). colors in [0,1]."""
+    def _insert_all(self, points, colors, valid) -> svo.InsertStats:
+        """Insert with the sorted-remainder loop: frames with more than
+        unique_cap distinct leaves page through in key order (each leaf
+        still blends exactly once — fillNodes parity, svo.cu:642-696)."""
         self.pool, stats = svo.insert(self.pool, points, colors, valid,
                                       depth=self.max_depth)
-        return stats
+        n_unique = stats.n_unique
+        new_nodes = stats.new_nodes
+        while bool(stats.unique_overflow):
+            self.pool, stats = svo.insert(self.pool, points, colors, valid,
+                                          depth=self.max_depth,
+                                          min_key=stats.last_key)
+            n_unique = n_unique + stats.n_unique
+            new_nodes = new_nodes + stats.new_nodes
+        return stats._replace(n_unique=n_unique, new_nodes=new_nodes)
+
+    def add_cloud(self, points, colors, valid=None) -> svo.InsertStats:
+        """svoFromPointCloud path (octree.cpp:269-291). colors in [0,1]."""
+        return self._insert_all(points, colors, valid)
 
     def add_voxel_grid(self, grid: VoxelGrid) -> svo.InsertStats:
         """svoFromVoxelGrid path (octree.cpp:293-313)."""
         live = jnp.arange(grid.centers.shape[0]) < grid.count
-        self.pool, stats = svo.insert(self.pool, grid.centers,
-                                      grid.colors[:, :3], valid=live,
-                                      depth=self.max_depth)
-        return stats
+        return self._insert_all(grid.centers, grid.colors[:, :3], live)
 
     def expand_by_size(self, add_size: float) -> None:
         """Grow the volume to cover `size + add_size` (octree.cpp:362-378)

@@ -116,8 +116,12 @@ def create(capacity: int, center, half_size) -> SVONodePool:
 class InsertStats(NamedTuple):
     new_nodes: jnp.ndarray        # i32[] nodes allocated by this insert
     n_valid: jnp.ndarray          # i32[] valid input points
-    n_unique: jnp.ndarray         # i32[] unique leaf voxels touched
-    overflowed: jnp.ndarray       # bool[]
+    n_unique: jnp.ndarray        # i32[] unique leaf voxels touched
+    overflowed: jnp.ndarray       # bool[] any capacity exceeded (union)
+    unique_overflow: jnp.ndarray  # bool[] frame had > unique_cap distinct
+                                  #        leaves: re-insert with
+                                  #        min_key=last_key for the rest
+    last_key: jnp.ndarray         # i32[] largest unique key processed
     shallow_allocs: jnp.ndarray   # i32[] new tiles at levels <= 6 (entry-grid
                                   #       invalidation signal for the renderer)
     new_leaf_keys: jnp.ndarray    # i32[U] morton keys of first-seen leaves, -1 pad
@@ -156,7 +160,12 @@ def _unique_compact(skeys, svalid, scolors_u8, unique_cap: int):
     csum = jnp.cumsum(scolors_u8 * w[:, None], axis=0)   # f32[N,3]
     ccnt = jnp.cumsum(w)
 
-    nstart = jnp.concatenate([upos[1:], jnp.full((1,), n, jnp.int32)])
+    # the LAST processed unique's segment must stop where the first
+    # unprocessed unique (rank == unique_cap) begins — otherwise, on a
+    # unique-cap overflow, its mean absorbs every remaining valid sample
+    pos_cut = jnp.min(jnp.where(first & (ranks == unique_cap),
+                                jnp.arange(n, dtype=jnp.int32), n))
+    nstart = jnp.concatenate([upos[1:], pos_cut[None]])
     end = jnp.clip(nstart - 1, 0, n - 1)
     start_prev = upos - 1  # -1 means "sum from zero"
 
@@ -180,15 +189,22 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
            valid: jnp.ndarray | None = None, *, depth: int,
            unique_cap: int = 1 << 16,
            emit_mips: bool = False,
-           shallow_level: int = 6) -> Tuple[SVONodePool, InsertStats]:
+           shallow_level: int = 6,
+           min_key: jnp.ndarray | None = None
+           ) -> Tuple[SVONodePool, InsertStats]:
     """Fuse a colored point set into the octree at a static depth.
 
     points: f32[N,3] world coords; colors: f32[N,3] in [0,1];
     valid: optional bool[N] extra validity gate. unique_cap bounds the
-    distinct leaf voxels per insert (excess drops, flagged in overflowed).
-    Semantics follow svoFromPointCloud (svo.cu:642-696): allocate missing
-    interior tiles along each key path, alpha-blend leaf colors, re-mipmap
-    interior values along the touched paths.
+    distinct leaf voxels per insert; because uniques are processed in
+    sorted key order, a frame with more is handled EXACTLY by re-running
+    with min_key = the previous pass's stats.last_key (a dynamic scalar:
+    no recompile) until unique_overflow clears — each leaf still blends
+    once (the reference's fillNodes handles all points in one kernel,
+    svo.cu:642-696; here capacity is static so the tail pages through).
+    Semantics follow svoFromPointCloud: allocate missing interior tiles
+    along each key path, alpha-blend leaf colors, re-mipmap interior
+    values along the touched paths.
     """
     cap = pool.capacity
     U = unique_cap
@@ -196,6 +212,8 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     keys, key_valid = morton.encode(points, pool.center, pool.half_size, depth)
     if valid is not None:
         key_valid = key_valid & valid
+    if min_key is not None:
+        key_valid = key_valid & (keys > min_key)
     keys = jnp.where(key_valid, keys, morton.INVALID_KEY)
 
     # One sort carries the color payload packed into an int32 (colors are
@@ -398,15 +416,22 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
         mip_idx = jnp.full((1,), jnp.int32(2**31 - 1), jnp.int32)
         mip_val = jnp.zeros((1,), jnp.uint32)
 
-    overflowed = (pool.overflowed | (n_nodes + 8 > cap)
-                  | (u_count > U))
+    unique_overflow = u_count > U
+    # the pool flag records the irrecoverable condition (node capacity);
+    # unique overflow is recoverable via the min_key remainder pass and
+    # only reported in the stats
+    pool_overflowed = pool.overflowed | (n_nodes + 8 > cap)
+    overflowed = pool_overflowed | unique_overflow
+    last_key = ukeys[jnp.clip(jnp.minimum(u_count, U) - 1, 0, U - 1)]
     new_pool = pool._replace(child=child, value=value, n_nodes=n_nodes,
-                             overflowed=overflowed)
+                             overflowed=pool_overflowed)
     stats = InsertStats(
         new_nodes=8 * total_new,
         n_valid=jnp.sum(svalid.astype(jnp.int32)),
         n_unique=jnp.minimum(u_count, U),
         overflowed=overflowed,
+        unique_overflow=unique_overflow,
+        last_key=last_key,
         shallow_allocs=shallow,
         new_leaf_keys=new_leaf_keys,
         new_leaf_nodes=new_leaf_nodes,

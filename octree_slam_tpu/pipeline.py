@@ -65,6 +65,9 @@ class StepOutput(NamedTuple):
     map_leaves: jnp.ndarray    # i32[] leaf voxels registered
     map_overflowed: jnp.ndarray  # bool[] any static capacity exceeded
     diverged: jnp.ndarray
+    unique_overflow: jnp.ndarray  # bool[] frame touched > unique_cap leaves;
+                                  # finish via insert_remainder(last_key)
+    last_insert_key: jnp.ndarray  # i32[] resume cursor for the remainder
 
 
 def _accel_level(cfg: SLAMConfig) -> int:
@@ -300,5 +303,41 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
         map_leaves=leaves.count,
         map_overflowed=pool.overflowed | leaves.overflowed,
         diverged=diverged,
+        unique_overflow=istats.unique_overflow,
+        last_insert_key=istats.last_key,
     )
     return new_state, out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=0)
+def insert_remainder(state: SLAMState, frame: Frame, cfg: SLAMConfig,
+                     min_key: jnp.ndarray
+                     ) -> Tuple[SLAMState, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Fuse the unique-cap remainder of the CURRENT frame (the one `step`
+    just consumed: its full-res vertex map is state.last_pyramid[0] and
+    its pose is state.pose). Uniques are processed in sorted key order, so
+    masking keys > min_key continues exactly where step's insert stopped —
+    each leaf blends once in total. Returns the new state plus
+    (unique_overflow, last_key) to drive the host loop; min_key is a
+    dynamic scalar, so the loop never recompiles."""
+    v = state.last_pyramid[0].vertex.reshape(-1, 3)
+    world_pts = v @ state.pose[:3, :3].T + state.pose[:3, 3]
+    colors = frame.color.reshape(-1, 3).astype(jnp.float32) / 255.0
+    lvl = _accel_level(cfg)
+    pool, istats = svo.insert(state.pool, world_pts, colors,
+                              depth=cfg.max_depth,
+                              unique_cap=cfg.insert_unique_cap,
+                              emit_mips=cfg.use_dense_mips,
+                              shallow_level=lvl, min_key=min_key)
+    leaves = append_new_leaves(state.leaves, istats)
+    if cfg.use_dense_mips:
+        accel = mips_mod.update(state.accel, istats.mip_idx, istats.mip_val,
+                                max_depth=cfg.max_depth, dist_level=lvl,
+                                max_skip=cfg.dist_max_skip, with_dist=False)
+    else:
+        accel = jax.lax.cond(
+            istats.shallow_allocs > 0,
+            lambda: raycast.build_accel(pool, level=lvl),
+            lambda: state.accel)
+    new_state = state._replace(pool=pool, leaves=leaves, accel=accel)
+    return new_state, (istats.unique_overflow, istats.last_key)

@@ -153,6 +153,92 @@ class TestInsert:
         assert np.all(child[child > 0] + 8 <= 64)
 
 
+class TestUniqueCapRemainder:
+    def test_paged_insert_matches_single_pass(self):
+        """A frame with more distinct voxels than unique_cap inserts
+        losslessly by paging through sorted key order with min_key
+        (VERDICT round-1 item 7): bit-identical to one big-cap pass."""
+        depth = 7
+        rng = np.random.default_rng(11)
+        pts = rng.uniform(-0.9, 0.9, (20000, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (20000, 3)).astype(np.float32)
+
+        big = svo.create(1 << 20, jnp.zeros(3), 1.0)
+        big, bstats = svo.insert(big, jnp.asarray(pts), jnp.asarray(cols),
+                                 depth=depth, unique_cap=1 << 15)
+        assert not bool(bstats.unique_overflow)
+        n_total = int(bstats.n_unique)
+        assert n_total > 4096  # the paged run must actually overflow
+
+        paged = svo.create(1 << 20, jnp.zeros(3), 1.0)
+        paged, stats = svo.insert(paged, jnp.asarray(pts),
+                                  jnp.asarray(cols), depth=depth,
+                                  unique_cap=4096)
+        n_seen = int(stats.n_unique)
+        passes = 1
+        while bool(stats.unique_overflow):
+            paged, stats = svo.insert(paged, jnp.asarray(pts),
+                                      jnp.asarray(cols), depth=depth,
+                                      unique_cap=4096,
+                                      min_key=stats.last_key)
+            n_seen += int(stats.n_unique)
+            passes += 1
+        assert passes > 1
+        assert n_seen == n_total
+        # tile allocation ORDER differs between the runs, so compare the
+        # trees semantically: per-point leaf values and the extracted
+        # occupied voxel set must be bit-identical
+        vb, db = svo.query_points(big, jnp.asarray(pts), depth=depth)
+        vp, dp = svo.query_points(paged, jnp.asarray(pts), depth=depth)
+        np.testing.assert_array_equal(np.asarray(vb), np.asarray(vp))
+        np.testing.assert_array_equal(np.asarray(db), np.asarray(dp))
+        assert int(paged.n_nodes) == int(big.n_nodes)
+
+        eb = svo.extract_voxels(big, depth=depth, capacity=1 << 15)
+        ep = svo.extract_voxels(paged, depth=depth, capacity=1 << 15)
+        assert int(eb.count) == int(ep.count)
+
+        def key_set(ex):
+            k = np.asarray(ex.keys)
+            v = np.asarray(ex.colors)[k >= 0]
+            return k[k >= 0], v
+
+        kb, cb = key_set(eb)
+        kp, cp = key_set(ep)
+        ob, op = np.argsort(kb), np.argsort(kp)
+        np.testing.assert_array_equal(kb[ob], kp[op])
+        np.testing.assert_array_equal(cb[ob], cp[op])
+
+    def test_pipeline_remainder_loop(self):
+        """run_slam finishes oversized frames via insert_remainder."""
+        from octree_slam_tpu import app
+        from octree_slam_tpu.config import SLAMConfig
+        from octree_slam_tpu.sensor import sources
+
+        cfg = SLAMConfig(width=64, height=48, focal_x=55.0, focal_y=55.0,
+                         pyramid_depth=2, pyramid_iters=(2, 2),
+                         voxel_resolution=0.01, max_depth=9,
+                         node_capacity=1 << 17, leaf_capacity=1 << 13,
+                         insert_unique_cap=1 << 9,  # « 64*48 px
+                         max_march_iters=16)
+        scene = sources.default_scene()
+        gt = [sources.orbit_pose(i * 0.05) for i in range(2)]
+
+        def frame_fn(i):
+            return sources.render_frame(scene, gt[i], cfg.focal_x,
+                                        cfg.focal_y, width=cfg.width,
+                                        height=cfg.height)
+
+        sink: list = []
+        res = app.run_slam(frame_fn, 2, cfg, initial_pose=gt[0],
+                           render_every=0, state_out=sink, auto_grow=False)
+        assert res.frames == 2
+        state = sink[0]
+        # at 1 cm leaves nearly every valid pixel is a distinct voxel:
+        # far more than the 512 cap — the remainder loop registered them
+        assert int(state.leaves.count) > (1 << 9)
+
+
 class TestExtract:
     def test_roundtrip_occupancy(self):
         """Insert N random points -> extraction returns exactly the set of
