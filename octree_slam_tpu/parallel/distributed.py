@@ -21,7 +21,7 @@ libraries anywhere). The TPU rebuild is designed mesh-ready from the start:
 from __future__ import annotations
 
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from octree_slam_tpu import pipeline
 from octree_slam_tpu.config import SLAMConfig
 from octree_slam_tpu.core.types import Frame
+from octree_slam_tpu.map import svo
+from octree_slam_tpu.map.svo import SVONodePool
+from octree_slam_tpu.render.splat import LeafList, append_new_leaves, \
+    create_leaf_list
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "px") -> Mesh:
@@ -88,6 +92,10 @@ def splat_sharded(leaf_vals, leaf_keys, center, half_size,
     from octree_slam_tpu.render import splat as sp
 
     def local(vals_s, keys_s, c_s, h_s, T_s):
+        # accept both a flat registry split across devices ([LC/M]) and a
+        # stacked per-shard registry ([1, LC] from ShardedMap)
+        vals_s = vals_s.reshape(-1)
+        keys_s = keys_s.reshape(-1)
         live = keys_s >= 0
         buf = sp.splat_zbuffer(vals_s, keys_s, live, c_s, h_s,
                                T_s, fx, fy, width=cfg.width,
@@ -101,6 +109,108 @@ def splat_sharded(leaf_vals, leaf_keys, center, half_size,
         in_specs=(P(axis_name), P(axis_name), P(), P(), P()),
         out_specs=P(),
     )(leaf_vals, leaf_keys, center, half_size, world_T_cam)
+
+
+class ShardedMap(NamedTuple):
+    """Morton-range-sharded map state: every array has a leading mesh-axis
+    dimension; device d holds pool/leaf shard d. Device d owns the key
+    range whose level-1 octant's top log2(M) bits equal d (Morton keys are
+    level-major, so this is a contiguous key range — the "bricks sharded
+    by Morton range" scale-out named in ARCHITECTURE.md: each shard's
+    HBM holds 1/M of the world, and capacities scale per device)."""
+
+    pool: SVONodePool   # stacked [M, ...]
+    leaves: LeafList    # stacked [M, ...]
+
+
+def _axis_bits(mesh: Mesh, axis_name: str) -> int:
+    m = mesh.shape[axis_name]
+    bits = m.bit_length() - 1
+    assert (1 << bits) == m and bits <= 3, \
+        "map axis must be 2, 4, or 8 devices (level-1 octant split)"
+    return bits
+
+
+def make_sharded_map(cfg: SLAMConfig, mesh: Mesh, map_center=(0.0, 0.0, 0.0),
+                     axis_name: str = "map") -> ShardedMap:
+    """M empty per-device pools/registries, placed shard-per-device."""
+    m = mesh.shape[axis_name]
+    half = cfg.voxel_resolution * (2 ** (cfg.max_depth - 1))
+    pool = svo.create(cfg.node_capacity,
+                      jnp.asarray(map_center, jnp.float32),
+                      jnp.float32(half))
+    leaves = create_leaf_list(cfg.leaf_capacity, cfg.node_capacity)
+
+    def stack(x):
+        import numpy as np
+        return jnp.asarray(np.broadcast_to(np.asarray(x)[None],
+                                           (m,) + np.asarray(x).shape))
+
+    smap = ShardedMap(pool=jax.tree_util.tree_map(stack, pool),
+                      leaves=jax.tree_util.tree_map(stack, leaves))
+    shardings = jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, P(axis_name, *([None] * (x.ndim - 1)))),
+        smap)
+    return jax.device_put(smap, shardings)
+
+
+def insert_sharded(smap: ShardedMap, points, colors, cfg: SLAMConfig,
+                   mesh: Mesh, axis_name: str = "map"
+                   ) -> Tuple[ShardedMap, jnp.ndarray]:
+    """Morton-range-sharded map insert: every device sees the (replicated)
+    frame's world points, keeps exactly those in its own key range (keys
+    arrive pre-sorted by construction of the range split — the
+    shard-local-filter routing; no all_to_all needed when the frame is
+    replicated), and runs the standard batched insert into its LOCAL pool.
+    Shards are disjoint by key, so the union of shard contents is
+    bit-identical to the replicated single-pool insert
+    (tests/test_parallel.py proves it on the 8-device mesh).
+
+    Returns (updated ShardedMap, global unique count — one psum over ICI).
+    """
+    from jax import shard_map
+
+    bits = _axis_bits(mesh, axis_name)
+
+    def local(pool_s, leaves_s, pts, cols):
+        pool = SVONodePool(*(x[0] for x in pool_s))
+        leaves = LeafList(*(x[0] for x in leaves_s))
+        d = jax.lax.axis_index(axis_name)
+        # level-1 octant = (x>cx) + 2(y>cy) + 4(z>cz) (computeKey,
+        # svo.cu:50-57); its top `bits` are the owning device index
+        gt = pts > pool.center[None, :]
+        oct1 = (gt[:, 0].astype(jnp.int32) + 2 * gt[:, 1].astype(jnp.int32)
+                + 4 * gt[:, 2].astype(jnp.int32))
+        mine = (oct1 >> (3 - bits)) == d
+        pool, stats = svo.insert(pool, pts, cols, valid=mine,
+                                 depth=cfg.max_depth,
+                                 unique_cap=cfg.insert_unique_cap)
+        leaves = append_new_leaves(leaves, stats)
+        total = jax.lax.psum(stats.n_unique, axis_name)
+        return (jax.tree_util.tree_map(lambda x: x[None], pool),
+                jax.tree_util.tree_map(lambda x: x[None], leaves),
+                total)
+
+    spec_map = jax.tree_util.tree_map(lambda _: P(axis_name), smap.pool), \
+        jax.tree_util.tree_map(lambda _: P(axis_name), smap.leaves)
+    pool, leaves, total = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec_map[0], spec_map[1], P(), P()),
+        out_specs=(spec_map[0], spec_map[1], P()),
+    )(smap.pool, smap.leaves, points, colors)
+    return ShardedMap(pool=pool, leaves=leaves), total
+
+
+def render_sharded_map(smap: ShardedMap, world_T_cam, fx, fy,
+                       cfg: SLAMConfig, mesh: Mesh,
+                       axis_name: str = "map") -> jnp.ndarray:
+    """Render the Morton-sharded map: each device z-buffers its own leaf
+    shard, one pmin of packed words over ICI composites (splat_sharded)."""
+    # center/half_size are identical across shards; pass shard 0's
+    return splat_sharded(
+        smap.leaves.vals, smap.leaves.keys,
+        smap.pool.center[0], smap.pool.half_size[0],
+        world_T_cam, fx, fy, cfg, mesh, axis_name=axis_name)
 
 
 def icp_psum(v1, n1, v2, n2, cfg: SLAMConfig, mesh: Mesh,

@@ -47,6 +47,108 @@ class TestMesh:
         jax.jit(fn).lower(*args)  # trace/lower only; full compile is slow on CPU
 
 
+class TestMortonShardedMap:
+    """VERDICT round-1 item 4: node pool sharded by Morton key range."""
+
+    CFG = SLAMConfig(width=64, height=48, focal_x=60.0, focal_y=60.0,
+                     max_depth=6, voxel_resolution=2 * 0.64 / (1 << 6),
+                     node_capacity=1 << 16, leaf_capacity=1 << 12,
+                     insert_unique_cap=1 << 12, max_range=8.0)
+
+    def make_cloud(self, n=2500, seed=3):
+        rng = np.random.default_rng(seed)
+        pts = rng.uniform(-0.6, 0.6, (n, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        return pts, cols
+
+    def test_sharded_insert_equals_replicated(self):
+        """Union of the 8 Morton-range shards == the single-pool insert,
+        bit-for-bit (keys, values, leaf registries)."""
+        from octree_slam_tpu.map import svo as svo_mod
+        from octree_slam_tpu.render.splat import append_new_leaves, \
+            create_leaf_list
+
+        cfg = self.CFG
+        pts, cols = self.make_cloud()
+        mesh = distributed.make_mesh(8, axis_name="map")
+
+        # replicated reference
+        pool = svo_mod.create(cfg.node_capacity, jnp.zeros(3),
+                              jnp.float32(0.64))
+        leaves = create_leaf_list(cfg.leaf_capacity, cfg.node_capacity)
+        for _ in range(2):
+            pool, stats = svo_mod.insert(pool, jnp.asarray(pts),
+                                         jnp.asarray(cols),
+                                         depth=cfg.max_depth,
+                                         unique_cap=cfg.insert_unique_cap)
+            leaves = append_new_leaves(leaves, stats)
+
+        # Morton-sharded
+        smap = distributed.make_sharded_map(cfg, mesh)
+        for _ in range(2):
+            smap, total = distributed.insert_sharded(
+                smap, jnp.asarray(pts), jnp.asarray(cols), cfg, mesh)
+        assert int(total) == int(stats.n_unique)
+
+        # per-shard leaf registries union == replicated registry
+        sk = np.asarray(smap.leaves.keys).ravel()
+        sv = np.asarray(smap.leaves.vals).ravel()
+        live_s = sk >= 0
+        rk = np.asarray(leaves.keys)
+        rv = np.asarray(leaves.vals)
+        live_r = rk >= 0
+        assert live_s.sum() == live_r.sum()
+        os_, or_ = np.argsort(sk[live_s]), np.argsort(rk[live_r])
+        np.testing.assert_array_equal(sk[live_s][os_], rk[live_r][or_])
+        np.testing.assert_array_equal(sv[live_s][os_], rv[live_r][or_])
+
+        # every shard only holds keys in its own Morton range
+        m = np.asarray(smap.leaves.keys)  # [8, LC]
+        for d in range(8):
+            k = m[d][m[d] >= 0]
+            assert np.all((k >> (3 * (cfg.max_depth - 1))) == d)
+
+    def test_sharded_render_matches_replicated(self):
+        from octree_slam_tpu.map import svo as svo_mod
+        from octree_slam_tpu.render.splat import append_new_leaves, \
+            create_leaf_list, render_splat
+
+        cfg = self.CFG
+        pts, cols = self.make_cloud(seed=4)
+        mesh = distributed.make_mesh(8, axis_name="map")
+
+        pool = svo_mod.create(cfg.node_capacity, jnp.zeros(3),
+                              jnp.float32(0.64))
+        leaves = create_leaf_list(cfg.leaf_capacity, cfg.node_capacity)
+        smap = distributed.make_sharded_map(cfg, mesh)
+        for _ in range(3):  # alpha above the occupancy threshold
+            pool, stats = svo_mod.insert(pool, jnp.asarray(pts),
+                                         jnp.asarray(cols),
+                                         depth=cfg.max_depth,
+                                         unique_cap=cfg.insert_unique_cap)
+            leaves = append_new_leaves(leaves, stats)
+            smap, _ = distributed.insert_sharded(
+                smap, jnp.asarray(pts), jnp.asarray(cols), cfg, mesh)
+
+        pose = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(-1.5)
+        fb_single = render_splat(pool, leaves, pose, cfg.focal_x,
+                                 cfg.focal_y, width=cfg.width,
+                                 height=cfg.height, depth=cfg.max_depth,
+                                 max_range=cfg.max_range, dilate=0)
+        fb_shard = distributed.render_sharded_map(
+            smap, pose, cfg.focal_x, cfg.focal_y, cfg, mesh)
+        # splat_sharded's finisher uses the default dilation; compare the
+        # raw hit pattern by re-running single with the same settings
+        fb_single2 = render_splat(pool, leaves, pose, cfg.focal_x,
+                                  cfg.focal_y, width=cfg.width,
+                                  height=cfg.height, depth=cfg.max_depth,
+                                  max_range=cfg.max_range)
+        # identical hit pattern; colors equal up to fusion rounding (<1e-7)
+        np.testing.assert_allclose(np.asarray(fb_shard),
+                                   np.asarray(fb_single2), atol=1e-6)
+        assert np.asarray(fb_single2)[..., 3].sum() > 0
+
+
 class TestShardedSplat:
     def test_sharded_splat_matches_single_device(self):
         """Leaf-sharded z-buffers composited with pmin over the mesh must
