@@ -44,7 +44,8 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
              log_every: int = 0,
              initial_state: "pipeline.SLAMState | None" = None,
              state_out: list | None = None,
-             auto_grow: bool = True) -> RunResult:
+             auto_grow: bool = True,
+             map_center=(0.0, 0.0, 0.0)) -> RunResult:
     """Drive the SLAM pipeline over a frame stream.
 
     frame_fn(i) -> Frame; gt_fn(i) -> optional ground-truth world_T_cam.
@@ -55,7 +56,8 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
     doubling recompiles the step since shapes change).
     """
     state = (initial_state if initial_state is not None
-             else pipeline.init_state(cfg, initial_pose=initial_pose))
+             else pipeline.init_state(cfg, map_center=map_center,
+                                      initial_pose=initial_pose))
     # Donating hot-loop step: the previous state's buffers are recycled
     # in place (map updates without a 12MB pool copy per frame). Safe here
     # because this loop is the only holder of `state`.
@@ -73,6 +75,21 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
         import os
         os.makedirs(save_dir, exist_ok=True)
     result = RunResult()
+
+    # Everything the host loop reads per frame, as ONE fetched vector:
+    # separate bool()/int() reads each cost a full device round trip
+    # (30-90 ms through a remote-TPU tunnel) and serialize the pipeline.
+    pack = jax.jit(lambda o: jnp.concatenate([
+        o.pose.ravel(),
+        jnp.stack([o.unique_overflow.astype(jnp.float32),
+                   o.map_nodes.astype(jnp.float32),
+                   o.map_leaves.astype(jnp.float32),
+                   o.map_overflowed.astype(jnp.float32),
+                   o.diverged.astype(jnp.float32)]),
+        o.track_inliers.astype(jnp.float32),
+        o.track_residual.astype(jnp.float32),
+    ]))
+
     t_start = time.perf_counter()
     out = None
     for i in range(n_frames):
@@ -80,16 +97,21 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
         render = (render_mode if render_every > 0 and (i % render_every == 0)
                   else "none")
         state, out = step_donated(state, frame, render)
+        host = np.asarray(pack(out))
+        pose_np = host[:16].reshape(4, 4)
+        n_lvl = cfg.pyramid_depth
+        uo_flag, map_nodes, map_leaves = host[16], host[17], host[18]
         # unique-cap remainder: a close-range/fast-sweep frame can touch
         # more distinct voxels than one insert pass handles; page through
-        # the rest in sorted key order (each leaf still blends once)
-        if bool(out.unique_overflow):
+        # the rest in sorted key order (each leaf still blends once; the
+        # exact i32 resume key stays on device — no extra fetch)
+        if uo_flag > 0:
             more, last_key = True, out.last_insert_key
             while more:
                 state, (uo, last_key) = pipeline.insert_remainder(
                     state, frame, cfg, last_key)
                 more = bool(uo)
-        result.poses.append(np.asarray(out.pose))
+        result.poses.append(pose_np)
         if gt_fn is not None:
             gt = gt_fn(i)
             if gt is not None:
@@ -101,13 +123,15 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
         if log_every and i % log_every == 0:
             print(json.dumps({
                 "frame": i,
-                "inliers": np.asarray(out.track_inliers).tolist(),
-                "residual": np.asarray(out.track_residual).tolist(),
-                "map_nodes": int(out.map_nodes),
-                "diverged": bool(out.diverged),
+                "inliers": host[21:21 + n_lvl].astype(int).tolist(),
+                "residual": host[21 + n_lvl:21 + 2 * n_lvl].tolist(),
+                "map_nodes": int(map_nodes),
+                "diverged": bool(host[20]),
             }))
         if auto_grow:
-            grow_nodes, grow_leaves = pipeline.needs_growth(out, cfg)
+            grow_nodes = (map_nodes > cfg.node_capacity * 3 // 4
+                          or host[19] > 0)
+            grow_leaves = map_leaves > cfg.leaf_capacity * 3 // 4
             if grow_nodes or grow_leaves:
                 state, cfg = pipeline.grow_state(
                     state, cfg, grow_nodes=grow_nodes,

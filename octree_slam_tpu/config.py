@@ -45,6 +45,12 @@ class SLAMConfig:
                                         # rgbd_camera.cpp:20,131-141)
 
     # --- Map / SVO (scene.cpp:94,101; svo.cu) ---
+    lazy_interior: bool = True          # defer the interior mipmap + dense
+                                        # mirror refresh on frames whose
+                                        # renderer reads only leaves (splat,
+                                        # slab cone): ~7 ms/frame; the exact
+                                        # marcher / extraction self-heal via
+                                        # refresh_interior (see pipeline)
     voxel_resolution: float = 0.01      # meters, SLAM-mode leaf size
     max_depth: int = 9                  # octree levels (<=10 for 30-bit keys)
     node_capacity: int = 1 << 21        # static node-pool capacity

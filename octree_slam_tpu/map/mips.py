@@ -176,6 +176,42 @@ def interleave3(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("max_depth", "dist_level", "max_skip"))
+def rebuild_from_pool(pool, *, max_depth: int, dist_level: int,
+                      max_skip: int = 15) -> RenderCache:
+    """Reconstruct the ENTIRE dense mirror (values + occupancy + distance
+    field) from the node pool — the one-shot companion of the lazy
+    interior mode (svo.insert(update_interior=False) skips per-frame
+    mirror updates; this rebuilds everything when the exact marcher or an
+    extraction next needs it).
+
+    One inverse-topology pass gives every allocated node its (level, key)
+    (svo.tile_topology), so the whole mirror is ONE pool-sized scatter at
+    flat = (8^level - 8)/7 + key."""
+    from octree_slam_tpu.map import svo as svo_mod
+
+    cap = pool.capacity
+    nt = cap // 8
+    _, level, tkey = svo_mod.tile_topology(pool, depth=max_depth)
+    node_lvl = jnp.repeat(level, 8)
+    node_key = ((tkey[:, None] << 3)
+                | jnp.arange(8, dtype=jnp.int32)[None, :]).reshape(-1)
+    total = total_cells(max_depth)
+    offset = ((jnp.int32(1) << (3 * node_lvl)) - 8) // 7
+    flat = jnp.where(node_lvl > 0, offset + node_key, total)
+    values = jnp.full((total,), packing.EMPTY_VALUE, jnp.uint32)
+    values = values.at[flat].set(pool.value, mode="drop")
+
+    g = 1 << dist_level
+    lo = level_offset(dist_level)
+    level_vals = jax.lax.dynamic_slice(values, (lo,), (g * g * g,))
+    perm = jnp.asarray(_morton_to_xyz_perm(dist_level))
+    occ = packing.is_occupied(level_vals)[perm]
+    dist = _dist_from_occ(occ.reshape(g, g, g), max_skip).reshape(-1)
+    return RenderCache(values=values, occ=occ, dist=dist)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_depth", "dist_level", "max_skip"))
 def rebuild_dist(values: jnp.ndarray, *, max_depth: int, dist_level: int,
                  max_skip: int = 7) -> jnp.ndarray:
     """Chebyshev distance (cells, saturated at max_skip) to the nearest

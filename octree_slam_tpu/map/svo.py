@@ -184,13 +184,15 @@ def _unique_compact(skeys, svalid, scolors_u8, unique_cap: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("depth", "unique_cap", "emit_mips", "shallow_level"))
+    static_argnames=("depth", "unique_cap", "emit_mips", "shallow_level",
+                     "update_interior"))
 def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
            valid: jnp.ndarray | None = None, *, depth: int,
            unique_cap: int = 1 << 16,
            emit_mips: bool = False,
            shallow_level: int = 6,
-           min_key: jnp.ndarray | None = None
+           min_key: jnp.ndarray | None = None,
+           update_interior: bool = True
            ) -> Tuple[SVONodePool, InsertStats]:
     """Fuse a colored point set into the octree at a static depth.
 
@@ -358,9 +360,13 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     new_leaf_nodes = jnp.zeros((U,), jnp.int32)
     new_leaf_nodes = new_leaf_nodes.at[nl_idx].set(cur, mode="drop")
 
-    # --- Bottom-up mipmap over unique parents, shrinking caps per level. ---
+    # --- Bottom-up mipmap over unique parents, shrinking caps per level.
     # Deepest parents first so shallower averages see refreshed children.
-    for level in range(depth - 1, 0, -1):
+    # With update_interior=False the whole refresh is DEFERRED: interior
+    # values (and their dense-mip mirror entries) go stale until
+    # refresh_interior runs — a ~7 ms/frame saving for consumers that only
+    # read leaves (splat, slab cone); see pipeline.SLAMState.interior_stale.
+    for level in (range(depth - 1, 0, -1) if update_interior else ()):
         prefix = morton.level_prefix(ukeys, depth, level)
         node = paths[level - 1]  # ancestor at `level` per unique-leaf row
         # the level-`level` node has a tile on this row's path iff the path
@@ -442,6 +448,68 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
         mip_val=mip_val,
     )
     return new_pool, stats
+
+
+@functools.partial(jax.jit, static_argnames=("depth",))
+def tile_topology(pool: SVONodePool, *, depth: int):
+    """Reconstruct per-tile (parent node, level, morton key) from the
+    child-pointer array alone — no bookkeeping is stored in the pool.
+
+    parent[t] = the node whose child pointer is tile t (one inverse
+    scatter); levels and keys then propagate root-down in depth-1 fused
+    gather rounds: level(t) = level(parent's tile) + 1 and
+    key(t) = key(parent's tile) << 3 | (parent & 7) (a node's octant is
+    its index within its 8-aligned tile). Tile 0 is the root tile
+    (level-1 nodes, key prefix 0). Unallocated tiles keep level 0.
+    Returns (parent i32[cap/8], level i32[cap/8], key i32[cap/8])."""
+    cap = pool.capacity
+    nt = cap // 8
+    idx = jnp.where(pool.child > 0, pool.child >> 3, nt)
+    parent = jnp.full((nt,), -1, jnp.int32).at[idx].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    level = jnp.zeros((nt,), jnp.int32).at[0].set(1)
+    key = jnp.zeros((nt,), jnp.int32)
+    for _ in range(depth - 1):
+        pt = jnp.clip(parent, 0, cap - 1) >> 3
+        pl = level[pt]
+        grow = (level == 0) & (parent >= 0) & (pl > 0)
+        level = jnp.where(grow, pl + 1, level)
+        key = jnp.where(grow, (key[pt] << 3) | (parent & 7), key)
+    return parent, level, key
+
+
+@functools.partial(jax.jit, static_argnames=("depth",))
+def refresh_interior(pool: SVONodePool, *, depth: int) -> SVONodePool:
+    """Recompute EVERY interior node value bottom-up from the current
+    leaves (averageChildren semantics, svo.cu:417-439: mean rgb over
+    occupied children, max alpha) — the one-shot companion of
+    insert(update_interior=False).
+
+    Works on whole tiles: each level pass is one row-reduce over the
+    tile-major value view plus one scatter to the parents of that level's
+    tiles — no per-unique compaction, O(depth) kernels over the pool."""
+    cap = pool.capacity
+    nt = cap // 8
+    parent, level, _ = tile_topology(pool, depth=depth)
+    value = pool.value
+    for lvl in range(depth, 1, -1):
+        kid = value.reshape(nt, 8)
+        r, g, b, a = packing.unpack_rgba8(kid)
+        occ = (a > packing.OCCUPIED_ALPHA).astype(jnp.float32)
+        n_occ = jnp.sum(occ, axis=1)
+        safe = jnp.maximum(n_occ, 1.0)
+        packed = packing.pack_rgba8(
+            (jnp.sum(r.astype(jnp.float32) * occ, 1) / safe).astype(
+                jnp.int32),
+            (jnp.sum(g.astype(jnp.float32) * occ, 1) / safe).astype(
+                jnp.int32),
+            (jnp.sum(b.astype(jnp.float32) * occ, 1) / safe).astype(
+                jnp.int32),
+            jnp.max(a, axis=1))
+        sel = (level == lvl) & (parent >= 0)
+        value = value.at[jnp.where(sel, parent, cap)].set(packed,
+                                                          mode="drop")
+    return pool._replace(value=value)
 
 
 def _reroot_dense_map(pre: int):

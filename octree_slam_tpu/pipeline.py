@@ -54,6 +54,8 @@ class SLAMState(NamedTuple):
     initialized: jnp.ndarray   # bool[] at least one frame ingested
     frame_idx: jnp.ndarray     # i32[]
     diverged: jnp.ndarray      # bool[] tracking lost at some frame
+    interior_stale: jnp.ndarray  # bool[] lazy frames deferred the interior
+                                 # mipmap + dense-mirror refresh
 
 
 class StepOutput(NamedTuple):
@@ -109,6 +111,7 @@ def init_state(cfg: SLAMConfig, map_center=(0.0, 0.0, 0.0),
         initialized=jnp.bool_(False),
         frame_idx=jnp.int32(0),
         diverged=jnp.bool_(False),
+        interior_stale=jnp.bool_(False),
     )
 
 
@@ -146,6 +149,11 @@ def grow_state(state: SLAMState, cfg: SLAMConfig, *,
 
     leaves = state.leaves
     if bool(leaves.overflowed):
+        # the registry rebuild extracts occupied leaves by BFS, which reads
+        # interior occupancy — refresh first if lazy frames deferred it
+        if bool(state.interior_stale):
+            pool = svo.refresh_interior(pool, depth=cfg.max_depth)
+            state = state._replace(pool=pool)
         # some first-seen leaves were never registered (appends are
         # first-write-only): rebuild the registry from the pool itself,
         # doubling until the full leaf set fits
@@ -211,26 +219,48 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
 
     # --- Fuse: full-res camera-frame points -> world -> SVO insert
     #     (main.cpp:39-44 -> svoFromPointCloud). ---
+    # Interior laziness: splat and the slab cone read only leaf values, so
+    # lazy frames skip the bottom-up mipmap and every dense-mirror update
+    # (~7 ms). An eager frame (the exact marcher, or lazy_interior=False)
+    # first self-heals any deferred staleness in one lax.cond.
+    eager = (not cfg.lazy_interior) or (render == "cone_march")
+    lvl = _accel_level(cfg)
+    pool_in, accel_in = state.pool, state.accel
+    if eager and cfg.lazy_interior:
+        def _heal(operand):
+            p, a = operand
+            p = svo.refresh_interior(p, depth=cfg.max_depth)
+            if cfg.use_dense_mips:
+                a = mips_mod.rebuild_from_pool(
+                    p, max_depth=cfg.max_depth, dist_level=lvl,
+                    max_skip=cfg.dist_max_skip)
+            return p, a
+
+        pool_in, accel_in = jax.lax.cond(
+            state.interior_stale, _heal, lambda o: o, (pool_in, accel_in))
+
     v = pyramid[0].vertex.reshape(-1, 3)
     world_pts = v @ pose[:3, :3].T + pose[:3, 3]
     colors = frame.color.reshape(-1, 3).astype(jnp.float32) / 255.0
-    lvl = _accel_level(cfg)
-    pool, istats = svo.insert(state.pool, world_pts, colors,
+    pool, istats = svo.insert(pool_in, world_pts, colors,
                               depth=cfg.max_depth,
                               unique_cap=cfg.insert_unique_cap,
-                              emit_mips=cfg.use_dense_mips,
-                              shallow_level=lvl)
+                              emit_mips=cfg.use_dense_mips and eager,
+                              shallow_level=lvl,
+                              update_interior=eager)
     leaves = append_new_leaves(state.leaves, istats)
 
-    if cfg.use_dense_mips:
+    if cfg.use_dense_mips and eager:
         # Dense-mip render cache (map/mips.py): mirror this insert's touched
         # values and occupancy, refresh the empty-space distance field.
         # Only the exact marcher reads `dist`; the slab cone splatter and
         # the splat view never touch it.
-        accel = mips_mod.update(state.accel, istats.mip_idx, istats.mip_val,
+        accel = mips_mod.update(accel_in, istats.mip_idx, istats.mip_val,
                                 max_depth=cfg.max_depth, dist_level=lvl,
                                 max_skip=cfg.dist_max_skip,
                                 with_dist=(render == "cone_march"))
+    elif cfg.use_dense_mips:
+        accel = accel_in  # mirror deferred with the interiors
     else:
         # Entry grid refresh: child pointers are write-once, so the cached
         # per-cell entry nodes only go stale when a tile appears at a
@@ -238,7 +268,7 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
         accel = jax.lax.cond(
             istats.shallow_allocs > 0,
             lambda: raycast.build_accel(pool, level=lvl),
-            lambda: state.accel)
+            lambda: accel_in)
 
     # --- Render the map from the tracked pose. ---
     if render == "cone":
@@ -293,6 +323,7 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
         initialized=jnp.bool_(True),
         frame_idx=state.frame_idx + 1,
         diverged=diverged,
+        interior_stale=jnp.bool_(not eager),
     )
     out = StepOutput(
         framebuffer=fb,
@@ -324,16 +355,20 @@ def insert_remainder(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     world_pts = v @ state.pose[:3, :3].T + state.pose[:3, 3]
     colors = frame.color.reshape(-1, 3).astype(jnp.float32) / 255.0
     lvl = _accel_level(cfg)
+    eager = not cfg.lazy_interior
     pool, istats = svo.insert(state.pool, world_pts, colors,
                               depth=cfg.max_depth,
                               unique_cap=cfg.insert_unique_cap,
-                              emit_mips=cfg.use_dense_mips,
-                              shallow_level=lvl, min_key=min_key)
+                              emit_mips=cfg.use_dense_mips and eager,
+                              shallow_level=lvl, min_key=min_key,
+                              update_interior=eager)
     leaves = append_new_leaves(state.leaves, istats)
-    if cfg.use_dense_mips:
+    if cfg.use_dense_mips and eager:
         accel = mips_mod.update(state.accel, istats.mip_idx, istats.mip_val,
                                 max_depth=cfg.max_depth, dist_level=lvl,
                                 max_skip=cfg.dist_max_skip, with_dist=False)
+    elif cfg.use_dense_mips:
+        accel = state.accel
     else:
         accel = jax.lax.cond(
             istats.shallow_allocs > 0,

@@ -55,8 +55,11 @@ class TestRunSlam:
         assert not bool(state.pool.overflowed)
         assert not bool(state.leaves.overflowed)
         # registry rebuilt after its overflow: count matches the map
+        # (extraction BFS needs interiors, which lazy frames defer)
         from octree_slam_tpu.map import svo as svo_mod
-        ex = svo_mod.extract_voxels(state.pool, depth=cfg.max_depth,
+        pool = (svo_mod.refresh_interior(state.pool, depth=cfg.max_depth)
+                if bool(state.interior_stale) else state.pool)
+        ex = svo_mod.extract_voxels(pool, depth=cfg.max_depth,
                                     capacity=1 << 14)
         assert int(state.leaves.count) == int(ex.count)
 
