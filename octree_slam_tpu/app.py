@@ -35,6 +35,9 @@ class RunResult:
     diverged: bool = False
     map_nodes: int = 0
     frames: int = 0
+    spilled_leaves: int = 0     # host-tier traffic (cfg.host_spill)
+    restored_leaves: int = 0
+    archived_cells: int = 0     # cells still in host RAM at run end
 
 
 def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
@@ -53,11 +56,18 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
     list, the final SLAMState is appended for checkpointing. With
     auto_grow, the node pool / leaf registry double when 3/4 full (the
     reference's per-insert realloc, svo.cu:609-614, amortized; each
-    doubling recompiles the step since shapes change).
+    doubling recompiles the step since shapes change). With
+    cfg.host_spill, filling the pool first archives cold regions to host
+    RAM (map/tiering.py — the pushToGPU/pullToCPU analog) and only grows
+    when everything is hot; archived regions restore as the camera nears.
     """
     state = (initial_state if initial_state is not None
              else pipeline.init_state(cfg, map_center=map_center,
                                       initial_pose=initial_pose))
+    archive = None
+    if cfg.host_spill:
+        from octree_slam_tpu.map import tiering
+        archive = tiering.HostArchive(cfg.tier_level)
     # Donating hot-loop step: the previous state's buffers are recycled
     # in place (map updates without a 12MB pool copy per frame). Safe here
     # because this loop is the only holder of `state`.
@@ -128,10 +138,41 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
                 "map_nodes": int(map_nodes),
                 "diverged": bool(host[20]),
             }))
+        if archive is not None and len(archive):
+            # archived-cell restore check: pure host math (no device read)
+            old_cfg = cfg
+            from octree_slam_tpu.map import tiering
+            state, cfg, n_rest = tiering.restore_due(
+                state, cfg, archive, camera_pos=pose_np[:3, 3])
+            if n_rest:
+                if cfg is not old_cfg:
+                    donating.clear()
+                result.restored_leaves += n_rest
+                print(json.dumps({
+                    "frame": i, "event": "map_restore", "leaves": n_rest,
+                    "archived_cells": len(archive)}))
         if auto_grow:
             grow_nodes = (map_nodes > cfg.node_capacity * 3 // 4
                           or host[19] > 0)
             grow_leaves = map_leaves > cfg.leaf_capacity * 3 // 4
+            if grow_nodes and archive is not None:
+                # HBM pressure: archive cold regions before growing
+                from octree_slam_tpu.map import tiering
+                old_cfg = cfg
+                state, cfg, n_spill = tiering.spill_cold(
+                    state, cfg, archive, camera_pos=pose_np[:3, 3])
+                if n_spill:
+                    if cfg is not old_cfg:
+                        donating.clear()
+                    result.spilled_leaves += n_spill
+                    grow_nodes = (int(state.pool.n_nodes)
+                                  > cfg.node_capacity * 3 // 4)
+                    grow_leaves = (int(state.leaves.count)
+                                   > cfg.leaf_capacity * 3 // 4)
+                    print(json.dumps({
+                        "frame": i, "event": "map_spill",
+                        "leaves": n_spill, "archived_cells": len(archive),
+                        "map_nodes": int(state.pool.n_nodes)}))
             if grow_nodes or grow_leaves:
                 state, cfg = pipeline.grow_state(
                     state, cfg, grow_nodes=grow_nodes,
@@ -148,6 +189,8 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
     result.frames = n_frames
     result.diverged = bool(out.diverged)
     result.map_nodes = int(out.map_nodes)
+    if archive is not None:
+        result.archived_cells = len(archive)
     if result.gt_poses and len(result.gt_poses) == len(result.poses):
         result.ate_rmse = metrics.ate_rmse(
             np.stack(result.poses), np.stack(result.gt_poses))
@@ -208,6 +251,14 @@ def main(argv=None):
     p.add_argument("--node-capacity", type=int, default=None,
                    help="static SVO node-pool size (power of two; "
                         "default from SLAMConfig)")
+    p.add_argument("--host-spill", action="store_true",
+                   help="archive cold map regions to host RAM when the "
+                        "node pool fills instead of growing HBM use "
+                        "(map/tiering.py); regions restore as the camera "
+                        "approaches them")
+    p.add_argument("--spill-keep-radius", type=float, default=None,
+                   help="meters: cells with a leaf within this camera "
+                        "distance stay resident (default SLAMConfig)")
     p.add_argument("--save-dir", type=str, default=None)
     p.add_argument("--save-state", type=str, default=None,
                    help="write the full SLAM state (map + pose) to this "
@@ -232,6 +283,11 @@ def main(argv=None):
             "leaf_capacity": args.node_capacity // 4,
             "extract_capacity": args.node_capacity // 8}
            if args.node_capacity else {})
+    if args.host_spill:
+        cap["host_spill"] = True
+        if args.spill_keep_radius is not None:
+            cap["spill_keep_radius"] = args.spill_keep_radius
+            cap["restore_radius"] = max(0.0, args.spill_keep_radius - 1.0)
     if args.source == "orbit":
         from octree_slam_tpu.sensor import sources
         cfg = SLAMConfig(width=args.width, height=args.height,

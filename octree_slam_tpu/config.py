@@ -76,6 +76,21 @@ class SLAMConfig:
     cone_max_scale: int = 8             # coarsest slab raster decimation
     fov: float = 45.0                   # degrees (vertical), for pix footprint
 
+    # --- Host tiering (map/tiering.py; the reference's CPU/GPU subtree
+    #     tiering, pushToGPU/pullToCPU octree.cpp:41-111) ---
+    host_spill: bool = False            # archive cold map regions to host
+                                        # RAM when the pool fills, instead
+                                        # of doubling HBM capacity
+    tier_level: int = 3                 # morton level of spill/restore
+                                        # cells (8^level cells per volume)
+    spill_keep_radius: float = 12.0     # m: a cell with any leaf within
+                                        # this camera distance stays in HBM
+    restore_radius: float = 11.0        # m: archived cells entering this
+                                        # radius are restored (should be
+                                        # > max_range so a region is live
+                                        # before it can be re-observed;
+                                        # keep > restore for hysteresis)
+
     # --- Mesh voxelization (voxelization.cu:24-25: GRID_RES=8 -> 256^3) ---
     vox_log_n: int = 8                  # grid is (1<<vox_log_n)^3 voxels
     vox_tri_budget: int = 512           # static per-triangle candidate voxels

@@ -182,58 +182,25 @@ def _unique_compact(skeys, svalid, scolors_u8, unique_cap: int):
     return ukeys, mean_rgb, ulive, u_count
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("depth", "unique_cap", "emit_mips", "shallow_level",
-                     "update_interior"))
-def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
-           valid: jnp.ndarray | None = None, *, depth: int,
-           unique_cap: int = 1 << 16,
-           emit_mips: bool = False,
-           shallow_level: int = 6,
-           min_key: jnp.ndarray | None = None,
-           update_interior: bool = True
-           ) -> Tuple[SVONodePool, InsertStats]:
-    """Fuse a colored point set into the octree at a static depth.
+class _AllocOut(NamedTuple):
+    """Result of the shared descend+allocate phases (see _descend_alloc)."""
 
-    points: f32[N,3] world coords; colors: f32[N,3] in [0,1];
-    valid: optional bool[N] extra validity gate. unique_cap bounds the
-    distinct leaf voxels per insert; because uniques are processed in
-    sorted key order, a frame with more is handled EXACTLY by re-running
-    with min_key = the previous pass's stats.last_key (a dynamic scalar:
-    no recompile) until unique_overflow clears — each leaf still blends
-    once (the reference's fillNodes handles all points in one kernel,
-    svo.cu:642-696; here capacity is static so the tail pages through).
-    Semantics follow svoFromPointCloud: allocate missing interior tiles
-    along each key path, alpha-blend leaf colors, re-mipmap interior
-    values along the touched paths.
-    """
-    cap = pool.capacity
-    U = unique_cap
+    child: jnp.ndarray            # i32[cap] updated child-pointer array
+    n_nodes: jnp.ndarray          # i32[]   updated allocation cursor
+    paths: tuple                  # i32[U] node index at level 1..depth
+    reached: tuple                # bool[U] path valid down to that level
+    n_new_tiles: jnp.ndarray      # i32[]  tiles allocated
+    shallow_allocs: jnp.ndarray   # i32[]  new tiles at levels <= shallow_level
 
-    keys, key_valid = morton.encode(points, pool.center, pool.half_size, depth)
-    if valid is not None:
-        key_valid = key_valid & valid
-    if min_key is not None:
-        key_valid = key_valid & (keys > min_key)
-    keys = jnp.where(key_valid, keys, morton.INVALID_KEY)
 
-    # One sort carries the color payload packed into an int32 (colors are
-    # blended at 8-bit anyway, svo.cu:318-332).
-    c8 = jnp.clip(jnp.round(colors * 255.0), 0, 255).astype(jnp.int32)
-    packed = c8[:, 0] | (c8[:, 1] << 8) | (c8[:, 2] << 16)
-    skeys, spacked = jax.lax.sort_key_val(keys, packed)
-    svalid = skeys != morton.INVALID_KEY
-    sc = jnp.stack(
-        [spacked & 0xFF, (spacked >> 8) & 0xFF, (spacked >> 16) & 0xFF],
-        axis=-1).astype(jnp.float32)
-
-    ukeys, mean_rgb, ulive, u_count = _unique_compact(skeys, svalid, sc, U)
-
-    child = pool.child
-    value = pool.value
-    n_nodes = pool.n_nodes
-
+def _descend_alloc(child: jnp.ndarray, n_nodes: jnp.ndarray,
+                   ukeys: jnp.ndarray, ulive: jnp.ndarray, *, cap: int,
+                   depth: int, shallow_level: int) -> _AllocOut:
+    """Phases 1-2 of insertion, shared by `insert` and `insert_exact`:
+    descend the existing tree once per unique sorted key, then batch-allocate
+    every missing interior tile across all levels with one cumsum (the
+    TPU-native prepassCheckResize + expandTreeAtKeys, svo.cu:179-289).
+    See the phase comments inline."""
     # --- Phase 1: descend the EXISTING tree once per unique (the only
     # irreducible pointer chase: dependent gathers). The shallow levels are
     # dense-preallocated with a fixed layout (create), so their node
@@ -292,7 +259,6 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     fits = tile_base + 8 <= cap
     alloc = need & fits
     n_new = jnp.sum(alloc.astype(jnp.int32))
-    total_new = n_new
     shallow = jnp.sum(
         (alloc & (levels <= shallow_level)).astype(jnp.int32))
 
@@ -330,10 +296,72 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     child = child.at[scatter_idx].set(tile_base.reshape(-1), mode="drop")
     n_nodes = n_nodes + 8 * n_new
 
-    paths = path_old[:mat_lo] + [node_at[i] for i in range(depth - mat_lo)]
-    reached_per_level = [ulive] * mat_lo \
-        + [reached_m[i] for i in range(depth - mat_lo)]
-    cur = node_at[-1]
+    paths = tuple(path_old[:mat_lo]) \
+        + tuple(node_at[i] for i in range(depth - mat_lo))
+    reached = (ulive,) * mat_lo \
+        + tuple(reached_m[i] for i in range(depth - mat_lo))
+    return _AllocOut(child=child, n_nodes=n_nodes, paths=paths,
+                     reached=reached, n_new_tiles=n_new,
+                     shallow_allocs=shallow)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "unique_cap", "emit_mips", "shallow_level",
+                     "update_interior"))
+def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
+           valid: jnp.ndarray | None = None, *, depth: int,
+           unique_cap: int = 1 << 16,
+           emit_mips: bool = False,
+           shallow_level: int = 6,
+           min_key: jnp.ndarray | None = None,
+           update_interior: bool = True
+           ) -> Tuple[SVONodePool, InsertStats]:
+    """Fuse a colored point set into the octree at a static depth.
+
+    points: f32[N,3] world coords; colors: f32[N,3] in [0,1];
+    valid: optional bool[N] extra validity gate. unique_cap bounds the
+    distinct leaf voxels per insert; because uniques are processed in
+    sorted key order, a frame with more is handled EXACTLY by re-running
+    with min_key = the previous pass's stats.last_key (a dynamic scalar:
+    no recompile) until unique_overflow clears — each leaf still blends
+    once (the reference's fillNodes handles all points in one kernel,
+    svo.cu:642-696; here capacity is static so the tail pages through).
+    Semantics follow svoFromPointCloud: allocate missing interior tiles
+    along each key path, alpha-blend leaf colors, re-mipmap interior
+    values along the touched paths.
+    """
+    cap = pool.capacity
+    U = unique_cap
+
+    keys, key_valid = morton.encode(points, pool.center, pool.half_size, depth)
+    if valid is not None:
+        key_valid = key_valid & valid
+    if min_key is not None:
+        key_valid = key_valid & (keys > min_key)
+    keys = jnp.where(key_valid, keys, morton.INVALID_KEY)
+
+    # One sort carries the color payload packed into an int32 (colors are
+    # blended at 8-bit anyway, svo.cu:318-332).
+    c8 = jnp.clip(jnp.round(colors * 255.0), 0, 255).astype(jnp.int32)
+    packed = c8[:, 0] | (c8[:, 1] << 8) | (c8[:, 2] << 16)
+    skeys, spacked = jax.lax.sort_key_val(keys, packed)
+    svalid = skeys != morton.INVALID_KEY
+    sc = jnp.stack(
+        [spacked & 0xFF, (spacked >> 8) & 0xFF, (spacked >> 16) & 0xFF],
+        axis=-1).astype(jnp.float32)
+
+    ukeys, mean_rgb, ulive, u_count = _unique_compact(skeys, svalid, sc, U)
+
+    value = pool.value
+
+    out = _descend_alloc(pool.child, pool.n_nodes, ukeys, ulive,
+                         cap=cap, depth=depth, shallow_level=shallow_level)
+    child, n_nodes = out.child, out.n_nodes
+    total_new, shallow = out.n_new_tiles, out.shallow_allocs
+    paths = list(out.paths)
+    reached_per_level = list(out.reached)
+    cur = paths[-1]
     reached = reached_per_level[-1]
 
     # --- Leaf blend (uniques are already deduplicated). ---
@@ -446,6 +474,98 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
         touched_leaf_vals=blended,
         mip_idx=mip_idx,
         mip_val=mip_val,
+    )
+    return new_pool, stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "unique_cap", "shallow_level", "overwrite"))
+def insert_exact(pool: SVONodePool, keys: jnp.ndarray, values: jnp.ndarray,
+                 *, depth: int, unique_cap: int = 1 << 16,
+                 min_key: jnp.ndarray | None = None,
+                 shallow_level: int = 6,
+                 overwrite: bool = True) -> Tuple[SVONodePool, InsertStats]:
+    """Bulk value-exact leaf write: the restore half of host tiering.
+
+    Unlike `insert` (the sensor-fusion path: segment means + alpha blend +
+    interior mipmap, fillNodes svo.cu:291-382), this writes each unique
+    leaf's packed RGBA8 word VERBATIM — the device half of the reference's
+    pushToGPU re-serialization (octree.cpp:41-79, addToLinearTree :130-152),
+    which likewise transfers stored node words rather than re-observing
+    them. Missing interior tiles are allocated exactly as in `insert`.
+    Interior values are NOT recomputed here: callers run `refresh_interior`
+    (bit-identical to the eager mipmap) or inherit the lazy-interior stale
+    flag protocol.
+
+    keys: i32[N] leaf morton keys at `depth` (< 0 or INVALID_KEY = skip);
+    values: u32[N] packed RGBA8. Duplicate keys take the value sorted
+    first. Frames with more than `unique_cap` distinct keys page EXACTLY
+    like insert: re-run with min_key = stats.last_key until
+    stats.unique_overflow clears.
+
+    overwrite=False writes only leaves still at the fresh-node word
+    (EMPTY_VALUE): a restore of an archived region never clobbers a leaf
+    the camera re-observed while the region was spilled — live data is
+    newer than the archive.
+    """
+    cap = pool.capacity
+    U = unique_cap
+    keys = jnp.asarray(keys, jnp.int32)
+    values = jnp.asarray(values, jnp.uint32)
+    key_valid = (keys >= 0) & (keys != morton.INVALID_KEY)
+    if min_key is not None:
+        key_valid = key_valid & (keys > min_key)
+    k = jnp.where(key_valid, keys, morton.INVALID_KEY)
+    skeys, svals = jax.lax.sort_key_val(k, values)
+    svalid = skeys != morton.INVALID_KEY
+    first = compaction.first_occurrence(skeys, svalid)
+    ranks, u_count = compaction.exclusive_ranks(first)
+    idx_u = jnp.where(first, ranks, U)
+    ukeys = jnp.full((U,), morton.INVALID_KEY, jnp.int32)
+    ukeys = ukeys.at[idx_u].set(skeys, mode="drop")
+    uvals = jnp.zeros((U,), jnp.uint32).at[idx_u].set(svals, mode="drop")
+    ulive = (jnp.arange(U) < jnp.minimum(u_count, U)) \
+        & (ukeys != morton.INVALID_KEY)
+
+    out = _descend_alloc(pool.child, pool.n_nodes, ukeys, ulive,
+                         cap=cap, depth=depth, shallow_level=shallow_level)
+    cur = out.paths[-1]
+    leaf_ok = ulive & out.reached[-1]
+    old = pool.value[cur]
+    is_new_leaf = leaf_ok & (old == packing.EMPTY_VALUE)
+    write_ok = leaf_ok if overwrite else is_new_leaf
+    value = pool.value.at[jnp.where(write_ok, cur, cap)].set(
+        uvals, mode="drop")
+    final_vals = jnp.where(write_ok, uvals, old)
+    nl_ranks, nl_count = compaction.exclusive_ranks(is_new_leaf)
+    nl_idx = jnp.where(is_new_leaf, nl_ranks, U)
+    new_leaf_keys = jnp.full((U,), -1, jnp.int32)
+    new_leaf_keys = new_leaf_keys.at[nl_idx].set(ukeys, mode="drop")
+    new_leaf_nodes = jnp.zeros((U,), jnp.int32)
+    new_leaf_nodes = new_leaf_nodes.at[nl_idx].set(cur, mode="drop")
+
+    unique_overflow = u_count > U
+    pool_overflowed = pool.overflowed | (out.n_nodes + 8 > cap)
+    last_key = ukeys[jnp.clip(jnp.minimum(u_count, U) - 1, 0, U - 1)]
+    new_pool = pool._replace(child=out.child, value=value,
+                             n_nodes=out.n_nodes,
+                             overflowed=pool_overflowed)
+    stats = InsertStats(
+        new_nodes=8 * out.n_new_tiles,
+        n_valid=jnp.sum(key_valid.astype(jnp.int32)),
+        n_unique=jnp.minimum(u_count, U),
+        overflowed=pool_overflowed | unique_overflow,
+        unique_overflow=unique_overflow,
+        last_key=last_key,
+        shallow_allocs=out.shallow_allocs,
+        new_leaf_keys=new_leaf_keys,
+        new_leaf_nodes=new_leaf_nodes,
+        new_leaf_count=jnp.minimum(nl_count, U),
+        touched_leaf_nodes=jnp.where(leaf_ok, cur, -1),
+        touched_leaf_vals=final_vals,
+        mip_idx=jnp.full((1,), jnp.int32(2**31 - 1), jnp.int32),
+        mip_val=jnp.zeros((1,), jnp.uint32),
     )
     return new_pool, stats
 

@@ -1,0 +1,252 @@
+"""Host-RAM tiering of cold map regions — HBM as a working set.
+
+The reference keeps the octree hybrid CPU/GPU: `pushToGPU` serializes a
+subtree into the linear device array and `pullToCPU` deserializes it back,
+so only the active subtree occupies device memory (octree.cpp:41-111,
+`on_gpu_` flag octree.h:60). The TPU rebuild's pool is one static-shape HBM
+array, so tiering is expressed at the *region* level instead of the
+*subtree-pointer* level:
+
+  * The volume is partitioned into level-`tier_level` morton cells
+    (8^level cells). A cell is COLD when every leaf in it is farther than
+    `spill_keep_radius` from the camera.
+  * `spill_cold` extracts all leaves with their EXACT packed values,
+    archives the cold cells' (key, value) arrays in host RAM, and rebuilds
+    the pool from the kept leaves (svo.insert_exact — value-verbatim, the
+    pushToGPU re-serialization). Node count drops by the cold regions'
+    share; the freed slots become insert headroom, so a bounded HBM pool
+    can map an unbounded trajectory.
+  * `restore_due` re-inserts archived cells whose center enters
+    `restore_radius` (pullToCPU + pushToGPU of the revisited subtree).
+    Restores never clobber leaves re-observed while spilled
+    (insert_exact(overwrite=False)); with restore_radius > max_range a
+    region is live again before the camera can even see it.
+
+Both operations are host-triggered between frames (like pipeline.grow_state)
+and leave the SLAMState fully consistent: leaf registry rebuilt/appended,
+interiors refreshed or flagged stale per the lazy-interior protocol, accel
+structures rebuilt (pool rebuild invalidates node indices).
+
+The spill→restore round trip is bit-exact for every leaf value, and
+interiors follow bit-identically via refresh_interior (tests/test_tiering.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from octree_slam_tpu.config import SLAMConfig
+from octree_slam_tpu.map import morton, svo
+from octree_slam_tpu.map import mips as mips_mod
+from octree_slam_tpu.render import raycast
+from octree_slam_tpu.render.splat import LeafList, append_new_leaves
+
+
+class HostArchive:
+    """Host-RAM store of spilled cells: level-`level` morton prefix ->
+    (leaf keys i32[n], packed values u32[n]) numpy arrays."""
+
+    def __init__(self, level: int):
+        self.level = level
+        self.cells: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    @property
+    def n_leaves(self) -> int:
+        return sum(k.size for k, _ in self.cells.values())
+
+    def __len__(self) -> int:
+        return len(self.cells)
+
+    def add(self, prefix: int, keys: np.ndarray, vals: np.ndarray) -> None:
+        if prefix in self.cells:
+            # merge, new spill wins on duplicate keys (it is newer)
+            ok, ov = self.cells[prefix]
+            stale = ~np.isin(ok, keys)
+            keys = np.concatenate([keys, ok[stale]])
+            vals = np.concatenate([vals, ov[stale]])
+        self.cells[prefix] = (keys, vals)
+
+    def take(self, prefixes) -> Tuple[np.ndarray, np.ndarray]:
+        ks, vs = [], []
+        for p in prefixes:
+            k, v = self.cells.pop(p)
+            ks.append(k)
+            vs.append(v)
+        if not ks:
+            return (np.zeros((0,), np.int32), np.zeros((0,), np.uint32))
+        return np.concatenate(ks), np.concatenate(vs)
+
+    def cell_centers(self, center, half_size) -> Tuple[np.ndarray, np.ndarray]:
+        """(prefixes i64[m], centers f32[m,3]) of all archived cells."""
+        pfx = np.fromiter(self.cells.keys(), np.int32,
+                          count=len(self.cells))
+        if pfx.size == 0:
+            return pfx, np.zeros((0, 3), np.float32)
+        c = morton.decode_centers(jnp.asarray(pfx), jnp.asarray(center),
+                                  half_size, self.level)
+        return pfx, np.asarray(c)
+
+
+def _leaf_snapshot(state, cfg: SLAMConfig):
+    """(pool, keys np.i32[n], exact values np.u32[n]) of every occupied
+    leaf; refreshes interiors first (extraction BFS reads occupancy)."""
+    pool = state.pool
+    if bool(state.interior_stale):
+        pool = svo.refresh_interior(pool, depth=cfg.max_depth)
+    cap = max(cfg.extract_capacity, cfg.leaf_capacity)
+    while True:
+        ex = svo.extract_voxels(pool, depth=cfg.max_depth, capacity=cap)
+        n = int(ex.count)
+        if n < cap:
+            break
+        cap *= 2
+    keys = np.asarray(ex.keys[:n])
+    nodes = np.asarray(ex.nodes[:n])
+    live = nodes >= 0
+    vals = np.asarray(pool.value)[np.maximum(nodes, 0)]
+    return pool, keys[live], vals[live]
+
+
+def _insert_all_exact(pool, keys: np.ndarray, vals: np.ndarray,
+                      cfg: SLAMConfig, *, overwrite: bool):
+    """Chunked value-verbatim bulk write (keys need not be sorted but must
+    be distinct across chunks — sort once here so chunks never share a
+    key). Returns (pool, merged stats list)."""
+    order = np.argsort(keys, kind="stable")
+    keys, vals = keys[order], vals[order]
+    U = cfg.insert_unique_cap
+    stats_list = []
+    lvl = max(1, min(cfg.accel_level, cfg.max_depth - 2))
+    for i in range(0, max(keys.size, 1), U):
+        ck = np.full((U,), morton.INVALID_KEY, np.int32)
+        cv = np.zeros((U,), np.uint32)
+        chunk = keys[i:i + U]
+        ck[:chunk.size] = chunk
+        cv[:chunk.size] = vals[i:i + U]
+        pool, st = svo.insert_exact(pool, jnp.asarray(ck), jnp.asarray(cv),
+                                    depth=cfg.max_depth, unique_cap=U,
+                                    shallow_level=lvl, overwrite=overwrite)
+        stats_list.append(st)
+    return pool, stats_list
+
+
+def _rebuild_derived(state, cfg: SLAMConfig, pool):
+    """Fully refresh everything derived from a REBUILT pool (node indices
+    changed): interiors, leaf registry, render accel."""
+    pool = svo.refresh_interior(pool, depth=cfg.max_depth)
+    lvl = max(1, min(cfg.accel_level, cfg.max_depth - 2))
+    cap = cfg.leaf_capacity
+    while True:
+        ex = svo.extract_voxels(pool, depth=cfg.max_depth, capacity=cap)
+        if int(ex.count) < cap:
+            break
+        cap *= 2
+    live = jnp.asarray(ex.nodes) >= 0
+    nodes = jnp.where(live, ex.nodes, 0)
+    node2pos = jnp.full((cfg.node_capacity,), -1, jnp.int32)
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    node2pos = node2pos.at[
+        jnp.where(live, nodes, cfg.node_capacity)].set(pos, mode="drop")
+    leaves = LeafList(
+        keys=ex.keys, nodes=nodes,
+        vals=jnp.where(live, pool.value[nodes], 0),
+        node2pos=node2pos, count=ex.count,
+        overflowed=ex.count >= cap)
+    accel = (mips_mod.rebuild_from_pool(pool, max_depth=cfg.max_depth,
+                                        dist_level=lvl,
+                                        max_skip=cfg.dist_max_skip)
+             if cfg.use_dense_mips
+             else raycast.build_accel(pool, level=lvl))
+    import dataclasses
+    new_cfg = cfg if cap == cfg.leaf_capacity else dataclasses.replace(
+        cfg, leaf_capacity=cap)
+    return state._replace(pool=pool, leaves=leaves, accel=accel,
+                          interior_stale=jnp.bool_(False)), new_cfg
+
+
+def spill_cold(state, cfg: SLAMConfig, archive: HostArchive, *,
+               camera_pos) -> Tuple[object, SLAMConfig, int]:
+    """Archive every cold tier cell to host RAM and rebuild the pool from
+    the kept leaves. Returns (state, cfg, n_leaves_spilled); a no-op
+    (0 spilled) when every cell has a leaf within spill_keep_radius."""
+    assert archive.level == cfg.tier_level
+    pool, keys, vals = _leaf_snapshot(state, cfg)
+    state = state._replace(pool=pool, interior_stale=jnp.bool_(False))
+    if keys.size == 0:
+        return state, cfg, 0
+
+    centers = np.asarray(morton.decode_centers(
+        jnp.asarray(keys), pool.center, pool.half_size, cfg.max_depth))
+    d = np.linalg.norm(centers - np.asarray(camera_pos, np.float32), axis=1)
+    shift = 3 * (cfg.max_depth - cfg.tier_level)
+    pfx = keys >> shift
+    # cell min-distance via sorted segment reduction
+    order = np.argsort(pfx, kind="stable")
+    spfx, sd = pfx[order], d[order]
+    starts = np.flatnonzero(np.concatenate(
+        [[True], spfx[1:] != spfx[:-1]]))
+    cell_min = np.minimum.reduceat(sd, starts)
+    cold_cells = spfx[starts][cell_min > cfg.spill_keep_radius]
+    if cold_cells.size == 0:
+        return state, cfg, 0
+
+    cold = np.isin(pfx, cold_cells)
+    for p in cold_cells:
+        m = pfx == p
+        archive.add(int(p), keys[m].copy(), vals[m].copy())
+
+    fresh = svo.create(cfg.node_capacity, pool.center, pool.half_size)
+    fresh, _ = _insert_all_exact(fresh, keys[~cold], vals[~cold], cfg,
+                                 overwrite=True)
+    state, cfg = _rebuild_derived(state, cfg, fresh)
+    return state, cfg, int(np.sum(cold))
+
+
+def restore_due(state, cfg: SLAMConfig, archive: HostArchive, *,
+                camera_pos) -> Tuple[object, SLAMConfig, int]:
+    """Re-insert archived cells whose center entered restore_radius.
+    Returns (state, cfg, n_leaves_restored)."""
+    assert archive.level == cfg.tier_level
+    pfx, centers = archive.cell_centers(state.pool.center,
+                                        state.pool.half_size)
+    if pfx.size == 0:
+        return state, cfg, 0
+    d = np.linalg.norm(centers - np.asarray(camera_pos, np.float32), axis=1)
+    due = pfx[d <= cfg.restore_radius]
+    if due.size == 0:
+        return state, cfg, 0
+    keys, vals = archive.take(int(p) for p in due)
+
+    pool, stats_list = _insert_all_exact(state.pool, keys, vals, cfg,
+                                         overwrite=False)
+    leaves = state.leaves
+    for st in stats_list:
+        leaves = append_new_leaves(leaves, st)
+    state = state._replace(pool=pool, leaves=leaves,
+                           interior_stale=jnp.bool_(True))
+    if bool(pool.overflowed) or bool(leaves.overflowed):
+        # restored region outran capacity: fall back to the growth path
+        from octree_slam_tpu import pipeline
+        state = state._replace(pool=pool._replace(
+            overflowed=jnp.bool_(False)))
+        state, cfg = pipeline.grow_state(
+            state, cfg, grow_nodes=bool(pool.overflowed),
+            grow_leaves=bool(leaves.overflowed))
+    # Accel freshness: restore only ADDS tiles, so node indices stay valid,
+    # but the entry grid / dense mirror are stale. Lazy+dense configs heal
+    # in-step off the stale flag; everything else refreshes here (rare op).
+    lvl = max(1, min(cfg.accel_level, cfg.max_depth - 2))
+    if not cfg.use_dense_mips:
+        state = state._replace(
+            accel=raycast.build_accel(state.pool, level=lvl))
+    if not cfg.lazy_interior:
+        pool = svo.refresh_interior(state.pool, depth=cfg.max_depth)
+        state = state._replace(pool=pool, interior_stale=jnp.bool_(False))
+        if cfg.use_dense_mips:
+            state = state._replace(accel=mips_mod.rebuild_from_pool(
+                pool, max_depth=cfg.max_depth, dist_level=lvl,
+                max_skip=cfg.dist_max_skip))
+    return state, cfg, int(keys.size)
