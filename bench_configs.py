@@ -275,6 +275,49 @@ def config_cone_1080p(n_frames=8):
     }))
 
 
+def config_depth10(n_frames=8):
+    """Depth-10 regime (1 cm leaves, 10.24 m volume): the dense-mip mirror
+    would cost 4.9 GB at this depth (map/mips.py), so it is OFF; splat and
+    the slab cone read only the leaf registry, so the deep-map fallback is
+    the PRODUCTION cone path, not the slow pointer-descent marcher."""
+    from octree_slam_tpu import pipeline
+    from octree_slam_tpu.sensor import sources
+
+    cfg = SLAMConfig(width=640, height=480, max_depth=10,
+                     voxel_resolution=0.01, use_dense_mips=False,
+                     node_capacity=1 << 21, leaf_capacity=1 << 18,
+                     insert_unique_cap=1 << 16)
+    scene = sources.default_scene()
+    frames = []
+    gts = []
+    for i in range(n_frames):
+        gt = sources.orbit_pose(i * 0.01, radius=2.0)
+        f = sources.render_frame(scene, gt, cfg.focal_x, cfg.focal_y,
+                                 width=cfg.width, height=cfg.height)
+        sync(f.depth)
+        frames.append(f)
+        gts.append(gt)
+    state = pipeline.init_state(cfg, initial_pose=gts[0])
+    step = jax.jit(lambda s, f: pipeline.step(s, f, cfg, render="cone"),
+                   donate_argnums=0)
+    for i in range(2):
+        state, out = step(state, frames[i])
+    sync(out.framebuffer)
+    fl = sync_floor()
+    t0 = time.perf_counter()
+    for i in range(2, n_frames):
+        state, out = step(state, frames[i])
+    sync(out.framebuffer)
+    dt = (time.perf_counter() - t0 - fl) / (n_frames - 2)
+    print(json.dumps({
+        "config": "depth10_track_fuse_cone", "metric":
+        "track_fuse_cone_fps_depth10", "value": round(1.0 / dt, 2),
+        "unit": "fps", "octree_depth": 10, "voxel_m": 0.01,
+        "dense_mips": False, "frames": n_frames - 2,
+        "map_nodes": int(out.map_nodes),
+    }))
+
+
 def config_tum(n_frames=30):
     from octree_slam_tpu import app
     from octree_slam_tpu.io import native
@@ -325,7 +368,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="all",
                    choices=["cube", "textured", "sponza", "cone1080p",
-                            "tum", "all"])
+                            "depth10", "tum", "all"])
     args = p.parse_args()
     runs = {
         "cube": lambda: config_mesh_cone(
@@ -336,6 +379,7 @@ def main():
             f"{REF}/textures/texture1.bmp", log_n=8),
         "sponza": config_sponza_orbit,
         "cone1080p": config_cone_1080p,
+        "depth10": config_depth10,
         "tum": config_tum,
     }
     for name, fn in runs.items():

@@ -26,6 +26,41 @@ from octree_slam_tpu.core.types import Frame
 from octree_slam_tpu.utils import metrics
 
 
+# Module-level jit caches: pipeline.step is cached by (cfg, render) across
+# run_slam CALLS, not per call — a fresh jit wrapper per invocation would
+# re-trace (and on the axon tunnel, whose persistent-cache keys are
+# unstable, fully recompile) at the first frame of every run.
+_step_cache: dict = {}
+
+
+def _donated_step(cfg: SLAMConfig, render: str):
+    fn = _step_cache.get((cfg, render))
+    if fn is None:
+        fn = jax.jit(
+            lambda s, f, _c=cfg, _r=render: pipeline.step(s, f, _c,
+                                                          render=_r),
+            donate_argnums=0)
+        _step_cache[(cfg, render)] = fn
+    return fn
+
+
+@jax.jit
+def _pack_signals(o: "pipeline.StepOutput") -> jnp.ndarray:
+    """Everything the host loop reads per frame, as ONE fetched vector:
+    separate bool()/int() reads each cost a full device round trip
+    (30-90 ms through a remote-TPU tunnel) and serialize the pipeline."""
+    return jnp.concatenate([
+        o.pose.ravel(),
+        jnp.stack([o.unique_overflow.astype(jnp.float32),
+                   o.map_nodes.astype(jnp.float32),
+                   o.map_leaves.astype(jnp.float32),
+                   o.map_overflowed.astype(jnp.float32),
+                   o.diverged.astype(jnp.float32)]),
+        o.track_inliers.astype(jnp.float32),
+        o.track_residual.astype(jnp.float32),
+    ])
+
+
 @dataclass
 class RunResult:
     poses: List[np.ndarray] = field(default_factory=list)
@@ -70,69 +105,46 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
         archive = tiering.HostArchive(cfg.tier_level)
     # Donating hot-loop step: the previous state's buffers are recycled
     # in place (map updates without a 12MB pool copy per frame). Safe here
-    # because this loop is the only holder of `state`.
-    donating = {}
-
-    def step_donated(s, f, render):
-        if render not in donating:
-            c = cfg
-            donating[render] = jax.jit(
-                lambda s_, f_: pipeline.step(s_, f_, c, render=render),
-                donate_argnums=0)
-        return donating[render](s, f)
-
+    # because this loop is the only holder of `state`. The compiled fn is
+    # memoized at module level (_donated_step), so repeated run_slam calls
+    # under the same config never re-trace.
     if save_dir:
         import os
         os.makedirs(save_dir, exist_ok=True)
     result = RunResult()
 
-    # Everything the host loop reads per frame, as ONE fetched vector:
-    # separate bool()/int() reads each cost a full device round trip
-    # (30-90 ms through a remote-TPU tunnel) and serialize the pipeline.
-    pack = jax.jit(lambda o: jnp.concatenate([
-        o.pose.ravel(),
-        jnp.stack([o.unique_overflow.astype(jnp.float32),
-                   o.map_nodes.astype(jnp.float32),
-                   o.map_leaves.astype(jnp.float32),
-                   o.map_overflowed.astype(jnp.float32),
-                   o.diverged.astype(jnp.float32)]),
-        o.track_inliers.astype(jnp.float32),
-        o.track_residual.astype(jnp.float32),
-    ]))
-
-    t_start = time.perf_counter()
-    out = None
-    for i in range(n_frames):
-        frame = frame_fn(i)
-        render = (render_mode if render_every > 0 and (i % render_every == 0)
-                  else "none")
-        state, out = step_donated(state, frame, render)
-        host = np.asarray(pack(out))
+    def consume(item, state, cfg):
+        """Host-side handling of one stepped frame: read the packed
+        vector, finish remainders (legacy mode), record poses, save the
+        render, and run the growth/tiering policy. Returns (state, cfg)."""
+        j, dev, fb, frame, last_key = item
+        host = np.asarray(dev)
         pose_np = host[:16].reshape(4, 4)
         n_lvl = cfg.pyramid_depth
         uo_flag, map_nodes, map_leaves = host[16], host[17], host[18]
         # unique-cap remainder: a close-range/fast-sweep frame can touch
-        # more distinct voxels than one insert pass handles; page through
-        # the rest in sorted key order (each leaf still blends once; the
-        # exact i32 resume key stays on device — no extra fetch)
-        if uo_flag > 0:
-            more, last_key = True, out.last_insert_key
+        # more distinct voxels than one insert pass handles. With
+        # cfg.device_remainder (default) the step already paged through
+        # the rest in a lax.while_loop and uo_flag is clear; the legacy
+        # host loop below requires synchronous consumption (lag 0) because
+        # insert_remainder reads state.last_pyramid — frame j's maps.
+        if uo_flag > 0 and not cfg.device_remainder:
+            more = True
             while more:
                 state, (uo, last_key) = pipeline.insert_remainder(
                     state, frame, cfg, last_key)
                 more = bool(uo)
         result.poses.append(pose_np)
         if gt_fn is not None:
-            gt = gt_fn(i)
+            gt = gt_fn(j)
             if gt is not None:
                 result.gt_poses.append(np.asarray(gt))
-        if save_dir and render != "none":
+        if fb is not None:
             from octree_slam_tpu.io.bmp import save_image
-            save_image(f"{save_dir}/frame_{i:05d}.png",
-                       np.asarray(out.framebuffer))
-        if log_every and i % log_every == 0:
+            save_image(f"{save_dir}/frame_{j:05d}.png", np.asarray(fb))
+        if log_every and j % log_every == 0:
             print(json.dumps({
-                "frame": i,
+                "frame": j,
                 "inliers": host[21:21 + n_lvl].astype(int).tolist(),
                 "residual": host[21 + n_lvl:21 + 2 * n_lvl].tolist(),
                 "map_nodes": int(map_nodes),
@@ -140,16 +152,13 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
             }))
         if archive is not None and len(archive):
             # archived-cell restore check: pure host math (no device read)
-            old_cfg = cfg
             from octree_slam_tpu.map import tiering
             state, cfg, n_rest = tiering.restore_due(
                 state, cfg, archive, camera_pos=pose_np[:3, 3])
             if n_rest:
-                if cfg is not old_cfg:
-                    donating.clear()
                 result.restored_leaves += n_rest
                 print(json.dumps({
-                    "frame": i, "event": "map_restore", "leaves": n_rest,
+                    "frame": j, "event": "map_restore", "leaves": n_rest,
                     "archived_cells": len(archive)}))
         if auto_grow:
             grow_nodes = (map_nodes > cfg.node_capacity * 3 // 4
@@ -158,32 +167,58 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
             if grow_nodes and archive is not None:
                 # HBM pressure: archive cold regions before growing
                 from octree_slam_tpu.map import tiering
-                old_cfg = cfg
                 state, cfg, n_spill = tiering.spill_cold(
                     state, cfg, archive, camera_pos=pose_np[:3, 3])
                 if n_spill:
-                    if cfg is not old_cfg:
-                        donating.clear()
                     result.spilled_leaves += n_spill
                     grow_nodes = (int(state.pool.n_nodes)
                                   > cfg.node_capacity * 3 // 4)
                     grow_leaves = (int(state.leaves.count)
                                    > cfg.leaf_capacity * 3 // 4)
                     print(json.dumps({
-                        "frame": i, "event": "map_spill",
+                        "frame": j, "event": "map_spill",
                         "leaves": n_spill, "archived_cells": len(archive),
                         "map_nodes": int(state.pool.n_nodes)}))
             if grow_nodes or grow_leaves:
+                # shape change = new cfg = new _donated_step cache key
                 state, cfg = pipeline.grow_state(
                     state, cfg, grow_nodes=grow_nodes,
                     grow_leaves=grow_leaves)
-                donating.clear()  # shapes changed: recompile
                 print(json.dumps({
-                    "frame": i, "event": "map_grow",
+                    "frame": j, "event": "map_grow",
                     "node_capacity": cfg.node_capacity,
                     "leaf_capacity": cfg.leaf_capacity,
                 }))
-    jax.block_until_ready(out.pose)
+        return state, cfg
+
+    # With the remainder on device, the packed host read can TRAIL one
+    # frame: frame j's vector transfers while frame j+1 executes, so the
+    # steady state pays max(step, tunnel round trip) instead of their sum
+    # (~2x e2e on a remote-TPU link). Growth/tiering decisions lag one
+    # frame, which the proactive 3/4 thresholds absorb.
+    lag = 1 if cfg.device_remainder else 0
+    queue: list = []
+    t_start = time.perf_counter()
+    out = None
+    for i in range(n_frames):
+        frame = frame_fn(i)
+        render = (render_mode if render_every > 0 and (i % render_every == 0)
+                  else "none")
+        state, out = _donated_step(cfg, render)(state, frame)
+        dev = _pack_signals(out)
+        if lag:
+            try:
+                dev.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+        fb = (out.framebuffer if save_dir and render != "none" else None)
+        queue.append((i, dev, fb, frame, out.last_insert_key))
+        while len(queue) > lag:
+            state, cfg = consume(queue.pop(0), state, cfg)
+    while queue:
+        state, cfg = consume(queue.pop(0), state, cfg)
+    if out is not None:
+        jax.block_until_ready(out.pose)
     dt = time.perf_counter() - t_start
     result.fps = n_frames / dt
     result.frames = n_frames
@@ -251,6 +286,11 @@ def main(argv=None):
     p.add_argument("--node-capacity", type=int, default=None,
                    help="static SVO node-pool size (power of two; "
                         "default from SLAMConfig)")
+    p.add_argument("--no-dense-mips", action="store_true",
+                   help="disable the dense value-mip render cache "
+                        "(613 MB HBM at depth 9, 4.9 GB at depth 10); "
+                        "the exact marcher falls back to pointer descent, "
+                        "splat/cone are unaffected (leaf-only)")
     p.add_argument("--host-spill", action="store_true",
                    help="archive cold map regions to host RAM when the "
                         "node pool fills instead of growing HBM use "
@@ -283,6 +323,8 @@ def main(argv=None):
             "leaf_capacity": args.node_capacity // 4,
             "extract_capacity": args.node_capacity // 8}
            if args.node_capacity else {})
+    if args.no_dense_mips:
+        cap["use_dense_mips"] = False
     if args.host_spill:
         cap["host_spill"] = True
         if args.spill_keep_radius is not None:

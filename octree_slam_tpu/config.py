@@ -51,6 +51,11 @@ class SLAMConfig:
                                         # slab cone): ~7 ms/frame; the exact
                                         # marcher / extraction self-heal via
                                         # refresh_interior (see pipeline)
+    device_remainder: bool = True       # finish unique-cap remainder pages
+                                        # inside the jitted step via
+                                        # lax.while_loop (no host round
+                                        # trip); False = host-driven
+                                        # insert_remainder loop
     voxel_resolution: float = 0.01      # meters, SLAM-mode leaf size
     max_depth: int = 9                  # octree levels (<=10 for 30-bit keys)
     node_capacity: int = 1 << 21        # static node-pool capacity

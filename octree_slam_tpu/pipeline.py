@@ -144,6 +144,21 @@ def grow_state(state: SLAMState, cfg: SLAMConfig, *,
         node_capacity=cfg.node_capacity * (2 if grow_nodes else 1),
         leaf_capacity=cfg.leaf_capacity * (2 if grow_leaves else 1),
     )
+    if grow_nodes and (svo.prealloc_levels(new_cfg.node_capacity)
+                       != svo.prealloc_levels(cfg.node_capacity)):
+        # Doubling crosses a dense-prealloc boundary (possible only for
+        # pools under 9360 nodes): a plain pad cannot preserve the shallow
+        # layout, so rebuild from the exact leaf set instead
+        # (svo.insert_exact reproduces every value bit-identically).
+        from octree_slam_tpu.map import tiering
+        pool0, keys, vals = tiering._leaf_snapshot(state, cfg)
+        state = state._replace(pool=pool0,
+                               interior_stale=jnp.bool_(False))
+        fresh = svo.create(new_cfg.node_capacity, pool0.center,
+                           pool0.half_size)
+        fresh, _ = tiering._insert_all_exact(fresh, keys, vals, new_cfg,
+                                             overwrite=True)
+        return tiering._rebuild_derived(state, new_cfg, fresh)
     pool = (svo.grow_capacity(state.pool, new_cfg.node_capacity)
             if grow_nodes else state.pool)
 
@@ -270,6 +285,48 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
             lambda: raycast.build_accel(pool, level=lvl),
             lambda: accel_in)
 
+    if cfg.device_remainder:
+        # Unique-cap remainder ON DEVICE: while a frame still has distinct
+        # leaves beyond insert_unique_cap, page through them in sorted key
+        # order inside a lax.while_loop — the lossless guarantee without
+        # any host round trip (the host-driven variant, insert_remainder,
+        # remains for device_remainder=False). Terminates because min_key
+        # strictly advances each page and a frame has finitely many
+        # uniques. Runs BEFORE render, so oversized frames render complete.
+        def _more(c):
+            return c[0]
+
+        def _page(c):
+            _, last_key, pool_c, leaves_c, accel_c = c
+            pool_n, st = svo.insert(pool_c, world_pts, colors,
+                                    depth=cfg.max_depth,
+                                    unique_cap=cfg.insert_unique_cap,
+                                    emit_mips=cfg.use_dense_mips and eager,
+                                    shallow_level=lvl, min_key=last_key,
+                                    update_interior=eager)
+            leaves_n = append_new_leaves(leaves_c, st)
+            if cfg.use_dense_mips and eager:
+                accel_n = mips_mod.update(accel_c, st.mip_idx, st.mip_val,
+                                          max_depth=cfg.max_depth,
+                                          dist_level=lvl,
+                                          max_skip=cfg.dist_max_skip,
+                                          with_dist=False)
+            elif cfg.use_dense_mips:
+                accel_n = accel_c
+            else:
+                accel_n = jax.lax.cond(
+                    st.shallow_allocs > 0,
+                    lambda: raycast.build_accel(pool_n, level=lvl),
+                    lambda: accel_c)
+            return (st.unique_overflow, st.last_key, pool_n, leaves_n,
+                    accel_n)
+
+        uo_out, lk_out, pool, leaves, accel = jax.lax.while_loop(
+            _more, _page,
+            (istats.unique_overflow, istats.last_key, pool, leaves, accel))
+    else:
+        uo_out, lk_out = istats.unique_overflow, istats.last_key
+
     # --- Render the map from the tracked pose. ---
     if render == "cone":
         # Real-time cone compositing: slab-volume splatting over the leaf
@@ -334,8 +391,8 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
         map_leaves=leaves.count,
         map_overflowed=pool.overflowed | leaves.overflowed,
         diverged=diverged,
-        unique_overflow=istats.unique_overflow,
-        last_insert_key=istats.last_key,
+        unique_overflow=uo_out,
+        last_insert_key=lk_out,
     )
     return new_state, out
 
