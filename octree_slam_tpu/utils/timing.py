@@ -15,8 +15,16 @@ from collections import defaultdict
 from typing import Dict
 
 import jax
+import jax.numpy as jnp
 
 import numpy as np
+
+
+@jax.jit
+def _probe(*leaves):
+    """First element of every leaf as one tiny vector: fetching it forces
+    every producing computation with ONE host round trip."""
+    return jnp.stack([x.ravel()[0].astype(jnp.float32) for x in leaves])
 
 
 def sync(*arrays) -> None:
@@ -24,14 +32,17 @@ def sync(*arrays) -> None:
 
     jax.block_until_ready is NOT reliable on the axon remote-TPU platform
     (it returns immediately while the computation is still queued — measured
-    in examples/bisect_slow.py); fetching bytes to host is. This pulls one
-    element per array, which forces the producing computation to finish.
+    in examples/bisect_slow.py); fetching bytes to host is. All leaves are
+    probed through ONE jitted gather + ONE fetch: per-leaf fetches each pay
+    a full serialized tunnel round trip (~30 ms), which made pytree syncs
+    cost n_leaves x RTT and wildly inflated stage timings.
     Use this, never bare block_until_ready, around anything timed.
     """
-    for a in arrays:
-        for leaf in jax.tree_util.tree_leaves(a):
-            if hasattr(leaf, "ravel"):
-                np.asarray(jax.device_get(leaf.ravel()[:1]))
+    leaves = [x for a in arrays for x in jax.tree_util.tree_leaves(a)
+              if hasattr(x, "ravel") and getattr(x, "size", 0)]
+    if not leaves:
+        return
+    np.asarray(_probe(*leaves))
 
 
 class StageStats:
