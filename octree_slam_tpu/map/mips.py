@@ -129,6 +129,16 @@ def update(cache: RenderCache, mip_idx: jnp.ndarray, mip_val: jnp.ndarray,
     return RenderCache(values=values, occ=occ, dist=dist)
 
 
+def refresh_dist(cache: RenderCache, *, dist_level: int,
+                 max_skip: int = 15) -> RenderCache:
+    """Recompute only the empty-space distance field from the current
+    occupancy (used when occupancy was updated with with_dist=False and a
+    marcher needs dist NOW, e.g. after in-step remainder pages)."""
+    g = 1 << dist_level
+    return cache._replace(
+        dist=_dist_from_occ(cache.occ.reshape(g, g, g), max_skip).reshape(-1))
+
+
 def _dist_from_occ(occ3d: jnp.ndarray, max_skip: int) -> jnp.ndarray:
     """Log-round Chebyshev distance transform: round j min-pools a 3^3
     window with dilation 2^j and adds 2^j, extending exact distances from

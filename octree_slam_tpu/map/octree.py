@@ -120,8 +120,33 @@ class Octree:
 
     def grow_capacity(self, new_capacity: int) -> None:
         """Reallocate the node pool at a larger capacity (the reference's
-        per-insert realloc, svo.cu:609-614, amortized to doublings)."""
-        self.pool = svo.grow_capacity(self.pool, new_capacity)
+        per-insert realloc, svo.cu:609-614, amortized to doublings).
+        Growth that crosses a dense-prealloc level boundary (pools under
+        9360 nodes) cannot be a pad — rebuild from the exact leaf set
+        (svo.insert_exact), value-preserving."""
+        if (svo.prealloc_levels(new_capacity)
+                != svo.prealloc_levels(self.capacity)):
+            from octree_slam_tpu.map import tiering
+            cap = self.extract_capacity
+            while True:
+                ex = svo.extract_voxels(self.pool, depth=self.max_depth,
+                                        capacity=cap)
+                if int(ex.count) < cap:
+                    break
+                cap *= 2
+            n = int(ex.count)
+            nodes = np.asarray(ex.nodes[:n])
+            live = nodes >= 0
+            keys = np.asarray(ex.keys[:n])[live]
+            vals = np.asarray(self.pool.value)[np.maximum(nodes, 0)][live]
+            fresh = svo.create(new_capacity, self.pool.center,
+                               self.pool.half_size)
+            fresh, _ = tiering.bulk_insert_exact(
+                fresh, keys, vals, depth=self.max_depth,
+                unique_cap=min(1 << 16, new_capacity), overwrite=True)
+            self.pool = svo.refresh_interior(fresh, depth=self.max_depth)
+        else:
+            self.pool = svo.grow_capacity(self.pool, new_capacity)
         self.capacity = new_capacity
 
     def _expand_coarsen(self, new_size: float) -> None:

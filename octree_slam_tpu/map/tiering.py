@@ -45,6 +45,23 @@ from octree_slam_tpu.render import raycast
 from octree_slam_tpu.render.splat import LeafList, append_new_leaves
 
 
+def _decode_center_host(prefix: int, center: np.ndarray, half: float,
+                        level: int) -> np.ndarray:
+    """Pure-host cell center for a level-`level` morton prefix (the numpy
+    twin of morton.decode_centers — restore checks run EVERY frame and must
+    not dispatch device work or fetch; CLAUDE.md one-fetch-per-frame rule)."""
+    c = np.array(center, np.float32).copy()
+    e = float(half)
+    for lv in range(level):
+        octant = (prefix >> (3 * (level - 1 - lv))) & 7
+        e *= 0.5
+        c += np.float32(e) * np.array(
+            [1.0 if octant & 1 else -1.0,
+             1.0 if octant & 2 else -1.0,
+             1.0 if octant & 4 else -1.0], np.float32)
+    return c
+
+
 class HostArchive:
     """Host-RAM store of spilled cells: level-`level` morton prefix ->
     (leaf keys i32[n], packed values u32[n]) numpy arrays."""
@@ -52,6 +69,8 @@ class HostArchive:
     def __init__(self, level: int):
         self.level = level
         self.cells: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._centers: Dict[int, np.ndarray] = {}
+        self._frame = None  # (center np.f32[3], half float), fixed per run
 
     @property
     def n_leaves(self) -> int:
@@ -80,14 +99,26 @@ class HostArchive:
         return np.concatenate(ks), np.concatenate(vs)
 
     def cell_centers(self, center, half_size) -> Tuple[np.ndarray, np.ndarray]:
-        """(prefixes i64[m], centers f32[m,3]) of all archived cells."""
+        """(prefixes i32[m], centers f32[m,3]) of all archived cells.
+        Pure host math after the first call: the map frame (center,
+        half_size) is fetched ONCE and cached — this runs every frame in
+        run_slam's restore check and must not cost a tunnel round trip."""
+        if self._frame is None:
+            self._frame = (np.asarray(center, np.float32),
+                           float(np.asarray(half_size)))
+        c0, h0 = self._frame
         pfx = np.fromiter(self.cells.keys(), np.int32,
                           count=len(self.cells))
         if pfx.size == 0:
             return pfx, np.zeros((0, 3), np.float32)
-        c = morton.decode_centers(jnp.asarray(pfx), jnp.asarray(center),
-                                  half_size, self.level)
-        return pfx, np.asarray(c)
+        out = np.empty((pfx.size, 3), np.float32)
+        for i, p in enumerate(pfx.tolist()):
+            c = self._centers.get(p)
+            if c is None:
+                c = _decode_center_host(p, c0, h0, self.level)
+                self._centers[p] = c
+            out[i] = c
+        return pfx, out
 
 
 def _leaf_snapshot(state, cfg: SLAMConfig):
@@ -110,16 +141,16 @@ def _leaf_snapshot(state, cfg: SLAMConfig):
     return pool, keys[live], vals[live]
 
 
-def _insert_all_exact(pool, keys: np.ndarray, vals: np.ndarray,
-                      cfg: SLAMConfig, *, overwrite: bool):
+def bulk_insert_exact(pool, keys: np.ndarray, vals: np.ndarray, *,
+                      depth: int, unique_cap: int, shallow_level: int = 6,
+                      overwrite: bool):
     """Chunked value-verbatim bulk write (keys need not be sorted but must
     be distinct across chunks — sort once here so chunks never share a
-    key). Returns (pool, merged stats list)."""
+    key). Returns (pool, per-chunk stats list)."""
     order = np.argsort(keys, kind="stable")
     keys, vals = keys[order], vals[order]
-    U = cfg.insert_unique_cap
+    U = unique_cap
     stats_list = []
-    lvl = max(1, min(cfg.accel_level, cfg.max_depth - 2))
     for i in range(0, max(keys.size, 1), U):
         ck = np.full((U,), morton.INVALID_KEY, np.int32)
         cv = np.zeros((U,), np.uint32)
@@ -127,10 +158,20 @@ def _insert_all_exact(pool, keys: np.ndarray, vals: np.ndarray,
         ck[:chunk.size] = chunk
         cv[:chunk.size] = vals[i:i + U]
         pool, st = svo.insert_exact(pool, jnp.asarray(ck), jnp.asarray(cv),
-                                    depth=cfg.max_depth, unique_cap=U,
-                                    shallow_level=lvl, overwrite=overwrite)
+                                    depth=depth, unique_cap=U,
+                                    shallow_level=shallow_level,
+                                    overwrite=overwrite)
         stats_list.append(st)
     return pool, stats_list
+
+
+def _insert_all_exact(pool, keys: np.ndarray, vals: np.ndarray,
+                      cfg: SLAMConfig, *, overwrite: bool):
+    return bulk_insert_exact(
+        pool, keys, vals, depth=cfg.max_depth,
+        unique_cap=cfg.insert_unique_cap,
+        shallow_level=max(1, min(cfg.accel_level, cfg.max_depth - 2)),
+        overwrite=overwrite)
 
 
 def _rebuild_derived(state, cfg: SLAMConfig, pool):
@@ -174,7 +215,12 @@ def spill_cold(state, cfg: SLAMConfig, archive: HostArchive, *,
     (0 spilled) when every cell has a leaf within spill_keep_radius."""
     assert archive.level == cfg.tier_level
     pool, keys, vals = _leaf_snapshot(state, cfg)
-    state = state._replace(pool=pool, interior_stale=jnp.bool_(False))
+    # Keep the stale flag on the no-op paths: _leaf_snapshot refreshed the
+    # POOL interiors, but the dense-mip mirror (state.accel) still misses
+    # every lazy frame's update — clearing the flag here would disarm the
+    # in-step heal that rebuilds it. Only the full _rebuild_derived path
+    # below leaves everything fresh.
+    state = state._replace(pool=pool)
     if keys.size == 0:
         return state, cfg, 0
 
@@ -220,21 +266,30 @@ def restore_due(state, cfg: SLAMConfig, archive: HostArchive, *,
         return state, cfg, 0
     keys, vals = archive.take(int(p) for p in due)
 
-    pool, stats_list = _insert_all_exact(state.pool, keys, vals, cfg,
-                                         overwrite=False)
-    leaves = state.leaves
-    for st in stats_list:
-        leaves = append_new_leaves(leaves, st)
-    state = state._replace(pool=pool, leaves=leaves,
-                           interior_stale=jnp.bool_(True))
-    if bool(pool.overflowed) or bool(leaves.overflowed):
-        # restored region outran capacity: fall back to the growth path
+    # Insert-with-retry: a restore that outruns pool/registry capacity
+    # must NOT lose leaves (insert_exact silently drops allocations that
+    # don't fit, and the archive entries are already popped). Grow and
+    # re-run the SAME keys — overwrite=False makes the retry idempotent:
+    # leaves written in an earlier round are non-EMPTY and skipped, only
+    # the dropped ones get written. Registry appends dropped by an
+    # overflowed round are recovered by grow_state's full rebuild.
+    state = state._replace(interior_stale=jnp.bool_(True))
+    while True:
+        pool, stats_list = _insert_all_exact(state.pool, keys, vals, cfg,
+                                             overwrite=False)
+        leaves = state.leaves
+        for st in stats_list:
+            leaves = append_new_leaves(leaves, st)
+        state = state._replace(pool=pool, leaves=leaves)
+        pool_of = bool(pool.overflowed)
+        leaf_of = bool(leaves.overflowed)
+        if not pool_of and not leaf_of:
+            break
         from octree_slam_tpu import pipeline
-        state = state._replace(pool=pool._replace(
-            overflowed=jnp.bool_(False)))
-        state, cfg = pipeline.grow_state(
-            state, cfg, grow_nodes=bool(pool.overflowed),
-            grow_leaves=bool(leaves.overflowed))
+        state = state._replace(
+            pool=pool._replace(overflowed=jnp.bool_(False)))
+        state, cfg = pipeline.grow_state(state, cfg, grow_nodes=pool_of,
+                                         grow_leaves=leaf_of)
     # Accel freshness: restore only ADDS tiles, so node indices stay valid,
     # but the entry grid / dense mirror are stale. Lazy+dense configs heal
     # in-step off the stale flag; everything else refreshes here (rare op).

@@ -186,7 +186,28 @@ def insert_sharded(smap: ShardedMap, points, colors, cfg: SLAMConfig,
                                  depth=cfg.max_depth,
                                  unique_cap=cfg.insert_unique_cap)
         leaves = append_new_leaves(leaves, stats)
-        total = jax.lax.psum(stats.n_unique, axis_name)
+
+        # Unique-cap remainder, per shard: a frame concentrated in one
+        # device's key range can exceed insert_unique_cap; page through
+        # the rest in sorted key order (same lossless protocol as
+        # pipeline.step). Trip counts differ per device — fine, the only
+        # collective (psum) is after the loop.
+        def _more(c):
+            return c[0]
+
+        def _page(c):
+            _, lk, p, lv, n = c
+            p, st = svo.insert(p, pts, cols, valid=mine,
+                               depth=cfg.max_depth,
+                               unique_cap=cfg.insert_unique_cap,
+                               min_key=lk)
+            return (st.unique_overflow, st.last_key, p,
+                    append_new_leaves(lv, st), n + st.n_unique)
+
+        _, _, pool, leaves, n_unique = jax.lax.while_loop(
+            _more, _page, (stats.unique_overflow, stats.last_key, pool,
+                           leaves, stats.n_unique))
+        total = jax.lax.psum(n_unique, axis_name)
         return (jax.tree_util.tree_map(lambda x: x[None], pool),
                 jax.tree_util.tree_map(lambda x: x[None], leaves),
                 total)

@@ -115,18 +115,6 @@ def init_state(cfg: SLAMConfig, map_center=(0.0, 0.0, 0.0),
     )
 
 
-def needs_growth(out: StepOutput, cfg: SLAMConfig) -> Tuple[bool, bool]:
-    """Host-side check after a step: should the node pool / leaf registry
-    be reallocated before the next frame? Growth triggers at 3/4 occupancy
-    (proactive, so a typical frame never hits the hard cap) or on the
-    overflow flag (a huge frame outran the headroom; its excess voxels
-    drop for that frame but are re-observed and fused on later frames)."""
-    grow_nodes = (int(out.map_nodes) > cfg.node_capacity * 3 // 4
-                  or bool(out.map_overflowed))
-    grow_leaves = int(out.map_leaves) > cfg.leaf_capacity * 3 // 4
-    return grow_nodes, grow_leaves
-
-
 def grow_state(state: SLAMState, cfg: SLAMConfig, *,
                grow_nodes: bool = True,
                grow_leaves: bool = False) -> Tuple[SLAMState, SLAMConfig]:
@@ -324,6 +312,15 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
         uo_out, lk_out, pool, leaves, accel = jax.lax.while_loop(
             _more, _page,
             (istats.unique_overflow, istats.last_key, pool, leaves, accel))
+        if cfg.use_dense_mips and eager and render == "cone_march":
+            # pages update occupancy with with_dist=False; if any ran,
+            # re-run the distance transform so THIS frame's march does not
+            # empty-space-skip through the just-inserted tail geometry
+            accel = jax.lax.cond(
+                istats.unique_overflow,
+                lambda a: mips_mod.refresh_dist(
+                    a, dist_level=lvl, max_skip=cfg.dist_max_skip),
+                lambda a: a, accel)
     else:
         uo_out, lk_out = istats.unique_overflow, istats.last_key
 
@@ -431,5 +428,10 @@ def insert_remainder(state: SLAMState, frame: Frame, cfg: SLAMConfig,
             istats.shallow_allocs > 0,
             lambda: raycast.build_accel(pool, level=lvl),
             lambda: state.accel)
-    new_state = state._replace(pool=pool, leaves=leaves, accel=accel)
+    new_state = state._replace(
+        pool=pool, leaves=leaves, accel=accel,
+        # a lazy remainder skips the interior mipmap + mirror updates: the
+        # flag must record that even if the step that consumed this frame
+        # was eager (cone_march) and had cleared it
+        interior_stale=state.interior_stale | jnp.bool_(not eager))
     return new_state, (istats.unique_overflow, istats.last_key)

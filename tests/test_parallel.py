@@ -108,6 +108,56 @@ class TestMortonShardedMap:
             k = m[d][m[d] >= 0]
             assert np.all((k >> (3 * (cfg.max_depth - 1))) == d)
 
+    def test_sharded_insert_pages_past_unique_cap(self):
+        """A shard receiving more distinct leaves than insert_unique_cap
+        pages in-device (lax.while_loop, same lossless protocol as
+        pipeline.step) — the shard union must still equal a fully-paged
+        replicated insert."""
+        import dataclasses
+        from octree_slam_tpu.map import svo as svo_mod
+        from octree_slam_tpu.render.splat import append_new_leaves, \
+            create_leaf_list
+
+        cfg = dataclasses.replace(self.CFG, insert_unique_cap=128)
+        pts, cols = self.make_cloud(4000, seed=7)
+        mesh = distributed.make_mesh(8, axis_name="map")
+
+        pool = svo_mod.create(cfg.node_capacity, jnp.zeros(3),
+                              jnp.float32(0.64))
+        leaves = create_leaf_list(cfg.leaf_capacity, cfg.node_capacity)
+        n_total = 0
+        pool, stats = svo_mod.insert(pool, jnp.asarray(pts),
+                                     jnp.asarray(cols), depth=cfg.max_depth,
+                                     unique_cap=128)
+        leaves = append_new_leaves(leaves, stats)
+        n_total += int(stats.n_unique)
+        passes = 1
+        while bool(stats.unique_overflow):
+            pool, stats = svo_mod.insert(pool, jnp.asarray(pts),
+                                         jnp.asarray(cols),
+                                         depth=cfg.max_depth, unique_cap=128,
+                                         min_key=stats.last_key)
+            leaves = append_new_leaves(leaves, stats)
+            n_total += int(stats.n_unique)
+            passes += 1
+        assert passes > 2  # the cap was genuinely exceeded
+
+        smap = distributed.make_sharded_map(cfg, mesh)
+        smap, total = distributed.insert_sharded(
+            smap, jnp.asarray(pts), jnp.asarray(cols), cfg, mesh)
+        assert int(total) == n_total
+
+        sk = np.asarray(smap.leaves.keys).ravel()
+        sv = np.asarray(smap.leaves.vals).ravel()
+        live_s = sk >= 0
+        rk = np.asarray(leaves.keys)
+        rv = np.asarray(leaves.vals)
+        live_r = rk >= 0
+        assert live_s.sum() == live_r.sum() == n_total
+        os_, or_ = np.argsort(sk[live_s]), np.argsort(rk[live_r])
+        np.testing.assert_array_equal(sk[live_s][os_], rk[live_r][or_])
+        np.testing.assert_array_equal(sv[live_s][os_], rv[live_r][or_])
+
     def test_sharded_render_matches_replicated(self):
         from octree_slam_tpu.map import svo as svo_mod
         from octree_slam_tpu.render.splat import append_new_leaves, \

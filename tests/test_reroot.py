@@ -182,6 +182,33 @@ class TestGrowCapacity:
                                 depth=6)
         assert not bool(stats.overflowed)
 
+    def test_octree_grow_across_prealloc_boundary(self):
+        """Octree.grow_capacity doubling a pool under 9360 nodes crosses a
+        dense-prealloc level boundary, where a plain pad is impossible —
+        the facade must rebuild value-preserving instead of asserting."""
+        tree = Octree(resolution=2.0 / (1 << 6), center=(0, 0, 0), size=1.0,
+                      capacity=8192, extract_capacity=1 << 12)
+        assert svo.prealloc_levels(8192) != svo.prealloc_levels(16384)
+        pts, cols = random_cloud(600, 0.9, seed=9)
+        for _ in range(2):
+            tree.add_cloud(jnp.asarray(pts), jnp.asarray(cols))
+        keys, _ = morton.encode(jnp.asarray(pts), tree.pool.center,
+                                tree.pool.half_size, tree.max_depth)
+        centers = morton.decode_centers(keys, tree.pool.center,
+                                        tree.pool.half_size, tree.max_depth)
+        v_before, d_before = svo.query_points(tree.pool, centers,
+                                              depth=tree.max_depth)
+
+        tree.grow_capacity(16384)
+        assert tree.capacity == 16384
+        assert tree.pool.capacity == 16384
+        v_after, d_after = svo.query_points(tree.pool, centers,
+                                            depth=tree.max_depth)
+        np.testing.assert_array_equal(np.asarray(v_before),
+                                      np.asarray(v_after))
+        np.testing.assert_array_equal(np.asarray(d_before),
+                                      np.asarray(d_after))
+
     def test_no_dropped_geometry_past_initial_capacity(self):
         """VERDICT item 5 'Done': a run that exceeds the initial capacity
         completes with no dropped geometry, growing between inserts."""

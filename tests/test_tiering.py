@@ -40,9 +40,13 @@ def build_state(n_frames=3, cfg=CFG):
 
 def leaf_dict(pool, cfg):
     p = svo.refresh_interior(pool, depth=cfg.max_depth)
-    ex = svo.extract_voxels(p, depth=cfg.max_depth,
-                            capacity=cfg.extract_capacity)
-    n = int(ex.count)
+    cap = cfg.extract_capacity
+    while True:
+        ex = svo.extract_voxels(p, depth=cfg.max_depth, capacity=cap)
+        n = int(ex.count)
+        if n < cap:
+            break
+        cap *= 2
     keys = np.asarray(ex.keys[:n])
     nodes = np.asarray(ex.nodes[:n])
     vals = np.asarray(p.value)[np.maximum(nodes, 0)]
@@ -143,10 +147,67 @@ class TestSpillRestore:
         cfg = dataclasses.replace(CFG, spill_keep_radius=1e9)
         archive = tiering.HostArchive(cfg.tier_level)
         n0 = int(state.pool.n_nodes)
+        stale0 = bool(state.interior_stale)
         state, cfg, n = tiering.spill_cold(
             state, cfg, archive, camera_pos=np.zeros(3))
         assert n == 0 and len(archive) == 0
         assert int(state.pool.n_nodes) == n0
+        # the no-op path must NOT clear the stale flag: the dense-mip
+        # mirror was never rebuilt, only pool interiors were refreshed —
+        # clearing would disarm the in-step heal (review finding r2)
+        assert bool(state.interior_stale) == stale0
+
+    def test_restore_grows_instead_of_losing_leaves(self):
+        """A restore that outruns pool capacity must grow and retry, not
+        silently drop archived leaves (review finding r1)."""
+        state, _ = build_state()
+        cfg = CFG
+        cam = np.asarray(state.pose)[:3, 3]
+        before = leaf_dict(state.pool, cfg)
+        archive = tiering.HostArchive(cfg.tier_level)
+        state, cfg, n_spilled = tiering.spill_cold(
+            state, cfg, archive, camera_pos=cam)
+        assert n_spilled > 0
+
+        # fill the pool close to capacity with NEW geometry so the
+        # restore cannot fit without growing
+        rng = np.random.default_rng(3)
+        touched = set()
+        for _ in range(64):
+            if int(state.pool.n_nodes) >= cfg.node_capacity * 7 // 8:
+                break
+            pts = rng.uniform(-4.5, 4.5, (4096, 3)).astype(np.float32)
+            cols = rng.uniform(0, 1, (4096, 3)).astype(np.float32)
+            fk, fok = morton.encode(jnp.asarray(pts), state.pool.center,
+                                    state.pool.half_size, cfg.max_depth)
+            touched.update(np.asarray(fk)[np.asarray(fok)].tolist())
+            pool, st = svo.insert(state.pool, jnp.asarray(pts),
+                                  jnp.asarray(cols), depth=cfg.max_depth,
+                                  unique_cap=cfg.insert_unique_cap)
+            from octree_slam_tpu.render.splat import append_new_leaves
+            state = state._replace(
+                pool=pool, leaves=append_new_leaves(state.leaves, st),
+                interior_stale=jnp.bool_(True))
+        assert int(state.pool.n_nodes) >= cfg.node_capacity * 7 // 8
+        spilled_keys = {int(k) for ks, _ in archive.cells.values()
+                        for k in ks}
+
+        big = dataclasses.replace(cfg, restore_radius=1e9)
+        state, big, n_restored = tiering.restore_due(
+            state, big, archive, camera_pos=cam)
+        assert n_restored == len(spilled_keys)
+        assert big.node_capacity > cfg.node_capacity  # it had to grow
+        after = leaf_dict(state.pool, big)
+        # every spilled leaf is back: archived value when untouched, the
+        # NEWER live value when the filler re-observed it while spilled
+        # (restore never clobbers re-observation, insert_exact overwrite=F)
+        untouched = spilled_keys - touched
+        assert len(untouched) > 100  # the equality check is non-vacuous
+        for k in spilled_keys:
+            if k in untouched:
+                assert after[k] == before[k]
+            else:
+                assert k in after
 
     def test_run_slam_spills_under_pressure(self):
         """End-to-end: a pool too small for the scene + host_spill keeps
