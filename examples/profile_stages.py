@@ -89,7 +89,23 @@ def main():
         cols = frames[i % 4].color.reshape(-1, 3).astype(jnp.float32) / 255.0
         pool, st = insert_fn(pool, pts, cols)
         return pool
-    pool = bench_chain("svo.insert (307k pts)", ins, pool0)
+    pool = bench_chain("svo.insert eager (307k pts)", ins, pool0)
+
+    # the production SLAM loop inserts lazily (cfg.lazy_interior): the
+    # bottom-up mipmap + mirror emission are deferred
+    insert_lazy_fn = jax.jit(
+        lambda p, x, c: svo.insert(p, x, c, depth=cfg.max_depth,
+                                   unique_cap=cfg.insert_unique_cap,
+                                   update_interior=False),
+        donate_argnums=0)
+
+    def ins_lazy(pool, i):
+        v = pyrs[i % 4][0].vertex.reshape(-1, 3)
+        pts = v @ poses[i % 4][:3, :3].T + poses[i % 4][:3, 3]
+        cols = frames[i % 4].color.reshape(-1, 3).astype(jnp.float32) / 255.0
+        pool, st = insert_lazy_fn(pool, pts, cols)
+        return pool
+    pool = bench_chain("svo.insert lazy-interior", ins_lazy, pool)
 
     # --- splat render ---
     from octree_slam_tpu.render.splat import append_new_leaves, \
@@ -108,7 +124,21 @@ def main():
                 lambda s, i: splat_fn(poses[i % 4] + s[0, 0] * 1e-9),
                 jnp.zeros((4, 4), jnp.float32))
 
-    # --- cone trace ---
+    # --- slab-cone render (the production cone path) ---
+    from octree_slam_tpu.render import conesplat
+    spec = conesplat.make_slab_spec(
+        width=cfg.width, height=cfg.height, fx=cfg.focal_x,
+        leaf_size=cfg.voxel_resolution, z_near=cfg.cone_znear,
+        z_far=cfg.max_range, n_slabs=cfg.cone_slabs,
+        max_scale=cfg.cone_max_scale)
+    cone_splat_fn = jax.jit(lambda T: conesplat.render_cone_splat(
+        leaves, pool.center, pool.half_size, T, cfg.focal_x, cfg.focal_y,
+        spec=spec, depth=cfg.max_depth))
+    bench_chain("cone splat (slab) 640x480",
+                lambda s, i: cone_splat_fn(poses[i % 4] + s[0, 0] * 1e-9),
+                jnp.zeros((4, 4), jnp.float32))
+
+    # --- exact cone march (reference-semantics control) ---
     accel = raycast.build_accel(pool, level=6)
     sync(accel)
     cone_fn = jax.jit(lambda T: raycast.cone_trace(

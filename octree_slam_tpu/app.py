@@ -73,6 +73,7 @@ class RunResult:
     spilled_leaves: int = 0     # host-tier traffic (cfg.host_spill)
     restored_leaves: int = 0
     archived_cells: int = 0     # cells still in host RAM at run end
+    relocalizations: int = 0    # successful tracking-loss recoveries
 
 
 def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
@@ -103,6 +104,7 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
     if cfg.host_spill:
         from octree_slam_tpu.map import tiering
         archive = tiering.HostArchive(cfg.tier_level)
+    keyposes: list = []  # relocalization anchors (relocalize.py)
     # Donating hot-loop step: the previous state's buffers are recycled
     # in place (map updates without a 12MB pool copy per frame). Safe here
     # because this loop is the only holder of `state`. The compiled fn is
@@ -139,6 +141,29 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
             gt = gt_fn(j)
             if gt is not None:
                 result.gt_poses.append(np.asarray(gt))
+        if bool(host[20]):
+            # tracking lost (sticky flag): try to re-anchor against map
+            # renders at recent keyposes; fusion is gated off until this
+            # succeeds (pipeline.step). The reference only prints "Camera
+            # tracking is lost" (rgbd_camera.cpp:148-151).
+            # host[20] is frame j's flag; the LIVE state may already have
+            # been recovered by a previous consume (lag) — check it (a
+            # device read, but only on already-diverged frames)
+            if cfg.relocalize and keyposes and bool(state.diverged):
+                from octree_slam_tpu import relocalize as reloc
+                pose_new, ok, diag = reloc.relocalize(state, cfg, keyposes)
+                if ok:
+                    state = state._replace(
+                        pose=jnp.asarray(pose_new, jnp.float32),
+                        diverged=jnp.bool_(False))
+                    result.relocalizations += 1
+                print(json.dumps({
+                    "frame": j,
+                    "event": "relocalize" if ok else "relocalize_failed",
+                    **diag}))
+        elif cfg.relocalize and j % cfg.keypose_every == 0:
+            keyposes.append(pose_np)
+            del keyposes[:-4 * cfg.reloc_candidates]
         if fb is not None:
             from octree_slam_tpu.io.bmp import save_image
             save_image(f"{save_dir}/frame_{j:05d}.png", np.asarray(fb))

@@ -81,6 +81,16 @@ class SLAMConfig:
     cone_max_scale: int = 8             # coarsest slab raster decimation
     fov: float = 45.0                   # degrees (vertical), for pix footprint
 
+    # --- Relocalization (relocalize.py; beyond-parity — the reference
+    #     only prints "Camera tracking is lost", rgbd_camera.cpp:148-151) ---
+    relocalize: bool = True             # app-level recovery on tracking
+                                        # loss: ICP the live frame against
+                                        # map renders at recent keyposes
+    keypose_every: int = 10             # record an anchor every K frames
+    reloc_candidates: int = 4           # most-recent keyposes per attempt
+    reloc_min_inlier_frac: float = 0.05  # accept when full-res ICP inliers
+                                         # exceed this fraction of pixels
+
     # --- Host tiering (map/tiering.py; the reference's CPU/GPU subtree
     #     tiering, pushToGPU/pullToCPU octree.cpp:41-111) ---
     host_spill: bool = False            # archive cold map regions to host

@@ -212,7 +212,14 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     # --- Preprocess: bilateral + pyramid of vertex/normal maps. ---
     pyramid = tracking.build_pyramid(frame.depth, frame.color, cfg)
 
-    # --- Track: cam_{t-1}_T_cam_t from coarse-to-fine point-to-plane ICP. ---
+    # --- Track: cam_{t-1}_T_cam_t from coarse-to-fine point-to-plane ICP
+    # against the previous FRAME (reference semantics, rgbd_camera.cpp).
+    # Frame-to-MODEL tracking (ICP against a splat render of the map) was
+    # measured and rejected for the hot path: occupancy leaves render
+    # blocky, nearest-fill hole dilation biases the model surface toward
+    # the camera, and orbit ATE degraded 0.22 m -> 0.90 m. The model-view
+    # machinery lives on in relocalize.py, where coarse accuracy is all a
+    # recovery needs. ---
     update_T, tstats = tracking.track(list(state.last_pyramid),
                                       list(pyramid), cfg)
     eye = jnp.eye(4, dtype=jnp.float32)
@@ -245,7 +252,12 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     v = pyramid[0].vertex.reshape(-1, 3)
     world_pts = v @ pose[:3, :3].T + pose[:3, 3]
     colors = frame.color.reshape(-1, 3).astype(jnp.float32) / 255.0
-    pool, istats = svo.insert(pool_in, world_pts, colors,
+    # Lost tracking gates fusion: the reference aborts the frame's update
+    # on divergence (rgbd_camera.cpp:148-151 returns before the swap) —
+    # fusing at a bogus pose would poison the map. relocalize.py clears
+    # the sticky flag once the camera is re-anchored.
+    fuse_ok = jnp.broadcast_to(~diverged, (world_pts.shape[0],))
+    pool, istats = svo.insert(pool_in, world_pts, colors, valid=fuse_ok,
                               depth=cfg.max_depth,
                               unique_cap=cfg.insert_unique_cap,
                               emit_mips=cfg.use_dense_mips and eager,
@@ -287,6 +299,7 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
         def _page(c):
             _, last_key, pool_c, leaves_c, accel_c = c
             pool_n, st = svo.insert(pool_c, world_pts, colors,
+                                    valid=fuse_ok,
                                     depth=cfg.max_depth,
                                     unique_cap=cfg.insert_unique_cap,
                                     emit_mips=cfg.use_dense_mips and eager,

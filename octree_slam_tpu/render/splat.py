@@ -139,12 +139,14 @@ def splat_zbuffer(vals: jnp.ndarray, keys: jnp.ndarray,
     return buf.at[idx].min(jnp.where(inb, word, EMPTY), mode="drop")
 
 
-def finish_zbuffer(buf: jnp.ndarray, *, width: int, height: int,
-                   dilate: int = 2) -> jnp.ndarray:
-    """Packed z-buffer -> f32[H, W, 4] framebuffer with hole dilation."""
+def dilate_zbuffer(buf: jnp.ndarray, *, width: int, height: int,
+                   rounds: int = 2) -> jnp.ndarray:
+    """Image-space hole filling on a packed z-buffer: EMPTY pixels take the
+    min (= nearest) packed word of their 3x3 neighborhood, `rounds` times.
+    Leaf centers project one point each, so sub-leaf-footprint holes are
+    expected; display and the frame-to-model tracker both close them."""
     img = buf.reshape(height, width)
-    # image-space hole filling: min-depth over 3x3 neighborhoods
-    for _ in range(dilate):
+    for _ in range(rounds):
         p = jnp.pad(img, 1, constant_values=EMPTY)
         best = img
         for dy in (-1, 0, 1):
@@ -152,6 +154,13 @@ def finish_zbuffer(buf: jnp.ndarray, *, width: int, height: int,
                 nb = jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (height, width))
                 best = jnp.minimum(best, nb)
         img = jnp.where(img == EMPTY, best, img)
+    return img
+
+
+def finish_zbuffer(buf: jnp.ndarray, *, width: int, height: int,
+                   dilate: int = 2) -> jnp.ndarray:
+    """Packed z-buffer -> f32[H, W, 4] framebuffer with hole dilation."""
+    img = dilate_zbuffer(buf, width=width, height=height, rounds=dilate)
 
     hit = img != EMPTY
     rr, gg, bb = _unpack_rgb565(jnp.where(hit, img, 0) & 0xFFFF)
