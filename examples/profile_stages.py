@@ -106,6 +106,9 @@ def main():
         pool, st = insert_lazy_fn(pool, pts, cols)
         return pool
     pool = bench_chain("svo.insert lazy-interior", ins_lazy, pool)
+    # lazy inserts leave interiors stale; the marcher below reads them
+    # (CLAUDE.md invariant: refresh before any BFS/march)
+    pool = svo.refresh_interior(pool, depth=cfg.max_depth)
 
     # --- splat render ---
     from octree_slam_tpu.render.splat import append_new_leaves, \

@@ -149,9 +149,13 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
             # host[20] is frame j's flag; the LIVE state may already have
             # been recovered by a previous consume (lag) — check it (a
             # device read, but only on already-diverged frames)
-            if cfg.relocalize and keyposes and bool(state.diverged):
+            if (cfg.relocalize and cfg.reloc_candidates > 0
+                    and bool(state.diverged)):
                 from octree_slam_tpu import relocalize as reloc
-                pose_new, ok, diag = reloc.relocalize(state, cfg, keyposes)
+                # empty ring (e.g. a checkpoint saved while diverged):
+                # the frozen pose itself is the only available anchor
+                pose_new, ok, diag = reloc.relocalize(
+                    state, cfg, keyposes or [pose_np])
                 if ok:
                     state = state._replace(
                         pose=jnp.asarray(pose_new, jnp.float32),
@@ -161,9 +165,10 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
                     "frame": j,
                     "event": "relocalize" if ok else "relocalize_failed",
                     **diag}))
-        elif cfg.relocalize and j % cfg.keypose_every == 0:
+        elif (cfg.relocalize and cfg.reloc_candidates > 0
+              and j % cfg.keypose_every == 0):
             keyposes.append(pose_np)
-            del keyposes[:-4 * cfg.reloc_candidates]
+            del keyposes[:-cfg.reloc_candidates]
         if fb is not None:
             from octree_slam_tpu.io.bmp import save_image
             save_image(f"{save_dir}/frame_{j:05d}.png", np.asarray(fb))
@@ -247,7 +252,10 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
     dt = time.perf_counter() - t_start
     result.fps = n_frames / dt
     result.frames = n_frames
-    result.diverged = bool(out.diverged)
+    # read the LIVE flag, not the last StepOutput's: a drain-time
+    # relocalization (the packed fetch trails one frame) clears
+    # state.diverged after the final step already ran
+    result.diverged = bool(state.diverged) if n_frames else False
     result.map_nodes = int(out.map_nodes)
     if archive is not None:
         result.archived_cells = len(archive)

