@@ -32,6 +32,11 @@ from octree_slam_tpu.utils import metrics
 # unstable, fully recompile) at the first frame of every run.
 _step_cache: dict = {}
 
+# _pack_signals vector layout; consume() reads by these offsets
+_SIG_POSE = slice(0, 16)
+_SIG_UO, _SIG_NODES, _SIG_LEAVES, _SIG_OVF, _SIG_DIV = 16, 17, 18, 19, 20
+_SIG_STATS = 21  # then pyramid_depth inlier counts + residuals
+
 
 def _donated_step(cfg: SLAMConfig, render: str):
     fn = _step_cache.get((cfg, render))
@@ -121,9 +126,10 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
         render, and run the growth/tiering policy. Returns (state, cfg)."""
         j, dev, fb, frame, last_key = item
         host = np.asarray(dev)
-        pose_np = host[:16].reshape(4, 4)
+        pose_np = host[_SIG_POSE].reshape(4, 4)
         n_lvl = cfg.pyramid_depth
-        uo_flag, map_nodes, map_leaves = host[16], host[17], host[18]
+        uo_flag, map_nodes, map_leaves = \
+            host[_SIG_UO], host[_SIG_NODES], host[_SIG_LEAVES]
         # unique-cap remainder: a close-range/fast-sweep frame can touch
         # more distinct voxels than one insert pass handles. With
         # cfg.device_remainder (default) the step already paged through
@@ -141,14 +147,14 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
             gt = gt_fn(j)
             if gt is not None:
                 result.gt_poses.append(np.asarray(gt))
-        if bool(host[20]):
+        if bool(host[_SIG_DIV]):
             # tracking lost (sticky flag): try to re-anchor against map
             # renders at recent keyposes; fusion is gated off until this
             # succeeds (pipeline.step). The reference only prints "Camera
             # tracking is lost" (rgbd_camera.cpp:148-151).
-            # host[20] is frame j's flag; the LIVE state may already have
-            # been recovered by a previous consume (lag) — check it (a
-            # device read, but only on already-diverged frames)
+            # the packed flag is frame j's; the LIVE state may already
+            # have been recovered by a previous consume (lag) — check it
+            # (a device read, but only on already-diverged frames)
             if (cfg.relocalize and cfg.reloc_candidates > 0
                     and bool(state.diverged)):
                 from octree_slam_tpu import relocalize as reloc
@@ -175,10 +181,12 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
         if log_every and j % log_every == 0:
             print(json.dumps({
                 "frame": j,
-                "inliers": host[21:21 + n_lvl].astype(int).tolist(),
-                "residual": host[21 + n_lvl:21 + 2 * n_lvl].tolist(),
+                "inliers": host[_SIG_STATS:_SIG_STATS + n_lvl]
+                .astype(int).tolist(),
+                "residual":
+                host[_SIG_STATS + n_lvl:_SIG_STATS + 2 * n_lvl].tolist(),
                 "map_nodes": int(map_nodes),
-                "diverged": bool(host[20]),
+                "diverged": bool(host[_SIG_DIV]),
             }))
         if archive is not None and len(archive):
             # archived-cell restore check: pure host math (no device read)
@@ -192,7 +200,7 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
                     "archived_cells": len(archive)}))
         if auto_grow:
             grow_nodes = (map_nodes > cfg.node_capacity * 3 // 4
-                          or host[19] > 0)
+                          or host[_SIG_OVF] > 0)
             grow_leaves = map_leaves > cfg.leaf_capacity * 3 // 4
             if grow_nodes and archive is not None:
                 # HBM pressure: archive cold regions before growing

@@ -127,13 +127,9 @@ class Octree:
         if (svo.prealloc_levels(new_capacity)
                 != svo.prealloc_levels(self.capacity)):
             from octree_slam_tpu.map import tiering
-            cap = self.extract_capacity
-            while True:
-                ex = svo.extract_voxels(self.pool, depth=self.max_depth,
-                                        capacity=cap)
-                if int(ex.count) < cap:
-                    break
-                cap *= 2
+            ex, _ = svo.extract_all_leaves(
+                self.pool, depth=self.max_depth,
+                start_capacity=self.extract_capacity)
             n = int(ex.count)
             nodes = np.asarray(ex.nodes[:n])
             live = nodes >= 0

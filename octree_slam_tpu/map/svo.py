@@ -813,6 +813,20 @@ def extract_voxels(pool: SVONodePool, *, depth: int,
     )
 
 
+def extract_all_leaves(pool: SVONodePool, *, depth: int,
+                       start_capacity: int) -> Tuple[ExtractedVoxels, int]:
+    """Host-level extraction that doubles the static buffer until every
+    occupied leaf fits. Returns (extraction, capacity used) — the shared
+    loop behind registry rebuilds, tiering snapshots, and boundary growth
+    (each doubling is a recompile, so callers pass a likely-enough start)."""
+    cap = start_capacity
+    while True:
+        ex = extract_voxels(pool, depth=depth, capacity=cap)
+        if int(ex.count) < cap:
+            return ex, cap
+        cap *= 2
+
+
 @functools.partial(jax.jit, static_argnames=("depth",))
 def query_points(pool: SVONodePool, points: jnp.ndarray, *,
                  depth: int) -> Tuple[jnp.ndarray, jnp.ndarray]:

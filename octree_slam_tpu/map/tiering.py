@@ -42,7 +42,7 @@ from octree_slam_tpu.config import SLAMConfig
 from octree_slam_tpu.map import morton, svo
 from octree_slam_tpu.map import mips as mips_mod
 from octree_slam_tpu.render import raycast
-from octree_slam_tpu.render.splat import LeafList, append_new_leaves
+from octree_slam_tpu.render.splat import append_new_leaves
 
 
 def _decode_center_host(prefix: int, center: np.ndarray, half: float,
@@ -127,13 +127,10 @@ def _leaf_snapshot(state, cfg: SLAMConfig):
     pool = state.pool
     if bool(state.interior_stale):
         pool = svo.refresh_interior(pool, depth=cfg.max_depth)
-    cap = max(cfg.extract_capacity, cfg.leaf_capacity)
-    while True:
-        ex = svo.extract_voxels(pool, depth=cfg.max_depth, capacity=cap)
-        n = int(ex.count)
-        if n < cap:
-            break
-        cap *= 2
+    ex, _ = svo.extract_all_leaves(
+        pool, depth=cfg.max_depth,
+        start_capacity=max(cfg.extract_capacity, cfg.leaf_capacity))
+    n = int(ex.count)
     keys = np.asarray(ex.keys[:n])
     nodes = np.asarray(ex.nodes[:n])
     live = nodes >= 0
@@ -177,25 +174,14 @@ def _insert_all_exact(pool, keys: np.ndarray, vals: np.ndarray,
 def _rebuild_derived(state, cfg: SLAMConfig, pool):
     """Fully refresh everything derived from a REBUILT pool (node indices
     changed): interiors, leaf registry, render accel."""
+    from octree_slam_tpu.render.splat import leaf_list_from_extraction
+
     pool = svo.refresh_interior(pool, depth=cfg.max_depth)
     lvl = max(1, min(cfg.accel_level, cfg.max_depth - 2))
-    cap = cfg.leaf_capacity
-    while True:
-        ex = svo.extract_voxels(pool, depth=cfg.max_depth, capacity=cap)
-        if int(ex.count) < cap:
-            break
-        cap *= 2
-    live = jnp.asarray(ex.nodes) >= 0
-    nodes = jnp.where(live, ex.nodes, 0)
-    node2pos = jnp.full((cfg.node_capacity,), -1, jnp.int32)
-    pos = jnp.arange(cap, dtype=jnp.int32)
-    node2pos = node2pos.at[
-        jnp.where(live, nodes, cfg.node_capacity)].set(pos, mode="drop")
-    leaves = LeafList(
-        keys=ex.keys, nodes=nodes,
-        vals=jnp.where(live, pool.value[nodes], 0),
-        node2pos=node2pos, count=ex.count,
-        overflowed=ex.count >= cap)
+    ex, cap = svo.extract_all_leaves(pool, depth=cfg.max_depth,
+                                     start_capacity=cfg.leaf_capacity)
+    leaves = leaf_list_from_extraction(ex, pool.value,
+                                       node_capacity=cfg.node_capacity)
     accel = (mips_mod.rebuild_from_pool(pool, max_depth=cfg.max_depth,
                                         dist_level=lvl,
                                         max_skip=cfg.dist_max_skip)
@@ -235,14 +221,18 @@ def spill_cold(state, cfg: SLAMConfig, archive: HostArchive, *,
     starts = np.flatnonzero(np.concatenate(
         [[True], spfx[1:] != spfx[:-1]]))
     cell_min = np.minimum.reduceat(sd, starts)
-    cold_cells = spfx[starts][cell_min > cfg.spill_keep_radius]
-    if cold_cells.size == 0:
+    seg_cold = cell_min > cfg.spill_keep_radius
+    if not seg_cold.any():
         return state, cfg, 0
 
-    cold = np.isin(pfx, cold_cells)
-    for p in cold_cells:
-        m = pfx == p
-        archive.add(int(p), keys[m].copy(), vals[m].copy())
+    # archive cold cells by slicing the SORTED view per segment (one pass;
+    # a per-cell `pfx == p` scan is O(cells x leaves) on this host path)
+    skeys, svals = keys[order], vals[order]
+    ends = np.append(starts[1:], spfx.size)
+    for s, e, is_cold in zip(starts, ends, seg_cold):
+        if is_cold:
+            archive.add(int(spfx[s]), skeys[s:e].copy(), svals[s:e].copy())
+    cold = np.isin(pfx, spfx[starts][seg_cold])
 
     fresh = svo.create(cfg.node_capacity, pool.center, pool.half_size)
     fresh, _ = _insert_all_exact(fresh, keys[~cold], vals[~cold], cfg,

@@ -160,25 +160,13 @@ def grow_state(state: SLAMState, cfg: SLAMConfig, *,
         # some first-seen leaves were never registered (appends are
         # first-write-only): rebuild the registry from the pool itself,
         # doubling until the full leaf set fits
-        while True:
-            ex = svo.extract_voxels(pool, depth=new_cfg.max_depth,
-                                    capacity=new_cfg.leaf_capacity)
-            if int(ex.count) < new_cfg.leaf_capacity:
-                break
-            new_cfg = dataclasses.replace(
-                new_cfg, leaf_capacity=new_cfg.leaf_capacity * 2)
-        live = jnp.asarray(ex.nodes) >= 0
-        nodes = jnp.where(live, ex.nodes, 0)
-        node2pos = jnp.full((new_cfg.node_capacity,), -1, jnp.int32)
-        pos = jnp.arange(new_cfg.leaf_capacity, dtype=jnp.int32)
-        node2pos = node2pos.at[
-            jnp.where(live, nodes, new_cfg.node_capacity)].set(
-                pos, mode="drop")
-        leaves = LeafList(
-            keys=ex.keys, nodes=nodes,
-            vals=jnp.where(live, pool.value[nodes], 0),
-            node2pos=node2pos, count=ex.count,
-            overflowed=ex.count >= new_cfg.leaf_capacity)
+        from octree_slam_tpu.render.splat import leaf_list_from_extraction
+        ex, cap = svo.extract_all_leaves(
+            pool, depth=new_cfg.max_depth,
+            start_capacity=new_cfg.leaf_capacity)
+        new_cfg = dataclasses.replace(new_cfg, leaf_capacity=cap)
+        leaves = leaf_list_from_extraction(
+            ex, pool.value, node_capacity=new_cfg.node_capacity)
     else:
         lc_pad = new_cfg.leaf_capacity - leaves.keys.shape[0]
         nc_pad = new_cfg.node_capacity - leaves.node2pos.shape[0]

@@ -65,6 +65,26 @@ def create_leaf_list(capacity: int, node_capacity: int) -> LeafList:
     )
 
 
+def leaf_list_from_extraction(ex, pool_value: jnp.ndarray, *,
+                              node_capacity: int) -> LeafList:
+    """Rebuild a full registry from an svo.extract_all_leaves result: the
+    shared path for growth-with-overflow, tiering rebuilds, and boundary
+    reallocation (node indices changed or appends were dropped, so the
+    append-only registry is reconstructed from the pool itself)."""
+    capacity = ex.keys.shape[0]
+    live = jnp.asarray(ex.nodes) >= 0
+    nodes = jnp.where(live, ex.nodes, 0)
+    node2pos = jnp.full((node_capacity,), -1, jnp.int32)
+    pos = jnp.arange(capacity, dtype=jnp.int32)
+    node2pos = node2pos.at[
+        jnp.where(live, nodes, node_capacity)].set(pos, mode="drop")
+    return LeafList(
+        keys=ex.keys, nodes=nodes,
+        vals=jnp.where(live, pool_value[nodes], 0),
+        node2pos=node2pos, count=ex.count,
+        overflowed=ex.count >= capacity)
+
+
 def append_new_leaves(leaves: LeafList, stats: InsertStats) -> LeafList:
     """Append this insert's first-seen leaves at the cursor and refresh the
     value mirror for every leaf this insert touched."""
