@@ -819,7 +819,7 @@ def extract_all_leaves(pool: SVONodePool, *, depth: int,
     occupied leaf fits. Returns (extraction, capacity used) — the shared
     loop behind registry rebuilds, tiering snapshots, and boundary growth
     (each doubling is a recompile, so callers pass a likely-enough start)."""
-    cap = start_capacity
+    cap = max(start_capacity, 8)  # extraction buffers are 8-tile sized
     while True:
         ex = extract_voxels(pool, depth=depth, capacity=cap)
         if int(ex.count) < cap:

@@ -42,7 +42,8 @@ from octree_slam_tpu.config import SLAMConfig
 from octree_slam_tpu.map import morton, svo
 from octree_slam_tpu.map import mips as mips_mod
 from octree_slam_tpu.render import raycast
-from octree_slam_tpu.render.splat import append_new_leaves
+from octree_slam_tpu.render.splat import append_new_leaves, \
+    leaf_list_from_extraction
 
 
 def _decode_center_host(prefix: int, center: np.ndarray, half: float,
@@ -174,8 +175,6 @@ def _insert_all_exact(pool, keys: np.ndarray, vals: np.ndarray,
 def _rebuild_derived(state, cfg: SLAMConfig, pool):
     """Fully refresh everything derived from a REBUILT pool (node indices
     changed): interiors, leaf registry, render accel."""
-    from octree_slam_tpu.render.splat import leaf_list_from_extraction
-
     pool = svo.refresh_interior(pool, depth=cfg.max_depth)
     lvl = max(1, min(cfg.accel_level, cfg.max_depth - 2))
     ex, cap = svo.extract_all_leaves(pool, depth=cfg.max_depth,
@@ -232,7 +231,10 @@ def spill_cold(state, cfg: SLAMConfig, archive: HostArchive, *,
     for s, e, is_cold in zip(starts, ends, seg_cold):
         if is_cold:
             archive.add(int(spfx[s]), skeys[s:e].copy(), svals[s:e].copy())
-    cold = np.isin(pfx, spfx[starts][seg_cold])
+    # O(n) cold mask from the sorted view (the segment bounds already
+    # encode it; np.isin would re-search all leaves)
+    cold = np.empty(pfx.size, bool)
+    cold[order] = np.repeat(seg_cold, np.diff(np.append(starts, spfx.size)))
 
     fresh = svo.create(cfg.node_capacity, pool.center, pool.half_size)
     fresh, _ = _insert_all_exact(fresh, keys[~cold], vals[~cold], cfg,

@@ -40,7 +40,7 @@ from octree_slam_tpu.map import svo
 from octree_slam_tpu.map.svo import SVONodePool
 from octree_slam_tpu.render import raycast
 from octree_slam_tpu.render.splat import LeafList, append_new_leaves, \
-    create_leaf_list, render_splat
+    create_leaf_list, leaf_list_from_extraction, render_splat
 from octree_slam_tpu.sensor import tracking
 
 
@@ -160,7 +160,6 @@ def grow_state(state: SLAMState, cfg: SLAMConfig, *,
         # some first-seen leaves were never registered (appends are
         # first-write-only): rebuild the registry from the pool itself,
         # doubling until the full leaf set fits
-        from octree_slam_tpu.render.splat import leaf_list_from_extraction
         ex, cap = svo.extract_all_leaves(
             pool, depth=new_cfg.max_depth,
             start_capacity=new_cfg.leaf_capacity)
