@@ -118,13 +118,19 @@ def color_to_intensity(color: jnp.ndarray,
 
 
 def subsample_depth(depth_mm: jnp.ndarray,
-                    sigma_depth: float = 40.0) -> jnp.ndarray:
+                    sigma_depth: float = 40.0,
+                    allow_pallas: bool = True) -> jnp.ndarray:
     """Depth-aware 2x downsample (subsampleDepthKernel,
     image_kernels.cu:237-269): average of the 5x5 window around (2x, 2y)
     gated to +-3*sigma of the center sample."""
     h, w = depth_mm.shape
     oh, ow = h // 2, w // 2
     gate = 3.0 * sigma_depth
+    if allow_pallas:
+        from octree_slam_tpu.sensor import pallas_ops
+        if pallas_ops.on_tpu() and pallas_ops.compatible(depth_mm.shape):
+            out = pallas_ops.gated_window_mean(depth_mm, gate)
+            return out[::2, ::2][:oh, :ow].astype(depth_mm.dtype)
     d = depth_mm.astype(jnp.float32)
     pad = jnp.pad(d, 2)
     inb = jnp.pad(jnp.ones((h, w), jnp.float32), 2)

@@ -98,3 +98,57 @@ def bilateral(depth_mm: jnp.ndarray, sigma_spatial: float,
     h, w = depth_mm.shape
     return _bilateral_call(h, w, float(sigma_spatial), float(sigma_depth),
                            interpret)(depth_mm)
+
+
+@functools.lru_cache(maxsize=None)
+def _gated_window_call(h: int, w: int, gate: float, interpret: bool):
+    """5x5 depth-gated window mean at FULL resolution (the decimation to
+    half res stays outside: Mosaic cannot stride lanes, and the redundant
+    full-res elementwise work is nearly free — same layout reasoning as
+    image_ops.subsample_depth's XLA path)."""
+    half = 2
+    ph = h + 16
+    pw = -(-(w + half) // 128) * 128
+    oy = 8
+
+    def kernel(pad_ref, out_ref):
+        x = pad_ref[:]
+        c = jax.lax.slice(x, (oy, 0), (oy + h, w))
+        s = jnp.zeros((h, w), jnp.float32)
+        cnt = jnp.zeros((h, w), jnp.float32)
+        for dy in range(-half, half + 1):
+            ry = pltpu.roll(x, (-dy) % ph, axis=0)
+            for dx in range(-half, half + 1):
+                nbf = pltpu.roll(ry, (-dx) % pw, axis=1)
+                nb = jax.lax.slice(nbf, (oy, 0), (oy + h, w))
+                # the sentinel (-1e9) always fails the gate, exactly like
+                # the XLA path's out-of-image mask
+                ok = (jnp.abs(nb - c) < gate).astype(jnp.float32)
+                s = s + nb * ok
+                cnt = cnt + ok
+        out_ref[:] = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), 0.0)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+    def run(depth_mm):
+        d = depth_mm.astype(jnp.float32)
+        pad = jnp.full((ph, pw), -1e9, jnp.float32)
+        pad = jax.lax.dynamic_update_slice(pad, d, (oy, 0))
+        return call(pad)
+
+    return run
+
+
+def gated_window_mean(depth_mm: jnp.ndarray, gate: float, *,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Full-res 5x5 mean of neighbors within `gate` mm of the center
+    (subsampleDepthKernel's window rule, image_kernels.cu:237-269); the
+    caller decimates. Returns f32[h, w]."""
+    h, w = depth_mm.shape
+    return _gated_window_call(h, w, float(gate), interpret)(depth_mm)

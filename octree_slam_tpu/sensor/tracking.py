@@ -61,7 +61,8 @@ def build_pyramid(depth_mm: jnp.ndarray, color: jnp.ndarray,
         normal = image_ops.generate_normal_map(vertex)
         levels.append(PyramidLevel(vertex=vertex, normal=normal, intensity=inten))
         if i != cfg.pyramid_depth - 1:
-            d = image_ops.subsample_depth(d, cfg.bilateral_sigma_depth)
+            d = image_ops.subsample_depth(d, cfg.bilateral_sigma_depth,
+                                          allow_pallas=allow_pallas)
             inten = image_ops.subsample(inten)
     return levels
 

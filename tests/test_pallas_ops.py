@@ -32,6 +32,15 @@ class TestPallasBilateral:
         out = np.asarray(pallas_ops.bilateral(dj, 4.5, 40.0, interpret=True))
         np.testing.assert_array_equal(out, ref)
 
+    def test_gated_window_matches_xla(self):
+        d = jnp.asarray(rand_depth(16, 128, seed=3))
+        ref = np.asarray(image_ops.subsample_depth(d, 40.0,
+                                                   allow_pallas=False))
+        full = np.asarray(pallas_ops.gated_window_mean(d, 120.0,
+                                                       interpret=True))
+        out = full[::2, ::2].astype(np.uint16)
+        np.testing.assert_array_equal(out, ref)
+
     def test_dispatch_gating(self):
         # odd shapes and CPU fall back to the XLA path (no error)
         d = jnp.asarray(rand_depth(9, 11, seed=2))
