@@ -134,9 +134,9 @@ def grow_state(state: SLAMState, cfg: SLAMConfig, *,
     )
     if grow_nodes and (svo.prealloc_levels(new_cfg.node_capacity)
                        != svo.prealloc_levels(cfg.node_capacity)):
-        # Doubling crosses a dense-prealloc boundary (possible only for
-        # pools under 9360 nodes): a plain pad cannot preserve the shallow
-        # layout, so rebuild from the exact leaf set instead
+        # Doubling crosses a dense-prealloc boundary (tiny pools, or big
+        # ones entering the level-5/6 dense regime): a plain pad cannot
+        # preserve the shallow layout, so rebuild from the exact leaf set
         # (svo.insert_exact reproduces every value bit-identically).
         from octree_slam_tpu.map import tiering
         pool0, keys, vals = tiering._leaf_snapshot(state, cfg)
