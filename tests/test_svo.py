@@ -48,6 +48,32 @@ class TestMorton:
 
 
 class TestInsert:
+    def test_deep_dense_prealloc_tier(self):
+        """Pools big enough for the level-5 dense region (>= 8 x its size)
+        behave identically to small-pool inserts: same extraction set,
+        same queried values, allocation only below the dense levels."""
+        cap = 1 << 19
+        assert svo.prealloc_levels(cap) == 5
+        pts, cols = random_points(2000, seed=21)
+        big = svo.create(cap, jnp.zeros(3), 1.0)
+        big, st = svo.insert(big, jnp.asarray(pts), jnp.asarray(cols),
+                             depth=7)
+        small = svo.create(1 << 16, jnp.zeros(3), 1.0)  # pre = 4
+        small, st2 = svo.insert(small, jnp.asarray(pts), jnp.asarray(cols),
+                                depth=7)
+        assert int(st.n_unique) == int(st2.n_unique)
+        vb, db = svo.query_points(big, jnp.asarray(pts), depth=7)
+        vs, ds = svo.query_points(small, jnp.asarray(pts), depth=7)
+        np.testing.assert_array_equal(np.asarray(vb), np.asarray(vs))
+        np.testing.assert_array_equal(np.asarray(db), np.asarray(ds))
+        eb = svo.extract_voxels(big, depth=7, capacity=1 << 13)
+        es = svo.extract_voxels(small, depth=7, capacity=1 << 13)
+        kb = np.sort(np.asarray(eb.keys)[np.asarray(eb.nodes) >= 0])
+        ks = np.sort(np.asarray(es.keys)[np.asarray(es.nodes) >= 0])
+        np.testing.assert_array_equal(kb, ks)
+        # dense level 5 never allocates dynamically
+        assert int(st.new_nodes) <= 8 * 2 * int(st.n_unique)
+
     def test_single_point(self):
         pool = svo.create(1 << 12, jnp.zeros(3), 1.0)
         pts = jnp.array([[0.5, 0.5, 0.5]], jnp.float32)
