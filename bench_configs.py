@@ -288,10 +288,14 @@ def config_depth10(n_frames=8):
     from octree_slam_tpu import pipeline
     from octree_slam_tpu.sensor import sources
 
+    # 1 cm leaves make most of the 307k pixels distinct voxels: size the
+    # unique cap so a typical frame fuses in ONE pass instead of paging
+    # through the in-step remainder loop (paging is lossless but each
+    # page re-runs the insert)
     cfg = SLAMConfig(width=640, height=480, max_depth=10,
                      voxel_resolution=0.01, use_dense_mips=False,
-                     node_capacity=1 << 21, leaf_capacity=1 << 18,
-                     insert_unique_cap=1 << 16)
+                     node_capacity=1 << 21, leaf_capacity=1 << 19,
+                     insert_unique_cap=1 << 18)
     scene = sources.default_scene()
     frames = []
     gts = []

@@ -36,9 +36,15 @@ _HALF = 3  # 7x7 window (image_kernels.cu:18)
 
 
 def compatible(shape) -> bool:
-    """Tile-compatible image shape for the whole-plane VMEM kernel."""
+    """Tile-compatible image shape for the whole-plane VMEM kernel.
+
+    The size bound is VMEM stack pressure, not array size: the kernel
+    keeps ~10 live full-plane f32 temporaries (padded input, rolled
+    copies, center, accumulators), so 1080p (2.07 Mpx) compiles to a
+    40 MB scoped allocation against the 16 MB limit (measured OOM).
+    640x480 (~6-8 MB live) is the target shape; cap a little above it."""
     h, w = shape
-    return h % 8 == 0 and w % 128 == 0 and h * w <= 1 << 21  # ~8 MB f32
+    return h % 8 == 0 and w % 128 == 0 and h * w <= 360_000
 
 
 def on_tpu() -> bool:
