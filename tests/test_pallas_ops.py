@@ -41,6 +41,21 @@ class TestPallasBilateral:
         out = full[::2, ::2].astype(np.uint16)
         np.testing.assert_array_equal(out, ref)
 
+    def test_striped_equals_single_window(self):
+        """Big frames run as row stripes with REAL halo rows from their
+        neighbors: forcing a tiny per-window budget must reproduce the
+        single-window result exactly (and the XLA reference)."""
+        d = jnp.asarray(rand_depth(32, 128, seed=4))
+        ref = np.asarray(image_ops.bilateral_filter(d))
+        striped = np.asarray(pallas_ops.bilateral(
+            d, 4.5, 40.0, interpret=True, max_px=8 * 128))  # 4 stripes
+        np.testing.assert_array_equal(striped, ref)
+        g_ref = np.asarray(pallas_ops.gated_window_mean(
+            d, 120.0, interpret=True))
+        g_str = np.asarray(pallas_ops.gated_window_mean(
+            d, 120.0, interpret=True, max_px=8 * 128))
+        np.testing.assert_array_equal(g_str, g_ref)
+
     def test_dispatch_gating(self):
         # odd shapes and CPU fall back to the XLA path (no error)
         d = jnp.asarray(rand_depth(9, 11, seed=2))
