@@ -79,6 +79,8 @@ class RunResult:
     restored_leaves: int = 0
     archived_cells: int = 0     # cells still in host RAM at run end
     relocalizations: int = 0    # successful tracking-loss recoveries
+    final_cfg: Optional[SLAMConfig] = None  # cfg after any auto-growth —
+                                            # pass to save_state
 
 
 def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
@@ -102,14 +104,25 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
     RAM (map/tiering.py — the pushToGPU/pullToCPU analog) and only grows
     when everything is hot; archived regions restore as the camera nears.
     """
-    state = (initial_state if initial_state is not None
-             else pipeline.init_state(cfg, map_center=map_center,
-                                      initial_pose=initial_pose))
+    if initial_state is not None:
+        # defensive copy: the hot loop DONATES state buffers — without
+        # this, the caller's arrays (e.g. a loaded checkpoint reused
+        # across runs) would be invalidated by the first step
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True)
+            if isinstance(x, jax.Array) else x, initial_state)
+    else:
+        state = pipeline.init_state(cfg, map_center=map_center,
+                                    initial_pose=initial_pose)
     archive = None
     if cfg.host_spill:
         from octree_slam_tpu.map import tiering
         archive = tiering.HostArchive(cfg.tier_level)
     keyposes: list = []  # relocalization anchors (relocalize.py)
+    # frames stepped BEFORE a growth still carry the pre-growth sticky
+    # overflow flag in their (lagged) packed vectors; ignore it for them
+    # or one overflow would double capacity twice
+    ovf_ignore_until = [-1]
     # Donating hot-loop step: the previous state's buffers are recycled
     # in place (map updates without a 12MB pool copy per frame). Safe here
     # because this loop is the only holder of `state`. The compiled fn is
@@ -155,8 +168,7 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
             # the packed flag is frame j's; the LIVE state may already
             # have been recovered by a previous consume (lag) — check it
             # (a device read, but only on already-diverged frames)
-            if (cfg.relocalize and cfg.reloc_candidates > 0
-                    and bool(state.diverged)):
+            if cfg.recovery_enabled and bool(state.diverged):
                 from octree_slam_tpu import relocalize as reloc
                 # empty ring (e.g. a checkpoint saved while diverged):
                 # the frozen pose itself is the only available anchor
@@ -171,8 +183,7 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
                     "frame": j,
                     "event": "relocalize" if ok else "relocalize_failed",
                     **diag}))
-        elif (cfg.relocalize and cfg.reloc_candidates > 0
-              and j % cfg.keypose_every == 0):
+        elif cfg.recovery_enabled and j % cfg.keypose_every == 0:
             keyposes.append(pose_np)
             del keyposes[:-cfg.reloc_candidates]
         if fb is not None:
@@ -200,7 +211,8 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
                     "archived_cells": len(archive)}))
         if auto_grow:
             grow_nodes = (map_nodes > cfg.node_capacity * 3 // 4
-                          or host[_SIG_OVF] > 0)
+                          or (host[_SIG_OVF] > 0
+                              and j > ovf_ignore_until[0]))
             grow_leaves = map_leaves > cfg.leaf_capacity * 3 // 4
             if grow_nodes and archive is not None:
                 # HBM pressure: archive cold regions before growing
@@ -222,6 +234,7 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
                 state, cfg = pipeline.grow_state(
                     state, cfg, grow_nodes=grow_nodes,
                     grow_leaves=grow_leaves)
+                ovf_ignore_until[0] = j + lag
                 print(json.dumps({
                     "frame": j, "event": "map_grow",
                     "node_capacity": cfg.node_capacity,
@@ -255,8 +268,9 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
             state, cfg = consume(queue.pop(0), state, cfg)
     while queue:
         state, cfg = consume(queue.pop(0), state, cfg)
-    if out is not None:
-        jax.block_until_ready(out.pose)
+    # no explicit sync needed: the drain's last consume() fetched the
+    # final frame's packed vector, which forces the whole chain (and
+    # block_until_ready is a no-op on the axon platform anyway)
     dt = time.perf_counter() - t_start
     result.fps = n_frames / dt
     result.frames = n_frames
@@ -264,27 +278,43 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
     # relocalization (the packed fetch trails one frame) clears
     # state.diverged after the final step already ran
     result.diverged = bool(state.diverged) if n_frames else False
-    result.map_nodes = int(out.map_nodes)
+    result.map_nodes = int(out.map_nodes) if out is not None else 0
     if archive is not None:
         result.archived_cells = len(archive)
     if result.gt_poses and len(result.gt_poses) == len(result.poses):
         result.ate_rmse = metrics.ate_rmse(
             np.stack(result.poses), np.stack(result.gt_poses))
+    result.final_cfg = cfg
     if state_out is not None:
         state_out.append(state)
     return result
 
 
-def save_state(path: str, state: pipeline.SLAMState) -> None:
+def save_state(path: str, state: pipeline.SLAMState,
+               cfg: SLAMConfig | None = None) -> None:
     """Checkpoint the full SLAM state (map + pose + pyramids) to npz —
-    the serialization the reference lacks (SURVEY.md section 5)."""
+    the serialization the reference lacks (SURVEY.md section 5). Pass the
+    RUN-END cfg: auto-growth changes capacities mid-run, and load_state
+    needs them to rebuild the template (CLI flags only know the initial
+    sizes)."""
     flat, treedef = jax.tree_util.tree_flatten(state)
-    np.savez_compressed(path, n=len(flat),
+    caps = ({"node_capacity": cfg.node_capacity,
+             "leaf_capacity": cfg.leaf_capacity} if cfg else {})
+    np.savez_compressed(path, n=len(flat), **caps,
                         **{f"a{i}": np.asarray(x) for i, x in enumerate(flat)})
 
 
-def load_state(path: str, cfg: SLAMConfig) -> pipeline.SLAMState:
+def load_state(path: str, cfg: SLAMConfig
+               ) -> tuple[pipeline.SLAMState, SLAMConfig]:
+    """Returns (state, cfg): capacities stored by save_state override the
+    caller's (a checkpoint written after auto-growth would otherwise fail
+    the shape check against CLI-derived sizes)."""
+    import dataclasses
     z = np.load(path)
+    if "node_capacity" in z:
+        cfg = dataclasses.replace(
+            cfg, node_capacity=int(z["node_capacity"]),
+            leaf_capacity=int(z["leaf_capacity"]))
     template = pipeline.init_state(cfg)
     flat, treedef = jax.tree_util.tree_flatten(template)
     if int(z["n"]) != len(flat):
@@ -304,7 +334,7 @@ def load_state(path: str, cfg: SLAMConfig) -> pipeline.SLAMState:
                 f"{t.dtype}{list(t.shape)} — config mismatch (likely "
                 f"node/leaf capacity, image size, or use_dense_mips)")
         loaded.append(jnp.asarray(a))
-    return jax.tree_util.tree_unflatten(treedef, loaded)
+    return jax.tree_util.tree_unflatten(treedef, loaded), cfg
 
 
 def main(argv=None):
@@ -385,7 +415,7 @@ def main(argv=None):
                                         width=cfg.width, height=cfg.height)
 
         if args.load_state:
-            resume = load_state(args.load_state, cfg)
+            resume, cfg = load_state(args.load_state, cfg)
         res = run_slam(frame_fn, args.frames, cfg, initial_pose=gt[0],
                        gt_fn=lambda i: gt[i], render_every=args.render_every,
                        render_mode=args.render,
@@ -403,7 +433,7 @@ def main(argv=None):
         init = ds.gt_pose(0)
         frames = ds.prefetched()
         if args.load_state:
-            resume = load_state(args.load_state, cfg)
+            resume, cfg = load_state(args.load_state, cfg)
         res = run_slam(lambda i: next(frames), len(ds), cfg,
                        initial_pose=init,
                        gt_fn=ds.gt_pose, render_every=args.render_every,
@@ -412,7 +442,7 @@ def main(argv=None):
                        initial_state=resume, state_out=state_sink)
 
     if args.save_state and state_sink:
-        save_state(args.save_state, state_sink[0])
+        save_state(args.save_state, state_sink[0], res.final_cfg)
 
     print(json.dumps({
         "fps": round(res.fps, 3),

@@ -83,9 +83,15 @@ class SLAMConfig:
 
     # --- Relocalization (relocalize.py; beyond-parity — the reference
     #     only prints "Camera tracking is lost", rgbd_camera.cpp:148-151) ---
-    relocalize: bool = True             # app-level recovery on tracking
-                                        # loss: ICP the live frame against
-                                        # map renders at recent keyposes
+    relocalize: bool = True             # the DRIVER runs tracking-loss
+                                        # recovery (app.run_slam does):
+                                        # pipeline.step then gates fusion
+                                        # on the sticky diverged flag
+                                        # until recovery clears it. Direct
+                                        # pipeline.step drivers WITHOUT a
+                                        # recovery loop must set False so
+                                        # the gate is per-frame only (see
+                                        # recovery_enabled)
     keypose_every: int = 10             # record an anchor every K frames
     reloc_candidates: int = 4           # most-recent keyposes per attempt
     reloc_min_inlier_frac: float = 0.05  # accept when full-res ICP inliers
@@ -109,6 +115,14 @@ class SLAMConfig:
     # --- Mesh voxelization (voxelization.cu:24-25: GRID_RES=8 -> 256^3) ---
     vox_log_n: int = 8                  # grid is (1<<vox_log_n)^3 voxels
     vox_tri_budget: int = 512           # static per-triangle candidate voxels
+
+    @property
+    def recovery_enabled(self) -> bool:
+        """Relocalization can actually run (the single availability
+        condition shared by app.run_slam's recovery loop and
+        pipeline.step's sticky fusion gate — they must agree, or a
+        transient tracking loss freezes fusion with nothing to clear it)."""
+        return self.relocalize and self.reloc_candidates > 0
 
     @property
     def resolution(self) -> Tuple[int, int]:

@@ -76,6 +76,44 @@ def _accel_level(cfg: SLAMConfig) -> int:
     return max(1, min(cfg.accel_level, cfg.max_depth - 2))
 
 
+def _fuse_once(pool, leaves, accel, world_pts, colors, valid,
+               cfg: SLAMConfig, *, eager: bool,
+               min_key=None, with_dist: bool):
+    """One insert pass + registry append + accel maintenance — the single
+    definition behind the step's primary insert, its in-device remainder
+    pages, and the host-driven insert_remainder (they previously drifted:
+    only the primary pass may refresh the distance field)."""
+    lvl = _accel_level(cfg)
+    pool, st = svo.insert(pool, world_pts, colors, valid=valid,
+                          depth=cfg.max_depth,
+                          unique_cap=cfg.insert_unique_cap,
+                          emit_mips=cfg.use_dense_mips and eager,
+                          shallow_level=lvl, min_key=min_key,
+                          update_interior=eager)
+    leaves = append_new_leaves(leaves, st)
+    if cfg.use_dense_mips and eager:
+        # Dense-mip render cache (map/mips.py): mirror this insert's
+        # touched values and occupancy; refresh the empty-space distance
+        # field only when the exact marcher will read it this frame.
+        accel = mips_mod.update(accel, st.mip_idx, st.mip_val,
+                                max_depth=cfg.max_depth, dist_level=lvl,
+                                max_skip=cfg.dist_max_skip,
+                                with_dist=with_dist)
+    elif cfg.use_dense_mips:
+        pass  # mirror deferred with the interiors (lazy frames)
+    else:
+        # Entry grid refresh: child pointers are write-once, so the cached
+        # per-cell entry nodes only go stale when a tile appears at a
+        # shallow level — rare after warmup.
+        new_pool = pool
+        old_accel = accel
+        accel = jax.lax.cond(
+            st.shallow_allocs > 0,
+            lambda: raycast.build_accel(new_pool, level=lvl),
+            lambda: old_accel)
+    return pool, leaves, accel, st
+
+
 def _empty_pyramid(cfg: SLAMConfig) -> Tuple[PyramidLevel, ...]:
     levels = []
     for i in range(cfg.pyramid_depth):
@@ -246,36 +284,12 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     # it the gate is per-frame only — a transient bad frame is skipped but
     # fusion resumes once tracking re-locks, matching the reference's
     # per-frame abort rather than freezing the map forever.
-    gate = diverged if cfg.relocalize \
+    gate = diverged if cfg.recovery_enabled \
         else (state.initialized & tstats.diverged)
     fuse_ok = jnp.broadcast_to(~gate, (world_pts.shape[0],))
-    pool, istats = svo.insert(pool_in, world_pts, colors, valid=fuse_ok,
-                              depth=cfg.max_depth,
-                              unique_cap=cfg.insert_unique_cap,
-                              emit_mips=cfg.use_dense_mips and eager,
-                              shallow_level=lvl,
-                              update_interior=eager)
-    leaves = append_new_leaves(state.leaves, istats)
-
-    if cfg.use_dense_mips and eager:
-        # Dense-mip render cache (map/mips.py): mirror this insert's touched
-        # values and occupancy, refresh the empty-space distance field.
-        # Only the exact marcher reads `dist`; the slab cone splatter and
-        # the splat view never touch it.
-        accel = mips_mod.update(accel_in, istats.mip_idx, istats.mip_val,
-                                max_depth=cfg.max_depth, dist_level=lvl,
-                                max_skip=cfg.dist_max_skip,
-                                with_dist=(render == "cone_march"))
-    elif cfg.use_dense_mips:
-        accel = accel_in  # mirror deferred with the interiors
-    else:
-        # Entry grid refresh: child pointers are write-once, so the cached
-        # per-cell entry nodes only go stale when a tile appears at a
-        # shallow level — rare after warmup.
-        accel = jax.lax.cond(
-            istats.shallow_allocs > 0,
-            lambda: raycast.build_accel(pool, level=lvl),
-            lambda: accel_in)
+    pool, leaves, accel, istats = _fuse_once(
+        pool_in, state.leaves, accel_in, world_pts, colors, fuse_ok, cfg,
+        eager=eager, with_dist=(render == "cone_march"))
 
     if cfg.device_remainder:
         # Unique-cap remainder ON DEVICE: while a frame still has distinct
@@ -290,27 +304,9 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
 
         def _page(c):
             _, last_key, pool_c, leaves_c, accel_c = c
-            pool_n, st = svo.insert(pool_c, world_pts, colors,
-                                    valid=fuse_ok,
-                                    depth=cfg.max_depth,
-                                    unique_cap=cfg.insert_unique_cap,
-                                    emit_mips=cfg.use_dense_mips and eager,
-                                    shallow_level=lvl, min_key=last_key,
-                                    update_interior=eager)
-            leaves_n = append_new_leaves(leaves_c, st)
-            if cfg.use_dense_mips and eager:
-                accel_n = mips_mod.update(accel_c, st.mip_idx, st.mip_val,
-                                          max_depth=cfg.max_depth,
-                                          dist_level=lvl,
-                                          max_skip=cfg.dist_max_skip,
-                                          with_dist=False)
-            elif cfg.use_dense_mips:
-                accel_n = accel_c
-            else:
-                accel_n = jax.lax.cond(
-                    st.shallow_allocs > 0,
-                    lambda: raycast.build_accel(pool_n, level=lvl),
-                    lambda: accel_c)
+            pool_n, leaves_n, accel_n, st = _fuse_once(
+                pool_c, leaves_c, accel_c, world_pts, colors, fuse_ok,
+                cfg, eager=eager, min_key=last_key, with_dist=False)
             return (st.unique_overflow, st.last_key, pool_n, leaves_n,
                     accel_n)
 
@@ -413,26 +409,10 @@ def insert_remainder(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     v = state.last_pyramid[0].vertex.reshape(-1, 3)
     world_pts = v @ state.pose[:3, :3].T + state.pose[:3, 3]
     colors = frame.color.reshape(-1, 3).astype(jnp.float32) / 255.0
-    lvl = _accel_level(cfg)
     eager = not cfg.lazy_interior
-    pool, istats = svo.insert(state.pool, world_pts, colors,
-                              depth=cfg.max_depth,
-                              unique_cap=cfg.insert_unique_cap,
-                              emit_mips=cfg.use_dense_mips and eager,
-                              shallow_level=lvl, min_key=min_key,
-                              update_interior=eager)
-    leaves = append_new_leaves(state.leaves, istats)
-    if cfg.use_dense_mips and eager:
-        accel = mips_mod.update(state.accel, istats.mip_idx, istats.mip_val,
-                                max_depth=cfg.max_depth, dist_level=lvl,
-                                max_skip=cfg.dist_max_skip, with_dist=False)
-    elif cfg.use_dense_mips:
-        accel = state.accel
-    else:
-        accel = jax.lax.cond(
-            istats.shallow_allocs > 0,
-            lambda: raycast.build_accel(pool, level=lvl),
-            lambda: state.accel)
+    pool, leaves, accel, istats = _fuse_once(
+        state.pool, state.leaves, state.accel, world_pts, colors, None,
+        cfg, eager=eager, min_key=min_key, with_dist=False)
     new_state = state._replace(
         pool=pool, leaves=leaves, accel=accel,
         # a lazy remainder skips the interior mipmap + mirror updates: the

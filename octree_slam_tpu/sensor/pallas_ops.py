@@ -45,9 +45,16 @@ _MAX_WINDOW_PX = 360_000  # VMEM stack bound (see module doc)
 
 
 def compatible(shape) -> bool:
-    """Tile-compatible image shape (any size: big frames run striped)."""
+    """Tile-compatible image shape. Big frames run striped, but only when
+    a reasonable stripe exists: heights with no multiple-of-8 divisor
+    under the window budget (e.g. 1096 = 8 x 137) would degenerate to
+    8-row stripes — dozens of kernel launches at ~0.5 ms flat each is far
+    slower than the XLA path, so such shapes fall back."""
     h, w = shape
-    return h % 8 == 0 and w % 128 == 0
+    if h % 8 or w % 128:
+        return False
+    return (h * w <= _MAX_WINDOW_PX
+            or _stripe_height(h, w, _MAX_WINDOW_PX) >= 32)
 
 
 def on_tpu() -> bool:

@@ -143,9 +143,18 @@ def rgbd_normal_equations(last: PyramidLevel, cur_vertex: jnp.ndarray,
     sy = h / img_h
 
     i1 = last.intensity
-    # central-difference gradients of the last intensity image
+    # central-difference gradients of the last intensity image; the roll
+    # wraps at the borders, producing finite but bogus cross-image
+    # gradients — zero the border ring so warped points landing there
+    # contribute no photometric force instead of a biased one
     gx = 0.5 * (jnp.roll(i1, -1, 1) - jnp.roll(i1, 1, 1))
     gy = 0.5 * (jnp.roll(i1, -1, 0) - jnp.roll(i1, 1, 0))
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    interior = ((col > 0) & (col < w - 1) & (rowi > 0)
+                & (rowi < h - 1)).astype(i1.dtype)
+    gx = gx * interior
+    gy = gy * interior
 
     v = cur_vertex.reshape(-1, 3)
     finite = jnp.all(jnp.isfinite(v), axis=-1)

@@ -167,7 +167,7 @@ def main(argv=None):
                      node_capacity=args.node_capacity,
                      leaf_capacity=args.node_capacity >> 3)
     if args.load_state:
-        state = app.load_state(args.load_state, cfg)
+        state, cfg = app.load_state(args.load_state, cfg)
     else:
         from octree_slam_tpu.sensor import sources
         scene = sources.default_scene()

@@ -71,8 +71,9 @@ class TestRunSlam:
         state = pipeline.init_state(CFG, initial_pose=pose)
         state, _ = pipeline.step(state, frame, CFG, render="none")
         p = str(tmp_path / "state.npz")
-        app.save_state(p, state)
-        state2 = app.load_state(p, CFG)
+        app.save_state(p, state, CFG)
+        state2, cfg2 = app.load_state(p, CFG)
+        assert cfg2.node_capacity == CFG.node_capacity
         np.testing.assert_array_equal(np.asarray(state2.pool.child),
                                       np.asarray(state.pool.child))
         np.testing.assert_allclose(np.asarray(state2.pose),
