@@ -5,7 +5,8 @@ tile binning -> b40c radix sort -> per-tile shared-memory fine raster,
 ~11k LoC of CUDA) and its wrapper (src/world/voxelization/voxelization.cu)
 with a TPU-native design (SURVEY.md section 2.2 row 1): every triangle
 enumerates a static budget of candidate voxels from its AABB, candidates are
-tested with 6-separating (THIN) triangle/box overlap as vectorized masks, and
+tested with 6-separating (THIN, the app default) or 26-separating
+(CONSERVATIVE, common.h:78-82) triangle/box overlap as vectorized masks, and
 surviving fragments scatter their shaded color into a dense grid; occupied
 cells are compacted by prefix sum. No tiles, no shared memory, no sort.
 
@@ -124,9 +125,12 @@ def _tri_box_overlap_thin(c, half, a, b, cc, n_hat):
     thin = jnp.max(jnp.abs(n_hat) * half)
     plane_ok = dist <= thin + 1e-7
 
-    # dominant axis
+    # dominant axis; (u, v) must be the CYCLIC pair ((k+1)%3, (k+2)%3) so
+    # the 2D cross product in (u, v) order equals +n_hat[dom] — an
+    # anti-cyclic pair (e.g. (x, z) for dom=y) inverts the winding sign and
+    # rejects every interior cell of dom-axis-facing triangles
     dom = jnp.argmax(jnp.abs(n_hat))
-    axes = jnp.array([[1, 2], [0, 2], [0, 1]], jnp.int32)[dom]
+    axes = jnp.array([[1, 2], [2, 0], [0, 1]], jnp.int32)[dom]
     u, v = axes[0], axes[1]
     sgn = jnp.sign(n_hat[dom])
     sgn = jnp.where(sgn == 0, 1.0, sgn)
@@ -141,6 +145,33 @@ def _tri_box_overlap_thin(c, half, a, b, cc, n_hat):
 
     proj_ok = edge_ok(a, b) & edge_ok(b, cc) & edge_ok(cc, a)
     return plane_ok & proj_ok
+
+
+def _tri_box_overlap_conservative(c, half, a, b, cc, n_hat):
+    """26-separating triangle/voxel overlap (CONSERVATIVE_RASTER semantics,
+    voxelpipe common.h:78-82): marks every voxel whose box intersects the
+    triangle at all. Equivalent to the classic 13-axis SAT restricted to the
+    triangle's AABB cells: the plane-cuts-box test (offset = SUM_k |n_k|*h_k,
+    vs the thin criterion's max) plus 2D edge tests in ALL THREE axis
+    projections (the 9 edge-cross separating axes).
+
+    c f32[...,3] voxel centers; half f32[3]; a/b/cc f32[3] corners."""
+    dist = jnp.abs(jnp.sum((c - a) * n_hat, axis=-1))
+    plane_ok = dist <= jnp.sum(jnp.abs(n_hat) * half) + 1e-7
+
+    ok = plane_ok
+    # cyclic (u, v) pairs per projection axis k — see the winding note in
+    # _tri_box_overlap_thin
+    for u, v, k in ((1, 2, 0), (2, 0, 1), (0, 1, 2)):
+        sgn = jnp.where(n_hat[k] >= 0, 1.0, -1.0)
+        for p0, p1 in ((a, b), (b, cc), (cc, a)):
+            e = p1 - p0
+            ne_u = -e[v] * sgn
+            ne_v = e[u] * sgn
+            ofs = jnp.abs(ne_u) * half[u] + jnp.abs(ne_v) * half[v]
+            d = (c[..., u] - p0[u]) * ne_u + (c[..., v] - p0[v]) * ne_v
+            ok = ok & (d + ofs >= -1e-7)
+    return ok
 
 
 def _barycentric(p, a, b, c):
@@ -161,14 +192,18 @@ def _barycentric(p, a, b, c):
     return jnp.clip(jnp.stack([w0, w1, w2], -1), 0.0, 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("log_n", "tri_budget"))
+@functools.partial(jax.jit,
+                   static_argnames=("log_n", "tri_budget", "conservative"))
 def voxelize(soup: TriangleSoup, texture: jnp.ndarray, bbox_lo: jnp.ndarray,
-             bbox_hi: jnp.ndarray, *, log_n: int,
-             tri_budget: int) -> jnp.ndarray:
+             bbox_hi: jnp.ndarray, *, log_n: int, tri_budget: int,
+             conservative: bool = False) -> jnp.ndarray:
     """Rasterize triangles into a dense voxel grid of packed RGBA8 words.
 
     texture: f32[th, tw, 3] (a 1x1 texel for untextured meshes). Returns
     u32[N, N, N] indexed [z, y, x]; empty cells are 0 (alpha 0).
+    conservative selects the 26-separating overlap test (VoxelPipe's
+    CONSERVATIVE_RASTER; the reference app only ever uses THIN,
+    voxelization.cu:297).
     """
     n = 1 << log_n
     lo = bbox_lo
@@ -196,9 +231,11 @@ def voxelize(soup: TriangleSoup, texture: jnp.ndarray, bbox_lo: jnp.ndarray,
         nrm = jnp.cross(v1 - v0, v2 - v0)
         nl = jnp.linalg.norm(nrm)
         n_hat = nrm / jnp.where(nl < 1e-12, 1.0, nl)
+        overlap = (_tri_box_overlap_conservative if conservative
+                   else _tri_box_overlap_thin)
         hit = (
             valid & in_budget & (nl > 1e-12)
-            & _tri_box_overlap_thin(centers, half, v0, v1, v2, n_hat)
+            & overlap(centers, half, v0, v1, v2, n_hat)
         )
 
         w = _barycentric(centers, v0, v1, v2)
@@ -245,16 +282,18 @@ def grid_to_voxel_list(grid: jnp.ndarray, bbox_lo: jnp.ndarray,
 
 
 def mesh_to_voxel_grid(mesh: Mesh, texture: Texture | None, *, log_n: int = 8,
-                       tri_budget: int = 512,
-                       capacity: int = 1 << 18) -> VoxelGrid:
+                       tri_budget: int = 512, capacity: int = 1 << 18,
+                       conservative: bool = False) -> VoxelGrid:
     """meshToVoxelGrid (voxelization.cu:381-405): voxelize into the mesh's
-    bbox and return the compacted VoxelGrid."""
+    bbox and return the compacted VoxelGrid. conservative=True switches the
+    overlap test from THIN (6-separating) to CONSERVATIVE (26-separating)."""
     bbox = mesh.bbox
     soup = prepare_mesh(mesh, bbox, log_n, tri_budget)
     tex = (texture.data if texture is not None
            else jnp.full((1, 1, 3), jnp.asarray([0.0, 1.0, 0.0]), jnp.float32))
     grid = voxelize(soup, tex, bbox.bbox0, bbox.bbox1,
-                    log_n=log_n, tri_budget=tri_budget)
+                    log_n=log_n, tri_budget=tri_budget,
+                    conservative=conservative)
     centers, colors, count = grid_to_voxel_list(
         grid, bbox.bbox0, bbox.bbox1, log_n=log_n, capacity=capacity)
     n = 1 << log_n

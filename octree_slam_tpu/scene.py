@@ -57,7 +57,8 @@ class Scene:
 
     # --- voxelization (Scene::voxelizeMeshes, scene.cpp:64-85) ---
 
-    def voxelize_meshes(self, octree: bool = False) -> VoxelGrid:
+    def voxelize_meshes(self, octree: bool = False,
+                        conservative: bool = False) -> VoxelGrid:
         if not self.meshes:
             raise ValueError("no meshes loaded")
         mesh = self.meshes[0]
@@ -65,7 +66,8 @@ class Scene:
         grid = voxelization.mesh_to_voxel_grid(
             mesh, tex, log_n=self.cfg.vox_log_n,
             tri_budget=self.cfg.vox_tri_budget,
-            capacity=self.cfg.extract_capacity)
+            capacity=self.cfg.extract_capacity,
+            conservative=conservative)
         if octree:
             scale = float(grid.scale)
             if self.tree is None:

@@ -113,6 +113,142 @@ class TestVoxelize:
                                                tri_budget=64, capacity=1 << 14)
         assert int(grid.count) > 50 * 50
 
+    def test_axis_dominant_quads_fully_covered(self):
+        """A full-footprint quad normal to EACH axis rasterizes to the
+        complete 16x16 slab. Regression: the dominant-axis 2D projection
+        used an anti-cyclic (u,v) pair for dom=y, inverting the winding
+        sign — y-facing triangle interiors were rejected entirely."""
+        for axis in range(3):
+            u = np.zeros(3, np.float32)
+            v = np.zeros(3, np.float32)
+            p = np.zeros(3, np.float32)
+            u[(axis + 1) % 3] = 0.9
+            v[(axis + 2) % 3] = 0.9
+            p[axis] = 0.0625  # a cell-center plane (cell = 0.125)
+            verts = np.array([p - u - v, p + u - v, p + u + v, p - u + v],
+                             np.float32)
+            f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+            mesh = Mesh(
+                vertices=jnp.asarray(verts),
+                normals=jnp.zeros((4, 3), jnp.float32),
+                colors=jnp.zeros((4, 3), jnp.float32), faces=jnp.asarray(f),
+                texcoords=jnp.zeros((2, 3, 2), jnp.float32),
+                bbox=BoundingBox(jnp.asarray([-1.0, -1.0, -1.0]),
+                                 jnp.asarray([1.0, 1.0, 1.0])))
+            for cons in (False, True):
+                grid = voxelization.mesh_to_voxel_grid(
+                    mesh, None, log_n=4, tri_budget=512, capacity=4096,
+                    conservative=cons)
+                assert int(grid.count) == 16 * 16, (
+                    f"axis {axis} conservative={cons}: {int(grid.count)}")
+
+    def _sat_margin(self, center, half, a, b, c):
+        """Signed separation margin of the classic 13-axis triangle/box SAT
+        (float64 oracle): > 0 overlap, < 0 separated, ~0 tangent."""
+        tri = np.stack([a, b, c])
+        edges = [b - a, c - b, a - c]
+        axes = [np.eye(3)[k] for k in range(3)]
+        axes.append(np.cross(b - a, c - a))
+        for k in range(3):
+            for e in edges:
+                axes.append(np.cross(np.eye(3)[k], e))
+        margin = np.inf
+        for L in axes:
+            ln = np.linalg.norm(L)
+            if ln < 1e-12:
+                continue
+            L = L / ln
+            t = tri @ L
+            p0 = center @ L
+            r = np.abs(L) @ half
+            margin = min(margin,
+                         min(t.max(), p0 + r) - max(t.min(), p0 - r))
+        return margin
+
+    def _random_small_mesh(self, seed, n_tris=8, edge=0.3):
+        rng = np.random.default_rng(seed)
+        base = rng.uniform(-0.8, 0.8, (n_tris, 3)).astype(np.float32)
+        v = np.concatenate(
+            [base + rng.uniform(-edge, edge, (n_tris, 3)).astype(np.float32)
+             for _ in range(3)])
+        f = np.arange(3 * n_tris, dtype=np.int32).reshape(3, n_tris).T
+        return Mesh(
+            vertices=jnp.asarray(v), normals=jnp.zeros_like(jnp.asarray(v)),
+            colors=jnp.zeros_like(jnp.asarray(v)), faces=jnp.asarray(f),
+            texcoords=jnp.zeros((n_tris, 3, 2), jnp.float32),
+            bbox=BoundingBox(jnp.asarray([-1.0, -1.0, -1.0]),
+                             jnp.asarray([1.0, 1.0, 1.0])))
+
+    def test_conservative_matches_sat_oracle(self):
+        """CONSERVATIVE (26-separating) marks exactly the cells whose box
+        intersects a triangle: sandwiched by the float64 13-axis SAT oracle
+        evaluated at +/-1e-4 margin (tolerance absorbs the f32 epsilons)."""
+        mesh = self._random_small_mesh(seed=3)
+        n = 16
+        lo = np.array([-1.0, -1.0, -1.0])
+        cell = np.full(3, 2.0 / n)
+        half = cell / 2
+        soup = voxelization.prepare_mesh(mesh, mesh.bbox, 4, 512)
+        grid = voxelization.voxelize(
+            soup, jnp.ones((1, 1, 3), jnp.float32), mesh.bbox.bbox0,
+            mesh.bbox.bbox1, log_n=4, tri_budget=512, conservative=True)
+        got = np.asarray(packing.alpha_of(np.asarray(grid).reshape(-1)) > 0
+                         ).reshape(n, n, n)
+
+        verts = np.asarray(mesh.vertices, np.float64)
+        faces = np.asarray(mesh.faces)
+        strict = np.zeros((n, n, n), bool)
+        loose = np.zeros((n, n, n), bool)
+        for fi in range(faces.shape[0]):
+            a, b, c = (verts[faces[fi, j]] for j in range(3))
+            tmin = np.floor((np.minimum(np.minimum(a, b), c) - lo) / cell)
+            tmax = np.floor((np.maximum(np.maximum(a, b), c) - lo) / cell)
+            i0 = np.clip(tmin, 0, n - 1).astype(int)
+            i1 = np.clip(tmax, 0, n - 1).astype(int)
+            for iz in range(i0[2], i1[2] + 1):
+                for iy in range(i0[1], i1[1] + 1):
+                    for ix in range(i0[0], i1[0] + 1):
+                        ctr = lo + (np.array([ix, iy, iz]) + 0.5) * cell
+                        m = self._sat_margin(ctr, half, a, b, c)
+                        if m > 1e-4:
+                            strict[iz, iy, ix] = True
+                        if m > -1e-4:
+                            loose[iz, iy, ix] = True
+        assert np.all(got[strict]), "missed a definitely-overlapping cell"
+        assert not np.any(got & ~loose), "marked a definitely-separated cell"
+
+    def test_conservative_superset_of_thin(self):
+        """A tilted-plane quad (normal (1,2,0)/sqrt5): cell centers land at
+        plane distances between the thin criterion's max-offset (2h/sqrt5)
+        and the conservative sum-offset (3h/sqrt5), so CONSERVATIVE is a
+        strict superset of THIN."""
+        nrm = np.array([1.0, 2.0, 0.0]) / np.sqrt(5.0)
+        u1 = np.array([2.0, -1.0, 0.0]) / np.sqrt(5.0)
+        u2 = np.array([0.0, 0.0, 1.0])
+        p0 = np.array([0.12, 0.0, 0.0])  # on the plane x + 2y = 0.12
+        v = np.array([p0 - 0.7 * u1 - 0.8 * u2, p0 + 0.7 * u1 - 0.8 * u2,
+                      p0 + 0.7 * u1 + 0.8 * u2, p0 - 0.7 * u1 + 0.8 * u2],
+                     np.float32)
+        assert np.allclose(v @ nrm, 0.12 / np.sqrt(5.0), atol=1e-6)
+        f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        mesh = Mesh(
+            vertices=jnp.asarray(v), normals=jnp.zeros_like(jnp.asarray(v)),
+            colors=jnp.zeros_like(jnp.asarray(v)), faces=jnp.asarray(f),
+            texcoords=jnp.zeros((2, 3, 2), jnp.float32),
+            bbox=BoundingBox(jnp.asarray([-1.0, -1.0, -1.0]),
+                             jnp.asarray([1.0, 1.0, 1.0])))
+        thin = voxelization.mesh_to_voxel_grid(mesh, None, log_n=4,
+                                               tri_budget=512, capacity=4096)
+        cons = voxelization.mesh_to_voxel_grid(mesh, None, log_n=4,
+                                               tri_budget=512, capacity=4096,
+                                               conservative=True)
+        tset = {tuple(np.round(p, 4))
+                for p in np.asarray(thin.centers)[: int(thin.count)]}
+        cset = {tuple(np.round(p, 4))
+                for p in np.asarray(cons.centers)[: int(cons.count)]}
+        assert tset <= cset
+        assert len(cset) > len(tset)
+
     def test_grid_to_svo_roundtrip(self):
         """VoxelGrid -> SVO insert -> extraction reproduces occupancy
         (Scene::voxelizeMeshes -> addVoxelGrid -> extractVoxelGrid flow,
