@@ -217,6 +217,65 @@ class TestVoxelize:
         assert np.all(got[strict]), "missed a definitely-overlapping cell"
         assert not np.any(got & ~loose), "marked a definitely-separated cell"
 
+    def _thin_margin(self, center, half, a, b, c):
+        """Signed margin of the 6-separating THIN criterion in float64:
+        min over {thin-plane slack, dominant-axis 2D edge slacks}."""
+        n = np.cross(b - a, c - a)
+        n = n / np.linalg.norm(n)
+        margin = np.max(np.abs(n) * half) - abs((center - a) @ n)
+        dom = int(np.argmax(np.abs(n)))
+        u, v = (dom + 1) % 3, (dom + 2) % 3
+        sgn = 1.0 if n[dom] >= 0 else -1.0
+        for p0, p1 in ((a, b), (b, c), (c, a)):
+            e = p1 - p0
+            ne = np.array([-e[v], e[u]]) * sgn
+            ln = np.linalg.norm(ne)
+            if ln < 1e-12:
+                continue
+            ofs = abs(ne[0]) * half[u] + abs(ne[1]) * half[v]
+            d = (center[u] - p0[u]) * ne[0] + (center[v] - p0[v]) * ne[1]
+            margin = min(margin, (d + ofs) / ln)
+        return margin
+
+    def test_thin_matches_oracle(self):
+        """THIN marks exactly the cells passing the 6-separating criterion:
+        sandwiched by the float64 oracle at +/-1e-4 margin, over random
+        triangles (regression guard for projection/winding errors on
+        arbitrary orientations)."""
+        mesh = self._random_small_mesh(seed=11)
+        n = 16
+        lo = np.array([-1.0, -1.0, -1.0])
+        cell = np.full(3, 2.0 / n)
+        half = cell / 2
+        soup = voxelization.prepare_mesh(mesh, mesh.bbox, 4, 512)
+        grid = voxelization.voxelize(
+            soup, jnp.ones((1, 1, 3), jnp.float32), mesh.bbox.bbox0,
+            mesh.bbox.bbox1, log_n=4, tri_budget=512)
+        got = np.asarray(packing.alpha_of(np.asarray(grid).reshape(-1)) > 0
+                         ).reshape(n, n, n)
+
+        verts = np.asarray(mesh.vertices, np.float64)
+        faces = np.asarray(mesh.faces)
+        strict = np.zeros((n, n, n), bool)
+        loose = np.zeros((n, n, n), bool)
+        for fi in range(faces.shape[0]):
+            a, b, c = (verts[faces[fi, j]] for j in range(3))
+            tmin = np.floor((np.minimum(np.minimum(a, b), c) - lo) / cell)
+            tmax = np.floor((np.maximum(np.maximum(a, b), c) - lo) / cell)
+            i0 = np.clip(tmin, 0, n - 1).astype(int)
+            i1 = np.clip(tmax, 0, n - 1).astype(int)
+            for iz in range(i0[2], i1[2] + 1):
+                for iy in range(i0[1], i1[1] + 1):
+                    for ix in range(i0[0], i1[0] + 1):
+                        ctr = lo + (np.array([ix, iy, iz]) + 0.5) * cell
+                        m = self._thin_margin(ctr, half, a, b, c)
+                        if m > 1e-4:
+                            strict[iz, iy, ix] = True
+                        if m > -1e-4:
+                            loose[iz, iy, ix] = True
+        assert np.all(got[strict]), "missed a cell the thin criterion keeps"
+        assert not np.any(got & ~loose), "marked a cell thin rejects"
+
     def test_conservative_superset_of_thin(self):
         """A tilted-plane quad (normal (1,2,0)/sqrt5): cell centers land at
         plane distances between the thin criterion's max-offset (2h/sqrt5)
