@@ -297,9 +297,16 @@ def save_state(path: str, state: pipeline.SLAMState,
     RUN-END cfg: auto-growth changes capacities mid-run, and load_state
     needs them to rebuild the template (CLI flags only know the initial
     sizes)."""
+    from octree_slam_tpu.map import svo
     flat, treedef = jax.tree_util.tree_flatten(state)
     caps = ({"node_capacity": cfg.node_capacity,
-             "leaf_capacity": cfg.leaf_capacity} if cfg else {})
+             "leaf_capacity": cfg.leaf_capacity,
+             # the dense-prealloc layout is part of the pool's on-disk
+             # meaning: a checkpoint replayed under a different
+             # prealloc_levels schedule would silently misindex the
+             # shallow levels, so record and validate it
+             "prealloc": svo.prealloc_levels(cfg.node_capacity)}
+            if cfg else {})
     np.savez_compressed(path, n=len(flat), **caps,
                         **{f"a{i}": np.asarray(x) for i, x in enumerate(flat)})
 
@@ -315,6 +322,16 @@ def load_state(path: str, cfg: SLAMConfig
         cfg = dataclasses.replace(
             cfg, node_capacity=int(z["node_capacity"]),
             leaf_capacity=int(z["leaf_capacity"]))
+    if "prealloc" in z:
+        from octree_slam_tpu.map import svo
+        cur = svo.prealloc_levels(cfg.node_capacity)
+        if int(z["prealloc"]) != cur:
+            raise ValueError(
+                f"checkpoint {path!r} was written with "
+                f"{int(z['prealloc'])} dense-preallocated octree levels "
+                f"but this build uses {cur} for capacity "
+                f"{cfg.node_capacity} — the pool layout is incompatible "
+                f"(re-map from the source data or use the writing build)")
     template = pipeline.init_state(cfg)
     flat, treedef = jax.tree_util.tree_flatten(template)
     if int(z["n"]) != len(flat):

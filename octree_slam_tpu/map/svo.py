@@ -73,11 +73,15 @@ def prealloc_levels(capacity: int) -> int:
     """Number of fully-preallocated shallow levels for a pool of this
     capacity (see create). Every dense level removes one round of the
     insert descend's dependent-gather chain (~0.8 ms/frame on v5e), so
-    big pools extend the dense region to level 5/6 as long as it stays
-    under 1/8 of the pool; smaller pools keep the original schedule."""
-    for pre in (6, 5):
-        if 8 * _LEVEL_BASE[pre + 1] <= capacity:
-            return pre
+    big pools extend the dense region as deep as the budget allows:
+    level 6 (299,592 slots) is worth dedicating up to 1/3 of the pool —
+    the gather it deletes is pure latency while the slots only matter if
+    the sparse region actually fills (growth/tiering absorb that); level 5
+    and below keep the original 1/8 (resp. 1/2) schedules."""
+    if 3 * _LEVEL_BASE[7] <= capacity:   # level 6: pools >= ~900k nodes
+        return 6
+    if 8 * _LEVEL_BASE[6] <= capacity:   # level 5: pools >= ~300k nodes
+        return 5
     for pre in (4, 3, 2, 1):
         if 2 * _LEVEL_BASE[pre + 1] <= capacity:
             return pre

@@ -74,6 +74,34 @@ class TestInsert:
         # dense level 5 never allocates dynamically
         assert int(st.new_nodes) <= 8 * 2 * int(st.n_unique)
 
+    def test_level6_dense_prealloc_tier(self):
+        """Pools >= 3x the level-6 dense region (1 << 20) preallocate six
+        levels and still behave identically to small-pool inserts — incl.
+        depth == pre (a depth-6 map where every node is dense-indexed)."""
+        cap = 1 << 20
+        assert svo.prealloc_levels(cap) == 6
+        pts, cols = random_points(2000, seed=22)
+        for depth in (7, 6):
+            big = svo.create(cap, jnp.zeros(3), 1.0)
+            big, st = svo.insert(big, jnp.asarray(pts), jnp.asarray(cols),
+                                 depth=depth)
+            small = svo.create(1 << 16, jnp.zeros(3), 1.0)  # pre = 4
+            small, st2 = svo.insert(small, jnp.asarray(pts),
+                                    jnp.asarray(cols), depth=depth)
+            assert int(st.n_unique) == int(st2.n_unique)
+            vb, db = svo.query_points(big, jnp.asarray(pts), depth=depth)
+            vs, ds = svo.query_points(small, jnp.asarray(pts), depth=depth)
+            np.testing.assert_array_equal(np.asarray(vb), np.asarray(vs))
+            np.testing.assert_array_equal(np.asarray(db), np.asarray(ds))
+            eb = svo.extract_voxels(big, depth=depth, capacity=1 << 13)
+            es = svo.extract_voxels(small, depth=depth, capacity=1 << 13)
+            kb = np.sort(np.asarray(eb.keys)[np.asarray(eb.nodes) >= 0])
+            ks = np.sort(np.asarray(es.keys)[np.asarray(es.nodes) >= 0])
+            np.testing.assert_array_equal(kb, ks)
+            if depth == 6:
+                # the whole tree is dense: nothing allocates
+                assert int(st.new_nodes) == 0
+
     def test_single_point(self):
         pool = svo.create(1 << 12, jnp.zeros(3), 1.0)
         pts = jnp.array([[0.5, 0.5, 0.5]], jnp.float32)
