@@ -322,16 +322,20 @@ def load_state(path: str, cfg: SLAMConfig
         cfg = dataclasses.replace(
             cfg, node_capacity=int(z["node_capacity"]),
             leaf_capacity=int(z["leaf_capacity"]))
-    if "prealloc" in z:
-        from octree_slam_tpu.map import svo
-        cur = svo.prealloc_levels(cfg.node_capacity)
-        if int(z["prealloc"]) != cur:
-            raise ValueError(
-                f"checkpoint {path!r} was written with "
-                f"{int(z['prealloc'])} dense-preallocated octree levels "
-                f"but this build uses {cur} for capacity "
-                f"{cfg.node_capacity} — the pool layout is incompatible "
-                f"(re-map from the source data or use the writing build)")
+    from octree_slam_tpu.map import svo
+    cur = svo.prealloc_levels(cfg.node_capacity)
+    # missing stamp = pre-stamp build = the legacy schedule (a missing key
+    # must NOT mean "skip validation": those checkpoints are exactly the
+    # ones a schedule change silently corrupts)
+    stored = (int(z["prealloc"]) if "prealloc" in z
+              else svo.prealloc_levels_legacy(cfg.node_capacity))
+    if stored != cur:
+        raise ValueError(
+            f"checkpoint {path!r} was written with {stored} "
+            f"dense-preallocated octree levels but this build uses {cur} "
+            f"for capacity {cfg.node_capacity} — the pool layout is "
+            f"incompatible (re-map from the source data or use the "
+            f"writing build)")
     template = pipeline.init_state(cfg)
     flat, treedef = jax.tree_util.tree_flatten(template)
     if int(z["n"]) != len(flat):

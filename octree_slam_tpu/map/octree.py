@@ -107,16 +107,30 @@ class Octree:
         own bounded max_depth recomputation (octree.cpp:284, svo.cu:35)."""
         old_size = self.size
         k = max(1, math.ceil(math.log2((old_size + add_size) / old_size)))
-        pre = svo.prealloc_levels(self.capacity)
         for _ in range(k):
             if self.max_depth + 1 > MAX_KEY_DEPTH:
                 self._expand_coarsen(self.size * 2.0)
                 continue
-            bridge = svo._LEVEL_BASE[pre + 1] - svo._LEVEL_BASE[pre]
-            while int(self.pool.n_nodes) + bridge > self.capacity:
+            # bridge = the 8^pre level-`pre` tiles reroot_double writes;
+            # recompute after EVERY growth — crossing a prealloc boundary
+            # (e.g. 1<<19 -> 1<<20 is now 5 -> 6 dense levels) changes it
+            def _bridge():
+                pre = svo.prealloc_levels(self.capacity)
+                return svo._LEVEL_BASE[pre + 1] - svo._LEVEL_BASE[pre]
+            while int(self.pool.n_nodes) + _bridge() > self.capacity:
                 self.grow_capacity(2 * self.capacity)
+            before = float(self.pool.half_size)
             self.pool = svo.reroot_double(self.pool)
-            self.max_depth += 1
+            # reroot_double is a no-op (overflowed flag) if the bridge did
+            # not fit; only count the level if the volume actually doubled,
+            # else max_depth would disagree with half_size and every morton
+            # encode/decode lands one level off
+            if float(self.pool.half_size) > before:
+                self.max_depth += 1
+            else:  # pragma: no cover - headroom loop above prevents this
+                raise RuntimeError(
+                    "expand_by_size: reroot_double did not fit despite "
+                    "headroom check (pool overflowed)")
 
     def grow_capacity(self, new_capacity: int) -> None:
         """Reallocate the node pool at a larger capacity (the reference's
@@ -203,6 +217,8 @@ class Octree:
             overflowed=np.asarray(self.pool.overflowed),
             resolution=self.resolution,
             max_depth=self.max_depth,
+            # part of the pool's on-disk meaning: see load()
+            prealloc=svo.prealloc_levels(self.capacity),
         )
 
     @classmethod
@@ -212,6 +228,17 @@ class Octree:
         tree.resolution = float(z["resolution"])
         tree.max_depth = int(z["max_depth"])
         tree.capacity = int(z["child"].shape[0])
+        # the dense-prealloc layout is part of the file format: loading a
+        # pool under a different prealloc_levels schedule would misindex
+        # every shallow level (missing stamp = legacy schedule)
+        cur = svo.prealloc_levels(tree.capacity)
+        stored = (int(z["prealloc"]) if "prealloc" in z
+                  else svo.prealloc_levels_legacy(tree.capacity))
+        if stored != cur:
+            raise ValueError(
+                f"octree file {path!r} was written with {stored} "
+                f"dense-preallocated levels but this build uses {cur} for "
+                f"capacity {tree.capacity} — incompatible pool layout")
         tree.extract_capacity = 1 << 18
         tree.pool = svo.SVONodePool(
             child=jnp.asarray(z["child"]),

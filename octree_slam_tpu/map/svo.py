@@ -88,6 +88,21 @@ def prealloc_levels(capacity: int) -> int:
     return 1
 
 
+def prealloc_levels_legacy(capacity: int) -> int:
+    """The schedule BEFORE level 6 was allowed at 1/3 headroom (both
+    levels gated at 1/8). Checkpoints written without a prealloc stamp
+    were laid out under this rule — loaders compare it against
+    prealloc_levels to reject pools whose dense layout no longer matches
+    (a silent mismatch misindexes every shallow level)."""
+    for pre in (6, 5):
+        if 8 * _LEVEL_BASE[pre + 1] <= capacity:
+            return pre
+    for pre in (4, 3, 2, 1):
+        if 2 * _LEVEL_BASE[pre + 1] <= capacity:
+            return pre
+    return 1
+
+
 # node index of (level l, morton cell m) in the dense-preallocated region:
 # _LEVEL_BASE[l] + m — the same (8^l - 8)/7 layout as the value mips.
 _LEVEL_BASE = [0] + [((1 << (3 * l)) - 8) // 7 for l in range(1, 12)]

@@ -173,7 +173,12 @@ def render_cone_splat(leaves: LeafList, center: jnp.ndarray, half_size,
     #               march composites both; a min keeps one — keep the
     #               confident one). Bias ~1.2 mm per deficit step, as the
     #               old absolute-z key used.
-    #   bit 15..21  a7 = alpha - 128 (leaves here always have alpha >= 128)
+    #   bit 15..21  127 - (alpha - 128): INVERTED so prio ties (the clip at
+    #               510 saturates for near slabs, where the deficit bias
+    #               can exceed the slab width) resolve toward the HIGHEST
+    #               alpha — storing alpha directly would make the min pick
+    #               the least-confident leaf, the exact inversion of the
+    #               keep-the-confident-one rule above
     #   bit  0..14  rgb555 (5-6-5 -> 5-5-5 costs one green bit, ~0.4% of
     #               the channel — invisible next to the 23 dB slab-vs-march
     #               PSNR)
@@ -185,10 +190,10 @@ def render_cone_splat(leaves: LeafList, center: jnp.ndarray, half_size,
     deficit_m = (255 - a8.astype(jnp.float32)) * (4.0 * spec.z_far / 32766.0)
     prio = jnp.clip((zrel * 511.0 + deficit_m * 512.0 /
                      jnp.maximum(slab_w, 1e-6)).astype(jnp.int32), 0, 510)
-    a7 = jnp.clip(a8.astype(jnp.int32) - 128, 0, 127)
+    inv_a7 = 127 - jnp.clip(a8.astype(jnp.int32) - 128, 0, 127)
     rgb555 = ((r8.astype(jnp.int32) >> 3) << 10) | \
         ((g8.astype(jnp.int32) >> 3) << 5) | (b8.astype(jnp.int32) >> 3)
-    word = (prio << 22) | (a7 << 15) | rgb555
+    word = (prio << 22) | (inv_a7 << 15) | rgb555
     buf = jnp.full((spec.total_cells,), EMPTY, jnp.int32).at[idx].min(
         jnp.where(ok, word, EMPTY), mode="drop")
 
@@ -212,8 +217,8 @@ def render_cone_splat(leaves: LeafList, center: jnp.ndarray, half_size,
 
         w = up(buf)
         occ = w != EMPTY
-        # weight = alpha - 127 = a7 + 1 (zeroed by the occ gate below)
-        alpha = (((w >> 15) & 0x7F) + 1).astype(jnp.float32)
+        # weight = alpha - 127 = (127 - inv_a7) + 1 (zeroed by the occ gate)
+        alpha = (128 - ((w >> 15) & 0x7F)).astype(jnp.float32)
         # expand 5-bit channels to 8-bit (replicate top bits into the low 3)
         rr = ((w >> 10) & 0x1F)
         gg = ((w >> 5) & 0x1F)

@@ -64,23 +64,33 @@ def project_clipless(points: jnp.ndarray, mvp: jnp.ndarray, width: int,
     return jnp.stack([px, py], axis=-1), ndc[..., 2], ok
 
 
+def pack_rgb565(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray):
+    """8-bit channels -> one 5-6-5 16-bit word (shared by every packed
+    z-buffer in the render package — splat.py imports these)."""
+    return ((r >> 3) << 11) | ((g >> 2) << 5) | (b >> 3)
+
+
+def unpack_rgb565(v: jnp.ndarray):
+    """5-6-5 word -> 8-bit channels, replicating the top bits into the low
+    ones so full-scale values round-trip exactly (255 -> 255, not 248)."""
+    r5 = (v >> 11) & 0x1F
+    g6 = (v >> 5) & 0x3F
+    b5 = v & 0x1F
+    return (r5 << 3) | (r5 >> 2), (g6 << 2) | (g6 >> 4), (b5 << 3) | (b5 >> 2)
+
+
 def _pack_zrgb(ndc_z: jnp.ndarray, colors: jnp.ndarray) -> jnp.ndarray:
     """(q15 depth << 16) | rgb565 — one int32 per fragment for scatter-min."""
     q = jnp.clip(jnp.round((ndc_z + 1.0) * 16383.0), 0, 32766).astype(jnp.int32)
     c8 = jnp.clip(jnp.round(colors[..., :3] * 255.0), 0, 255).astype(jnp.int32)
-    rgb565 = ((c8[..., 0] >> 3) << 11) | ((c8[..., 1] >> 2) << 5) | \
-        (c8[..., 2] >> 3)
-    return (q << 16) | rgb565
+    return (q << 16) | pack_rgb565(c8[..., 0], c8[..., 1], c8[..., 2])
 
 
 def _unpack_fb(buf: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     """Packed z-buffer -> f32[H, W, 4] (alpha = hit mask)."""
     occ = buf != DEPTH_INF
-    r5 = (buf >> 11) & 0x1F
-    g6 = (buf >> 5) & 0x3F
-    b5 = buf & 0x1F
-    rgb = jnp.stack([(r5 << 3) | (r5 >> 2), (g6 << 2) | (g6 >> 4),
-                     (b5 << 3) | (b5 >> 2)], axis=-1).astype(jnp.float32)
+    rr, gg, bb = unpack_rgb565(buf & 0xFFFF)
+    rgb = jnp.stack([rr, gg, bb], axis=-1).astype(jnp.float32)
     rgb = jnp.where(occ[..., None], rgb / 255.0, 0.0)
     out = jnp.concatenate([rgb, occ[..., None].astype(jnp.float32)], axis=-1)
     return out.reshape(height, width, 4)

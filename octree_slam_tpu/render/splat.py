@@ -32,7 +32,11 @@ import jax.numpy as jnp
 from octree_slam_tpu.core import packing
 from octree_slam_tpu.map import morton
 from octree_slam_tpu.map.svo import SVONodePool, InsertStats
+# points.py owns the canonical packed-z-buffer bit math (the replicating
+# unpack round-trips 255 exactly)
 from octree_slam_tpu.render.points import DEPTH_INF
+from octree_slam_tpu.render.points import pack_rgb565 as _pack_rgb565
+from octree_slam_tpu.render.points import unpack_rgb565 as _unpack_rgb565
 
 EMPTY = DEPTH_INF  # no-hit sentinel: sorts after every packed depth word
 
@@ -110,17 +114,6 @@ def append_new_leaves(leaves: LeafList, stats: InsertStats) -> LeafList:
         leaves.count + stats.new_leaf_count > lc)
     return LeafList(keys=keys, nodes=nodes, vals=vals, node2pos=node2pos,
                     count=new_count, overflowed=overflowed)
-
-
-def _pack_rgb565(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return ((r >> 3) << 11) | ((g >> 2) << 5) | (b >> 3)
-
-
-def _unpack_rgb565(v: jnp.ndarray):
-    r = ((v >> 11) & 0x1F) << 3
-    g = ((v >> 5) & 0x3F) << 2
-    b = (v & 0x1F) << 3
-    return r, g, b
 
 
 def splat_zbuffer(vals: jnp.ndarray, keys: jnp.ndarray,
