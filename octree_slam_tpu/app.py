@@ -375,6 +375,13 @@ def main(argv=None):
                         "compositing via slab splatting (real-time), the "
                         "exact cone-tracing march (slow, reference "
                         "semantics), or none")
+    p.add_argument("--track-fuse-level", type=int, default=0,
+                   help="pyramid level for ICP + fusion (0 = native res). "
+                        "At high sensor resolutions 1 keeps the tracking "
+                        "work at ~VGA scale while rendering stays full-res "
+                        "(sets track_finest_level and fuse_level; pyramid "
+                        "gains one level so the tracked sub-pyramid keeps "
+                        "the full {10,5,4} schedule)")
     p.add_argument("--node-capacity", type=int, default=None,
                    help="static SVO node-pool size (power of two; "
                         "default from SLAMConfig)")
@@ -417,6 +424,13 @@ def main(argv=None):
            if args.node_capacity else {})
     if args.no_dense_mips:
         cap["use_dense_mips"] = False
+    if args.track_fuse_level:
+        lvl = args.track_fuse_level
+        if lvl < 0 or lvl > 2:
+            p.error("--track-fuse-level must be 0..2")
+        cap.update(track_finest_level=lvl, fuse_level=lvl,
+                   pyramid_depth=SLAMConfig.pyramid_depth + lvl,
+                   pyramid_iters=SLAMConfig.pyramid_iters)
     if args.host_spill:
         cap["host_spill"] = True
         if args.spill_keep_radius is not None:

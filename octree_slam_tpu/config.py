@@ -36,6 +36,21 @@ class SLAMConfig:
     #     rgbd_camera.cpp:19) ---
     pyramid_depth: int = 3
     pyramid_iters: Tuple[int, ...] = (10, 5, 4)   # fine -> coarse order, like ref
+    track_finest_level: int = 0  # ICP refines down to this pyramid level.
+                                 # The reference's {10,5,4} schedule was
+                                 # designed for its fixed 640x480 sensor
+                                 # (main.h:39); at higher sensor resolutions
+                                 # setting 1 keeps the Gauss-Newton work at
+                                 # ~VGA scale (e.g. 960x540 for a 1080p
+                                 # stream) while the RENDER stays full-res.
+                                 # pyramid_iters indexes relative to this
+                                 # level, so the same schedule applies to
+                                 # the tracked sub-pyramid.
+    fuse_level: int = 0          # pyramid level whose vertex map feeds map
+                                 # fusion (main.cpp:39-44 uses the full-res
+                                 # map; at 1080p with 2 cm voxels level 1's
+                                 # 960x540 cloud still oversamples every
+                                 # leaf many times over)
     icp_dist_thresh: float = 0.1        # meters
     icp_norm_thresh: float = 0.87       # cos(30 deg)
     icp_z_min: float = 0.1              # meters (localization_kernels.cu:189)

@@ -114,15 +114,33 @@ def _fuse_once(pool, leaves, accel, world_pts, colors, valid,
     return pool, leaves, accel, st
 
 
+def _fuse_colors(frame: Frame, cfg: SLAMConfig) -> jnp.ndarray:
+    """Frame colors on cfg.fuse_level's pixel grid, as f32[N, 3] in [0,1].
+
+    The depth pyramid decimates at the (2x, 2y) sample (subsample_depth),
+    so plain 2x decimation keeps colors registered with the fused vertex
+    map (the reference's subsampleKernel pairing, image_kernels.cu:291)."""
+    from octree_slam_tpu.sensor.image_ops import decimate2
+    colors = frame.color
+    for _ in range(cfg.fuse_level):
+        colors = decimate2(colors)
+    return colors.reshape(-1, 3).astype(jnp.float32) / 255.0
+
+
 def _empty_pyramid(cfg: SLAMConfig) -> Tuple[PyramidLevel, ...]:
+    # shapes must mirror tracking.build_pyramid exactly (the state template
+    # validates checkpoints and the donated step reuses these buffers):
+    # levels finer than every consumer hold 1x1 placeholder maps
+    min_map_level = min(cfg.track_finest_level, cfg.fuse_level)
     levels = []
     for i in range(cfg.pyramid_depth):
-        h, w = cfg.level_shape(i)
+        h, w = cfg.level_shape(i) if i >= min_map_level else (1, 1)
+        ih, iw = cfg.level_shape(i)
         levels.append(
             PyramidLevel(
                 vertex=jnp.full((h, w, 3), jnp.inf, jnp.float32),
                 normal=jnp.full((h, w, 3), jnp.inf, jnp.float32),
-                intensity=jnp.zeros((h, w), jnp.float32),
+                intensity=jnp.zeros((ih, iw), jnp.float32),
             )
         )
     return tuple(levels)
@@ -274,9 +292,9 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
         pool_in, accel_in = jax.lax.cond(
             state.interior_stale, _heal, lambda o: o, (pool_in, accel_in))
 
-    v = pyramid[0].vertex.reshape(-1, 3)
+    v = pyramid[cfg.fuse_level].vertex.reshape(-1, 3)
     world_pts = v @ pose[:3, :3].T + pose[:3, 3]
-    colors = frame.color.reshape(-1, 3).astype(jnp.float32) / 255.0
+    colors = _fuse_colors(frame, cfg)
     # Lost tracking gates fusion: the reference aborts the frame's update
     # on divergence (rgbd_camera.cpp:148-151 returns before the swap) —
     # fusing at a bogus pose would poison the map. With relocalization
@@ -400,15 +418,15 @@ def insert_remainder(state: SLAMState, frame: Frame, cfg: SLAMConfig,
                      min_key: jnp.ndarray
                      ) -> Tuple[SLAMState, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Fuse the unique-cap remainder of the CURRENT frame (the one `step`
-    just consumed: its full-res vertex map is state.last_pyramid[0] and
-    its pose is state.pose). Uniques are processed in sorted key order, so
+    just consumed: its fused vertex map is state.last_pyramid[fuse_level]
+    and its pose is state.pose). Uniques are processed in sorted key order, so
     masking keys > min_key continues exactly where step's insert stopped —
     each leaf blends once in total. Returns the new state plus
     (unique_overflow, last_key) to drive the host loop; min_key is a
     dynamic scalar, so the loop never recompiles."""
-    v = state.last_pyramid[0].vertex.reshape(-1, 3)
+    v = state.last_pyramid[cfg.fuse_level].vertex.reshape(-1, 3)
     world_pts = v @ state.pose[:3, :3].T + state.pose[:3, 3]
-    colors = frame.color.reshape(-1, 3).astype(jnp.float32) / 255.0
+    colors = _fuse_colors(frame, cfg)
     eager = not cfg.lazy_interior
     pool, leaves, accel, istats = _fuse_once(
         state.pool, state.leaves, state.accel, world_pts, colors, None,

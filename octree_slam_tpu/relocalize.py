@@ -80,10 +80,14 @@ def _score_one(leaves: LeafList, center: jnp.ndarray, half_size,
     update_T, stats = tracking.track(list(model_pyr), list(live_pyramid),
                                      cfg)
     pose = candidate @ update_T
-    # stats rows are appended coarse -> fine; the last is full resolution
+    # stats rows are appended coarse -> fine; the last is the finest
+    # TRACKED level (cfg.track_finest_level)
     inliers = stats.inliers[-1]
     residual = stats.residual[-1]
-    min_inl = jnp.int32(cfg.reloc_min_inlier_frac * cfg.num_pixels)
+    # the finest TRACKED level has num_pixels >> 2*track_finest_level
+    # candidates, so the inlier fraction gates against that count
+    n_px_tracked = cfg.num_pixels >> (2 * cfg.track_finest_level)
+    min_inl = jnp.int32(cfg.reloc_min_inlier_frac * n_px_tracked)
     ok = (~stats.diverged) & (inliers >= min_inl) \
         & jnp.all(jnp.isfinite(pose))
     return jnp.concatenate([

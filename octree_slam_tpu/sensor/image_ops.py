@@ -130,7 +130,7 @@ def subsample_depth(depth_mm: jnp.ndarray,
         from octree_slam_tpu.sensor import pallas_ops
         if pallas_ops.on_tpu() and pallas_ops.compatible(depth_mm.shape):
             out = pallas_ops.gated_window_mean(depth_mm, gate)
-            return out[::2, ::2][:oh, :ow].astype(depth_mm.dtype)
+            return decimate2(out)[:oh, :ow].astype(depth_mm.dtype)
     d = depth_mm.astype(jnp.float32)
     pad = jnp.pad(d, 2)
     inb = jnp.pad(jnp.ones((h, w), jnp.float32), 2)
@@ -148,12 +148,26 @@ def subsample_depth(depth_mm: jnp.ndarray,
             s = s + nb * ok
             cnt = cnt + ok
     out = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), 0.0)
-    return out[::2, ::2][:oh, :ow].astype(depth_mm.dtype)
+    return decimate2(out)[:oh, :ow].astype(depth_mm.dtype)
+
+
+def decimate2(img: jnp.ndarray) -> jnp.ndarray:
+    """img[::2, ::2(, :)] expressed as a 1x1-window stride-2 reduce_window.
+
+    Bit-identical to the strided slice (the single-element add returns the
+    element at (2i, 2j)), but XLA lowers a stride-2 slice on TPU as a full
+    lane relayout (~4.7 ms for 1080p f32 on v5e) while the equivalent
+    reduce_window is ~free (0.1 ms measured) — it was the single largest
+    cost of the 1080p pyramid before this."""
+    dims = (1,) * img.ndim
+    strides = (2, 2) + (1,) * (img.ndim - 2)
+    return jax.lax.reduce_window(img, jnp.zeros((), img.dtype),
+                                 jax.lax.add, dims, strides, "VALID")
 
 
 def subsample(img: jnp.ndarray) -> jnp.ndarray:
     """Plain 2x decimation (subsampleKernel, image_kernels.cu:291-306)."""
-    return img[::2, ::2]
+    return decimate2(img)
 
 
 def transform_vertex_map(vertex: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:

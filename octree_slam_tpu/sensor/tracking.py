@@ -55,10 +55,20 @@ def build_pyramid(depth_mm: jnp.ndarray, color: jnp.ndarray,
     intensity = image_ops.color_to_intensity(color, cfg.intensity_ratio)
     levels = []
     d, inten = filtered, intensity
+    # Levels finer than every consumer (ICP stops at track_finest_level,
+    # fusion reads fuse_level) carry 1x1 placeholder maps: at 1080p the
+    # full-res vertex+normal maps alone are ~4 ms/frame of pure waste when
+    # both knobs are >= 1. The depth/intensity chain still runs at full
+    # res — coarser levels are built from it.
+    min_map_level = min(cfg.track_finest_level, cfg.fuse_level)
     for i in range(cfg.pyramid_depth):
-        vertex = image_ops.generate_vertex_map(
-            d, cfg.focal_x, cfg.focal_y, (cfg.width, cfg.height))
-        normal = image_ops.generate_normal_map(vertex)
+        if i >= min_map_level:
+            vertex = image_ops.generate_vertex_map(
+                d, cfg.focal_x, cfg.focal_y, (cfg.width, cfg.height))
+            normal = image_ops.generate_normal_map(vertex)
+        else:
+            vertex = jnp.full((1, 1, 3), jnp.inf, jnp.float32)
+            normal = jnp.full((1, 1, 3), jnp.inf, jnp.float32)
         levels.append(PyramidLevel(vertex=vertex, normal=normal, intensity=inten))
         if i != cfg.pyramid_depth - 1:
             d = image_ops.subsample_depth(d, cfg.bilateral_sigma_depth,
@@ -262,13 +272,29 @@ def track(last_pyramid: List[PyramidLevel], current_pyramid: List[PyramidLevel],
     diverged = jnp.bool_(False)
     inliers = []
     residuals = []
-    for level in range(cfg.pyramid_depth - 1, -1, -1):
+    # With track_finest_level > 0 the refinement stops early and
+    # pyramid_iters re-anchors to the finest TRACKED level, so the same
+    # {10,5,4} budget applies to the tracked sub-pyramid (the schedule was
+    # tuned for a 640x480 sensor, rgbd_camera.cpp:19 — at 1080p level 1 is
+    # the comparable scale).
+    tfl = cfg.track_finest_level
+    assert len(cfg.pyramid_iters) >= cfg.pyramid_depth - tfl, (
+        f"pyramid_iters needs {cfg.pyramid_depth - tfl} entries for "
+        f"pyramid_depth={cfg.pyramid_depth}, "
+        f"track_finest_level={tfl}")
+    for level in range(cfg.pyramid_depth - 1, tfl - 1, -1):
         update_T, div, count, res = _track_level(
             last_pyramid[level], current_pyramid[level], level,
-            update_T, cfg.pyramid_iters[level], cfg)
+            update_T, cfg.pyramid_iters[level - tfl], cfg)
         diverged = diverged | div
         inliers.append(count)
         residuals.append(res)
+    # Skipped finer levels report the finest tracked level's stats so the
+    # [-1] entry stays "finest available" for consumers (relocalize gates
+    # on it; app logs keep pyramid_depth entries).
+    for _ in range(tfl):
+        inliers.append(inliers[-1])
+        residuals.append(residuals[-1])
     stats = TrackStats(
         inliers=jnp.stack(inliers),
         residual=jnp.stack(residuals),
