@@ -160,12 +160,12 @@ def dilate_zbuffer(buf: jnp.ndarray, *, width: int, height: int,
     expected; display and the frame-to-model tracker both close them."""
     img = buf.reshape(height, width)
     for _ in range(rounds):
-        p = jnp.pad(img, 1, constant_values=EMPTY)
-        best = img
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                nb = jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (height, width))
-                best = jnp.minimum(best, nb)
+        # min over the 3x3 window as ONE reduce_window (identity EMPTY =
+        # i32 max, so out-of-image padding never wins) -- bit-identical to
+        # the 9-tap pad/slice/minimum chain it replaces, at a fraction of
+        # the kernel count
+        best = jax.lax.reduce_window(img, EMPTY, jax.lax.min,
+                                     (3, 3), (1, 1), "SAME")
         img = jnp.where(img == EMPTY, best, img)
     return img
 

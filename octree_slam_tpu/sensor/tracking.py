@@ -230,7 +230,24 @@ def _track_level(last: PyramidLevel, cur: PyramidLevel, level: int,
 
     Combines the geometric point-to-plane term with the photometric term
     when cfg.w_rgbd > 0 (the A1+A2 combination sketched at
-    rgbd_camera.cpp:131-141)."""
+    rgbd_camera.cpp:131-141).
+
+    PERF NOTE (measured on v5e, device traces; do not re-try): this loop
+    is ~2.4 ms/frame, ~11 tiny kernels x 19 iterations, and this shape is
+    its measured optimum. Three rewrites that look like wins are not:
+      * folding the rigid v2/n2 transform + count/|r| columns into one
+        9-wide Gram dot_general broke XLA's producer fusion (the
+        finiteness gates became standalone full-size reduce kernels):
+        2.4 -> 3.6 ms/frame;
+      * replacing cho_factor/cho_solve with a closed-form 3x3-block Schur
+        solve (scalar or cross-product form) emitted MORE tiny kernels
+        than the linalg path it replaced;
+      * lax.scan(unroll=True) left device time unchanged (43.9 vs
+        44.0 ms/4 frames) while inflating compile time, which map-growth
+        recompiles pay again through the tunnel's unstable compile cache.
+    The remaining cost is per-op dispatch in the scan body; shrinking it
+    further means a Pallas mega-kernel per iteration (gates + Gram +
+    solve), which trades ATE bit-stability for ~0.5 ms/frame."""
     v1, n1 = last.vertex, last.normal
     v2, n2 = cur.vertex, cur.normal
 

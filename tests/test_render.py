@@ -117,3 +117,34 @@ class TestVoxelRender:
             width=64, height=48, max_splat=4))
         covered = (fb[..., 3] > 0).sum()
         assert covered > 4  # bigger than a single pixel
+
+
+class TestDilateZbuffer:
+    def test_reduce_window_matches_nine_tap(self):
+        """dilate_zbuffer's 3x3 reduce_window min must be bit-identical to
+        the explicit pad/slice/minimum chain it replaced."""
+        import jax
+        from octree_slam_tpu.render import splat as splat_mod
+
+        rng = np.random.default_rng(7)
+        h, w = 24, 32
+        buf = rng.integers(0, 2 ** 30, (h, w), dtype=np.int32)
+        buf[rng.random((h, w)) < 0.6] = int(splat_mod.EMPTY)
+
+        def nine_tap(img, rounds):
+            for _ in range(rounds):
+                p = jnp.pad(img, 1, constant_values=splat_mod.EMPTY)
+                best = img
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        best = jnp.minimum(best, jax.lax.dynamic_slice(
+                            p, (1 + dy, 1 + dx), (h, w)))
+                img = jnp.where(img == splat_mod.EMPTY, best, img)
+            return img
+
+        for rounds in (1, 2, 3):
+            got = np.asarray(splat_mod.dilate_zbuffer(
+                jnp.asarray(buf.reshape(-1)), width=w, height=h,
+                rounds=rounds))
+            want = np.asarray(nine_tap(jnp.asarray(buf), rounds))
+            np.testing.assert_array_equal(got, want)
