@@ -320,7 +320,17 @@ def save_state(path: str, state: pipeline.SLAMState,
              # meaning: a checkpoint replayed under a different
              # prealloc_levels schedule would silently misindex the
              # shallow levels, so record and validate it
-             "prealloc": svo.prealloc_levels(cfg.node_capacity)}
+             "prealloc": svo.prealloc_levels(cfg.node_capacity),
+             # every other shape- or semantics-bearing knob, so ANY
+             # consumer (app resume, viewers) can rebuild the exact
+             # template without knowing the writing run's CLI flags
+             "width": cfg.width, "height": cfg.height,
+             "pyramid_depth": cfg.pyramid_depth,
+             "track_finest_level": cfg.track_finest_level,
+             "fuse_level": cfg.fuse_level,
+             "max_depth": cfg.max_depth,
+             "use_dense_mips": int(cfg.use_dense_mips),
+             "voxel_resolution": cfg.voxel_resolution}
             if cfg else {})
     np.savez_compressed(path, n=len(flat), **caps,
                         **{f"a{i}": np.asarray(x) for i, x in enumerate(flat)})
@@ -337,6 +347,25 @@ def load_state(path: str, cfg: SLAMConfig
         cfg = dataclasses.replace(
             cfg, node_capacity=int(z["node_capacity"]),
             leaf_capacity=int(z["leaf_capacity"]))
+    # newer checkpoints stamp the remaining shape/semantics knobs too
+    # (older ones fall back to the caller's cfg + the checks below)
+    overrides = {}
+    for key, cast in (("width", int), ("height", int),
+                      ("pyramid_depth", int), ("track_finest_level", int),
+                      ("fuse_level", int), ("max_depth", int),
+                      ("use_dense_mips", lambda v: bool(int(v))),
+                      ("voxel_resolution", float)):
+        if key in z:
+            overrides[key] = cast(z[key])
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+        # pyramid_iters must still cover the tracked sub-pyramid when the
+        # stored depth exceeds the caller's schedule
+        need = cfg.pyramid_depth - cfg.track_finest_level
+        if len(cfg.pyramid_iters) < need:
+            cfg = dataclasses.replace(
+                cfg, pyramid_iters=cfg.pyramid_iters
+                + (4,) * (need - len(cfg.pyramid_iters)))
     from octree_slam_tpu.map import svo
     cur = svo.prealloc_levels(cfg.node_capacity)
     # missing stamp = pre-stamp build = the legacy schedule (a missing key
