@@ -32,6 +32,71 @@ from octree_slam_tpu.utils import metrics
 # unstable, fully recompile) at the first frame of every run.
 _step_cache: dict = {}
 
+# Compile-ahead (cfg.precompile_ahead): map growth doubles a capacity,
+# which changes shapes and recompiles the step — minutes through a
+# remote-TPU tunnel whose persistent-cache keys are unstable, and the
+# dominant wall-clock cost of long runs (the 200-frame soak's wall fps is
+# recompile-bound while its steady fps is 22+). Compilation is an RPC the
+# client waits on with the GIL released (measured: a background .compile()
+# leaves concurrent step latency at its 48 ms median), so when the pool
+# crosses HALF full the app AOT-compiles the post-growth step in a daemon
+# thread; by the time the 3/4 growth threshold fires, the executable is
+# usually sitting in _aot_cache and the swap is free.
+_aot_cache: dict = {}      # (cfg, render) -> jax Compiled, ready to run
+_aot_inflight: dict = {}   # (cfg, render) -> threading.Event (compile done)
+_aot_lock = None           # created lazily (threading import)
+
+
+def _build_jit(cfg: SLAMConfig, render: str):
+    return jax.jit(
+        lambda s, f, _c=cfg, _r=render: pipeline.step(s, f, _c, render=_r),
+        donate_argnums=0)
+
+
+def _frame_shapes(cfg: SLAMConfig) -> Frame:
+    return Frame(
+        depth=jax.ShapeDtypeStruct((cfg.height, cfg.width), jnp.uint16),
+        color=jax.ShapeDtypeStruct((cfg.height, cfg.width, 3), jnp.uint8),
+        timestamp=jax.ShapeDtypeStruct((), jnp.float32))
+
+
+def precompile_step(cfg: SLAMConfig, render: str):
+    """AOT-compile the donated step for (cfg, render) in a background
+    daemon thread; _donated_step picks the executable up when that config
+    becomes live. Returns the thread (for tests), or None if the config is
+    already compiled/in flight. Never raises: a failed or mispredicted
+    precompile just leaves the normal recompile path."""
+    import threading
+    global _aot_lock
+    if _aot_lock is None:
+        _aot_lock = threading.Lock()
+    key = (cfg, render)
+    done = threading.Event()
+    with _aot_lock:
+        if key in _step_cache or key in _aot_cache or key in _aot_inflight:
+            return None
+        _aot_inflight[key] = done
+
+    def worker():
+        try:
+            state_sds = jax.eval_shape(lambda: pipeline.init_state(cfg))
+            compiled = _build_jit(cfg, render).lower(
+                state_sds, _frame_shapes(cfg)).compile()
+            with _aot_lock:
+                _aot_cache[key] = compiled
+        except Exception as e:  # tunnel hiccup, shape drift, ...
+            print(json.dumps({"event": "precompile_failed",
+                              "error": str(e)[:200]}))
+        finally:
+            with _aot_lock:
+                _aot_inflight.pop(key, None)
+            done.set()
+
+    th = threading.Thread(target=worker, daemon=True,
+                          name=f"precompile-{cfg.node_capacity}")
+    th.start()
+    return th
+
 # _pack_signals vector layout; consume() reads by these offsets
 _SIG_POSE = slice(0, 16)
 _SIG_UO, _SIG_NODES, _SIG_LEAVES, _SIG_OVF, _SIG_DIV = 16, 17, 18, 19, 20
@@ -39,13 +104,42 @@ _SIG_STATS = 21  # then pyramid_depth inlier counts + residuals
 
 
 def _donated_step(cfg: SLAMConfig, render: str):
-    fn = _step_cache.get((cfg, render))
+    key = (cfg, render)
+    fn = _step_cache.get(key)
     if fn is None:
-        fn = jax.jit(
-            lambda s, f, _c=cfg, _r=render: pipeline.step(s, f, _c,
-                                                          render=_r),
-            donate_argnums=0)
-        _step_cache[(cfg, render)] = fn
+        compiled = None
+        if _aot_lock is not None:
+            with _aot_lock:
+                inflight = _aot_inflight.get(key)
+            if inflight is not None:
+                # growth fired before the compile-ahead finished: waiting
+                # out the remainder is strictly cheaper than launching a
+                # second identical compile
+                inflight.wait()
+            with _aot_lock:
+                compiled = _aot_cache.pop(key, None)
+        if compiled is not None:
+            # Compile-ahead hit: wrap the AOT executable with a one-shot
+            # fallback — if the live state's avals drifted from the
+            # predicted init_state shapes (e.g. a leaf-registry overflow
+            # rebuild picked a non-doubled capacity), the aval check
+            # raises BEFORE execution (donation untouched) and we pay the
+            # normal recompile instead.
+            jit_fn = [None]
+
+            def fn(state, frame, _c=compiled, _k=key, _jf=jit_fn):
+                if _jf[0] is None:
+                    try:
+                        return _c(state, frame)
+                    except Exception as e:
+                        print(json.dumps({
+                            "event": "precompile_mismatch",
+                            "error": str(e)[:200]}))
+                        _jf[0] = _build_jit(*_k)
+                return _jf[0](state, frame)
+        else:
+            fn = _build_jit(cfg, render)
+        _step_cache[key] = fn
     return fn
 
 
@@ -125,6 +219,11 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
     # overflow flag in their (lagged) packed vectors; ignore it for them
     # or one overflow would double capacity twice
     ovf_ignore_until = [-1]
+    # render strings this run can hand to _donated_step — the set of
+    # step variants compile-ahead must cover (consume's growth policy)
+    renders_used = ({"none"} if render_every <= 0 else
+                    {render_mode} if render_every == 1 else
+                    {render_mode, "none"})
     # Donating hot-loop step: the previous state's buffers are recycled
     # in place (map updates without a 12MB pool copy per frame). Safe here
     # because this loop is the only holder of `state`. The compiled fn is
@@ -242,6 +341,25 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
                     "node_capacity": cfg.node_capacity,
                     "leaf_capacity": cfg.leaf_capacity,
                 }))
+            elif cfg.precompile_ahead:
+                # Half-full: growth is coming — AOT-compile the doubled
+                # config now, in the background, so the 3/4 trigger swaps
+                # executables instead of stalling the run for a remote
+                # compile (see _aot_cache). Mispredictions (spill avoids
+                # growth, overflow rebuild picks a different leaf cap)
+                # just waste a background compile.
+                pred_n = map_nodes > cfg.node_capacity // 2
+                pred_l = map_leaves > cfg.leaf_capacity // 2
+                if pred_n or pred_l:
+                    import dataclasses
+                    nxt = dataclasses.replace(
+                        cfg,
+                        node_capacity=cfg.node_capacity * (2 if pred_n
+                                                           else 1),
+                        leaf_capacity=cfg.leaf_capacity * (2 if pred_l
+                                                           else 1))
+                    for r in renders_used:
+                        precompile_step(nxt, r)
         return state, cfg
 
     # With the remainder on device, the packed host read can TRAIL one

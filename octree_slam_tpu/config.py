@@ -112,6 +112,14 @@ class SLAMConfig:
     reloc_min_inlier_frac: float = 0.05  # accept when full-res ICP inliers
                                          # exceed this fraction of pixels
 
+    precompile_ahead: bool = True       # when the pool passes HALF full,
+                                        # AOT-compile the post-growth step
+                                        # in a background thread so the
+                                        # 3/4 growth trigger swaps
+                                        # executables instead of stalling
+                                        # minutes in a remote recompile
+                                        # (app.precompile_step)
+
     # --- Host tiering (map/tiering.py; the reference's CPU/GPU subtree
     #     tiering, pushToGPU/pullToCPU octree.cpp:41-111) ---
     host_spill: bool = False            # archive cold map regions to host

@@ -91,3 +91,104 @@ class TestRunSlam:
         import json
         rec = json.loads(out)
         assert rec["frames"] == 2
+
+
+class TestPrecompileAhead:
+    """Compile-ahead of the post-growth step (app.precompile_step):
+    the executable built from predicted init_state shapes must accept the
+    LIVE state and reproduce the jit path bit-for-bit."""
+
+    def _cfg(self, **kw):
+        base = dict(width=64, height=48, focal_x=55.0, focal_y=55.0,
+                    pyramid_depth=2, pyramid_iters=(2, 2),
+                    voxel_resolution=0.05, max_depth=7,
+                    node_capacity=1 << 14, leaf_capacity=1 << 11,
+                    max_march_iters=16)
+        base.update(kw)
+        return SLAMConfig(**base)
+
+    def test_aot_step_matches_jit(self, capsys):
+        import jax
+        cfg = self._cfg()
+        th = app.precompile_step(cfg, "none")
+        assert th is not None
+        th.join(timeout=600)
+        assert (cfg, "none") in app._aot_cache
+
+        pose = sources.orbit_pose(0.0)
+        scene = sources.default_scene()
+        frame = sources.render_frame(scene, pose, cfg.focal_x, cfg.focal_y,
+                                     width=cfg.width, height=cfg.height)
+        state = pipeline.init_state(cfg, initial_pose=pose)
+        s2 = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), state)
+
+        ref_state, ref_out = app._build_jit(cfg, "none")(state, frame)
+        fn = app._donated_step(cfg, "none")     # consumes the AOT entry
+        assert (cfg, "none") not in app._aot_cache
+        aot_state, aot_out = fn(s2, frame)
+        # the AOT executable really ran (no aval-mismatch fallback)
+        assert "precompile_mismatch" not in capsys.readouterr().out
+
+        np.testing.assert_array_equal(np.asarray(aot_out.pose),
+                                      np.asarray(ref_out.pose))
+        np.testing.assert_array_equal(np.asarray(aot_state.pool.value),
+                                      np.asarray(ref_state.pool.value))
+        assert int(aot_out.map_nodes) == int(ref_out.map_nodes)
+        # cleanup so other tests see a fresh cache for this cfg
+        app._step_cache.pop((cfg, "none"), None)
+
+    def test_mispredicted_aot_falls_back(self, capsys):
+        """A stale/mismatched executable must not poison the run: the
+        aval check raises before execution and the wrapper recompiles."""
+        import jax
+        cfg_small = self._cfg(node_capacity=1 << 13)
+        cfg_big = self._cfg(node_capacity=1 << 15)
+        th = app.precompile_step(cfg_small, "none")
+        if th is not None:
+            th.join(timeout=600)
+        compiled = app._aot_cache.pop((cfg_small, "none"))
+        # poison: register the SMALL executable under the BIG config
+        app._aot_cache[(cfg_big, "none")] = compiled
+
+        pose = sources.orbit_pose(0.0)
+        scene = sources.default_scene()
+        frame = sources.render_frame(scene, pose, cfg_big.focal_x,
+                                     cfg_big.focal_y, width=cfg_big.width,
+                                     height=cfg_big.height)
+        state = pipeline.init_state(cfg_big, initial_pose=pose)
+        fn = app._donated_step(cfg_big, "none")
+        new_state, out = fn(state, frame)
+        assert "precompile_mismatch" in capsys.readouterr().out
+        assert int(new_state.frame_idx) == 1
+        app._step_cache.pop((cfg_big, "none"), None)
+        app._step_cache.pop((cfg_small, "none"), None)
+
+    def test_growth_run_with_precompile_matches_without(self):
+        """End-to-end: an auto-growing run with compile-ahead produces the
+        identical trajectory and map as with the flag off."""
+        def run(flag):
+            cfg = self._cfg(node_capacity=9368, leaf_capacity=1 << 9,
+                            voxel_resolution=0.02, max_depth=8,
+                            precompile_ahead=flag)
+            scene = sources.default_scene()
+            gt = [sources.orbit_pose(i * 0.05) for i in range(5)]
+
+            def frame_fn(i):
+                return sources.render_frame(scene, gt[i], cfg.focal_x,
+                                            cfg.focal_y, width=cfg.width,
+                                            height=cfg.height)
+
+            sink: list = []
+            res = app.run_slam(frame_fn, 5, cfg, initial_pose=gt[0],
+                               render_every=0, state_out=sink)
+            return res, sink[0]
+
+        res_a, st_a = run(True)
+        res_b, st_b = run(False)
+        assert res_a.frames == res_b.frames == 5
+        np.testing.assert_array_equal(np.stack(res_a.poses),
+                                      np.stack(res_b.poses))
+        assert st_a.pool.capacity == st_b.pool.capacity
+        np.testing.assert_array_equal(np.asarray(st_a.pool.value),
+                                      np.asarray(st_b.pool.value))
