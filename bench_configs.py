@@ -6,6 +6,10 @@ bench.py; this file covers the rest of `BASELINE.json.configs`:
   cube      — objs/cube.obj voxelize at 64^3 -> octree depth 6 -> cone render
   textured  — objs/teapot_tex.obj + textures/texture1.bmp at 256^3
               (GRID_RES=8 parity, voxelization.cu:24) -> cone render
+  bunny     — objs/bunny_tex.obj + texture2.bmp, same pipeline (the
+              textured asset BASELINE.json names; dragon.obj does not
+              exist in the reference tree)
+  cow       — objs/cow_tex.obj + textures/cow.bmp, same pipeline
   sponza    — crytek-sponza orbit: voxelized mesh -> synthetic RGB-D orbit
               -> full ICP+fusion loop. NOTE: the sponza main geometry ships
               as sponza.am.any (not OBJ — the reference's own objloader
@@ -461,8 +465,9 @@ def config_tum(n_frames=30):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="all",
-                   choices=["cube", "textured", "sponza", "cone1080p",
-                            "depth10", "warmmarch", "tum", "all"])
+                   choices=["cube", "textured", "bunny", "cow", "sponza",
+                            "cone1080p", "depth10", "warmmarch", "tum",
+                            "all"])
     args = p.parse_args()
     runs = {
         "cube": lambda: config_mesh_cone(
@@ -471,6 +476,14 @@ def main():
         "textured": lambda: config_mesh_cone(
             "textured_voxelize_cone_256", f"{REF}/objs/teapot_tex.obj",
             f"{REF}/textures/texture1.bmp", log_n=8),
+        # the other textured assets the reference ships (BASELINE.json
+        # names bunny_tex; dragon.obj does not exist in the tree)
+        "bunny": lambda: config_mesh_cone(
+            "bunny_tex_voxelize_cone_256", f"{REF}/objs/bunny_tex.obj",
+            f"{REF}/textures/texture2.bmp", log_n=8),
+        "cow": lambda: config_mesh_cone(
+            "cow_tex_voxelize_cone_256", f"{REF}/objs/cow_tex.obj",
+            f"{REF}/textures/cow.bmp", log_n=8),
         "sponza": config_sponza_orbit,
         "cone1080p": config_cone_1080p,
         "depth10": config_depth10,

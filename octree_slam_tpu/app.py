@@ -79,14 +79,20 @@ def precompile_step(cfg: SLAMConfig, render: str):
 
     def worker():
         try:
+            t0 = time.perf_counter()
             state_sds = jax.eval_shape(lambda: pipeline.init_state(cfg))
             compiled = _build_jit(cfg, render).lower(
                 state_sds, _frame_shapes(cfg)).compile()
             with _aot_lock:
                 _aot_cache[key] = compiled
+            print(json.dumps({
+                "event": "precompile_ready", "render": render,
+                "node_capacity": cfg.node_capacity,
+                "compile_s": round(time.perf_counter() - t0, 1)}),
+                flush=True)
         except Exception as e:  # tunnel hiccup, shape drift, ...
             print(json.dumps({"event": "precompile_failed",
-                              "error": str(e)[:200]}))
+                              "error": str(e)[:200]}), flush=True)
         finally:
             with _aot_lock:
                 _aot_inflight.pop(key, None)
@@ -114,8 +120,12 @@ def _donated_step(cfg: SLAMConfig, render: str):
             if inflight is not None:
                 # growth fired before the compile-ahead finished: waiting
                 # out the remainder is strictly cheaper than launching a
-                # second identical compile
-                inflight.wait()
+                # second identical compile — but bounded, so a wedged
+                # remote compile service can only stall the run for as
+                # long as one recompile would have, not forever
+                if not inflight.wait(timeout=1800):
+                    print(json.dumps({"event": "precompile_wait_timeout"}),
+                          flush=True)
             with _aot_lock:
                 compiled = _aot_cache.pop(key, None)
         if compiled is not None:
@@ -134,7 +144,7 @@ def _donated_step(cfg: SLAMConfig, render: str):
                     except Exception as e:
                         print(json.dumps({
                             "event": "precompile_mismatch",
-                            "error": str(e)[:200]}))
+                            "error": str(e)[:200]}), flush=True)
                         _jf[0] = _build_jit(*_k)
                 return _jf[0](state, frame)
         else:
@@ -175,6 +185,12 @@ class RunResult:
     restored_leaves: int = 0
     archived_cells: int = 0     # cells still in host RAM at run end
     relocalizations: int = 0    # successful tracking-loss recoveries
+    max_frame_s: float = 0.0    # worst single frame (excluding frame 0's
+                                # initial compile)
+    growth_frame_s: Optional[float] = None  # wall cost of the first
+                                # growth's swap frame: ~a step when
+                                # compile-ahead hid the recompile, minutes
+                                # when it could not
     final_cfg: Optional[SLAMConfig] = None  # cfg after any auto-growth —
                                             # pass to save_state
 
@@ -187,10 +203,13 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
              initial_state: "pipeline.SLAMState | None" = None,
              state_out: list | None = None,
              auto_grow: bool = True,
-             map_center=(0.0, 0.0, 0.0)) -> RunResult:
+             map_center=(0.0, 0.0, 0.0),
+             stop_fn: Callable[[int], bool] | None = None) -> RunResult:
     """Drive the SLAM pipeline over a frame stream.
 
     frame_fn(i) -> Frame; gt_fn(i) -> optional ground-truth world_T_cam.
+    stop_fn(i) -> True ends the run before frame i (open-ended sources:
+    live sensors, wall-clock-bounded soaks).
     initial_state resumes a checkpoint (load_state); if state_out is a
     list, the final SLAMState is appended for checkpointing. With
     auto_grow, the node pool / leaf registry double when 3/4 full (the
@@ -283,7 +302,7 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
                 print(json.dumps({
                     "frame": j,
                     "event": "relocalize" if ok else "relocalize_failed",
-                    **diag}))
+                    **diag}), flush=True)
         elif cfg.recovery_enabled and j % cfg.keypose_every == 0:
             keyposes.append(pose_np)
             del keyposes[:-cfg.reloc_candidates]
@@ -299,7 +318,7 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
                 host[_SIG_STATS + n_lvl:_SIG_STATS + 2 * n_lvl].tolist(),
                 "map_nodes": int(map_nodes),
                 "diverged": bool(host[_SIG_DIV]),
-            }))
+            }), flush=True)
         if archive is not None and len(archive):
             # archived-cell restore check: pure host math (no device read)
             from octree_slam_tpu.map import tiering
@@ -309,7 +328,7 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
                 result.restored_leaves += n_rest
                 print(json.dumps({
                     "frame": j, "event": "map_restore", "leaves": n_rest,
-                    "archived_cells": len(archive)}))
+                    "archived_cells": len(archive)}), flush=True)
         if auto_grow:
             grow_nodes = (map_nodes > cfg.node_capacity * 3 // 4
                           or (host[_SIG_OVF] > 0
@@ -329,18 +348,22 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
                     print(json.dumps({
                         "frame": j, "event": "map_spill",
                         "leaves": n_spill, "archived_cells": len(archive),
-                        "map_nodes": int(state.pool.n_nodes)}))
+                        "map_nodes": int(state.pool.n_nodes)}), flush=True)
             if grow_nodes or grow_leaves:
                 # shape change = new cfg = new _donated_step cache key
                 state, cfg = pipeline.grow_state(
                     state, cfg, grow_nodes=grow_nodes,
                     grow_leaves=grow_leaves)
                 ovf_ignore_until[0] = j + lag
+                # the recompile (or AOT swap) lands on the NEXT loop
+                # iteration's step; record where so growth_frame_s can
+                # report the swap cost
+                growth_at.append(len(frame_s) + 1)
                 print(json.dumps({
                     "frame": j, "event": "map_grow",
                     "node_capacity": cfg.node_capacity,
                     "leaf_capacity": cfg.leaf_capacity,
-                }))
+                }), flush=True)
             elif cfg.precompile_ahead:
                 # Half-full: growth is coming — AOT-compile the doubled
                 # config now, in the background, so the 3/4 trigger swaps
@@ -370,10 +393,15 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
     lag = 1 if cfg.device_remainder else 0
     queue: list = []
     frame_s: list = []   # per-frame wall time: median -> steady-state fps
+    growth_at: list = []  # frame_s indices carrying a growth swap
     t_start = time.perf_counter()
     t_prev = t_start
     out = None
+    n_run = n_frames
     for i in range(n_frames):
+        if stop_fn is not None and stop_fn(i):
+            n_run = i
+            break
         frame = frame_fn(i)
         render = (render_mode if render_every > 0 and (i % render_every == 0)
                   else "none")
@@ -397,7 +425,7 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
     # final frame's packed vector, which forces the whole chain (and
     # block_until_ready is a no-op on the axon platform anyway)
     dt = time.perf_counter() - t_start
-    result.fps = n_frames / dt
+    result.fps = n_run / dt if n_run else 0.0
     # Long runs hit events whose cost is environment, not pipeline: each
     # pool growth changes shapes and recompiles the step (minutes through
     # a remote-TPU tunnel with unstable compile-cache keys), and frame 0
@@ -406,11 +434,15 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
     # stays the honest wall-clock figure.
     if frame_s:
         result.steady_fps = 1.0 / max(float(np.median(frame_s)), 1e-9)
-    result.frames = n_frames
+        if len(frame_s) > 1:
+            result.max_frame_s = float(np.max(frame_s[1:]))
+        if growth_at and growth_at[0] < len(frame_s):
+            result.growth_frame_s = float(frame_s[growth_at[0]])
+    result.frames = n_run
     # read the LIVE flag, not the last StepOutput's: a drain-time
     # relocalization (the packed fetch trails one frame) clears
     # state.diverged after the final step already ran
-    result.diverged = bool(state.diverged) if n_frames else False
+    result.diverged = bool(state.diverged) if n_run else False
     result.map_nodes = int(out.map_nodes) if out is not None else 0
     if archive is not None:
         result.archived_cells = len(archive)
@@ -648,7 +680,7 @@ def main(argv=None):
         "frames": res.frames,
         "map_nodes": res.map_nodes,
         "diverged": res.diverged,
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -25,17 +25,21 @@ def load_bmp(path: str) -> Texture:
     width = struct.unpack_from("<i", data, 18)[0]
     height = struct.unpack_from("<i", data, 22)[0]
     bpp = struct.unpack_from("<H", data, 28)[0]
-    if bpp != 24:
-        raise ValueError(f"{path}: only 24-bit BMP supported (got {bpp})")
+    if bpp not in (24, 32):
+        raise ValueError(f"{path}: only 24/32-bit BMP supported (got {bpp})")
+    ch = bpp // 8
     flip = height > 0  # positive height = bottom-up storage
     height = abs(height)
-    row_bytes = (width * 3 + 3) & ~3
+    row_bytes = (width * ch + 3) & ~3  # 32-bit rows are already aligned
     img = np.frombuffer(
         data, np.uint8, count=row_bytes * height, offset=pixel_offset)
-    img = img.reshape(height, row_bytes)[:, : width * 3].reshape(height, width, 3)
+    img = img.reshape(height, row_bytes)[:, : width * ch] \
+        .reshape(height, width, ch)
     if flip:
         img = img[::-1]
-    rgb = img[..., ::-1].astype(np.float32) / 255.0  # BGR -> RGB
+    # BGR(A) -> RGB; the alpha byte of 32-bit texels is ignored (textures
+    # here are diffuse color sources, voxelization.cu:135 writes its own)
+    rgb = img[..., 2::-1].astype(np.float32) / 255.0
     return Texture(data=jnp.asarray(rgb))
 
 

@@ -34,9 +34,20 @@ def setup(cache_dir: str = "/root/.jax_cache",
         except Exception:
             pass
     jax.config.update("jax_default_matmul_precision", matmul_precision)
+    # Persistent cache only off-CPU: it exists for the remote-TPU tunnel,
+    # where compiles take minutes. CPU compiles are fast AND the XLA:CPU
+    # AOT loader is unsafe across compile flavors — an executable cached
+    # by an ahead-of-time .lower().compile() (app.precompile_step) carries
+    # different target machine features than jit-path entries, and
+    # deserializing it in a later process warns about the mismatch and can
+    # segfault inside compilation_cache.get_executable_and_time (observed
+    # under tests/). Keying the cache off on CPU removes both the write
+    # and the read side of that hazard.
     try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        if jax.default_backend() != "cpu":
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.5)
     except Exception:
         pass  # cache is best-effort

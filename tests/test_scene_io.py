@@ -73,6 +73,22 @@ class TestBMP:
         np.testing.assert_allclose(
             np.asarray(tex.data), arr.astype(np.float32) / 255.0, atol=1e-6)
 
+    def test_32bit_bgra(self, tmp_path):
+        """32-bit BMPs (e.g. the reference's textures/cow.bmp) load with
+        the alpha byte dropped; the reference's loadBMP (scene.cpp:35-61)
+        assumes 24-bit and would misread these."""
+        from PIL import Image
+        rgb = (np.random.default_rng(1).uniform(0, 255, (6, 5, 3))).astype(np.uint8)
+        rgba = np.concatenate(
+            [rgb, np.full((6, 5, 1), 200, np.uint8)], axis=-1)
+        p = str(tmp_path / "t32.bmp")
+        Image.fromarray(rgba).save(p, format="BMP")
+        bpp = np.fromfile(p, np.uint8)[28]
+        assert bpp == 32  # PIL writes RGBA as a 32-bit BMP
+        tex = bmp_io.load_bmp(p)
+        np.testing.assert_allclose(
+            np.asarray(tex.data), rgb.astype(np.float32) / 255.0, atol=1e-6)
+
     def test_save_image(self, tmp_path):
         p = str(tmp_path / "fb.png")
         fb = np.zeros((4, 6, 4), np.float32)
