@@ -234,6 +234,82 @@ def render_sharded_map(smap: ShardedMap, world_T_cam, fx, fy,
         world_T_cam, fx, fy, cfg, mesh, axis_name=axis_name)
 
 
+def make_mesh2(n_px: int, n_map: int) -> Mesh:
+    """2-D device mesh ("px", "map"): tracking parallelism on one axis,
+    Morton-range map parallelism on the other — the DP x TP-style
+    composite. Needs n_px * n_map devices."""
+    import numpy as np
+    devs = jax.devices()
+    assert len(devs) >= n_px * n_map
+    return Mesh(np.array(devs[:n_px * n_map]).reshape(n_px, n_map),
+                ("px", "map"))
+
+
+def slam_step_2d(cfg: SLAMConfig, mesh: Mesh):
+    """The FULL distributed SLAM frame over a 2-D ("px", "map") mesh, one
+    jitted program:
+
+      * preprocessing + ICP tracking partition over image rows ("px");
+        XLA inserts the halo exchanges for the window stencils and the
+        42-float normal-equation reductions over ICI;
+      * fusion routes the frame's world points into the Morton-range
+        map shards ("map": shard-local key filter, per-shard batched
+        insert + in-device unique-cap paging, one psum for the global
+        unique count);
+      * rendering z-buffers each map shard and composites with one pmin
+        over the "map" axis.
+
+    State = (last_pyramid, pose, initialized, ShardedMap). Tracking is
+    identical math to pipeline.step (frame-to-frame ICP, divergence
+    gates fusion per-frame); the map lives only in the shards.
+
+    Returns step(state, frame) -> (state', (framebuffer, pose, total
+    unique leaves this frame)).
+    """
+    from octree_slam_tpu import pipeline
+    from octree_slam_tpu.sensor import tracking as tr
+
+    def fn(state, frame):
+        last_pyramid, pose, initialized, smap = state
+        pyramid = tr.build_pyramid(frame.depth, frame.color, cfg)
+        update_T, tstats = tr.track(list(last_pyramid), list(pyramid), cfg)
+        eye = jnp.eye(4, dtype=jnp.float32)
+        update_T = jnp.where(initialized, update_T, eye)
+        new_pose = pose @ update_T
+
+        v = pyramid[cfg.fuse_level].vertex.reshape(-1, 3)
+        world_pts = v @ new_pose[:3, :3].T + new_pose[:3, 3]
+        colors = pipeline._fuse_colors(frame, cfg)
+        # per-frame divergence gate (pipeline.step semantics without the
+        # sticky-recovery machinery: a bad frame is skipped, fusion
+        # resumes when tracking re-locks)
+        ok = ~(initialized & tstats.diverged)
+        world_pts = jnp.where(ok, world_pts, jnp.inf)
+
+        smap, total = insert_sharded(smap, world_pts, colors, cfg, mesh)
+        fb = render_sharded_map(smap, new_pose, cfg.focal_x, cfg.focal_y,
+                                cfg, mesh)
+        new_state = (tuple(pyramid), new_pose, jnp.bool_(True), smap)
+        return new_state, (fb, new_pose, total)
+
+    # No in_shardings pins: the initial state is placed by slam_init_2d
+    # (ShardedMap device_put over "map"; pose/flags replicated), frames by
+    # the caller's device_put over "px", and the carried pyramid loops
+    # back however the previous step's partitioner left it. Committed
+    # argument shardings drive the SPMD partitioner directly.
+    return jax.jit(fn)
+
+
+def slam_init_2d(cfg: SLAMConfig, mesh: Mesh, map_center=(0.0, 0.0, 0.0),
+                 initial_pose=None):
+    """Initial (pyramid, pose, initialized, ShardedMap) for slam_step_2d."""
+    from octree_slam_tpu import pipeline
+    pose = (jnp.eye(4, dtype=jnp.float32) if initial_pose is None
+            else jnp.asarray(initial_pose, jnp.float32))
+    return (tuple(pipeline._empty_pyramid(cfg)), pose, jnp.bool_(False),
+            make_sharded_map(cfg, mesh, map_center=map_center))
+
+
 def icp_psum(v1, n1, v2, n2, cfg: SLAMConfig, mesh: Mesh,
              axis_name: str = "px") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Explicit shard_map ICP reduction: rows sharded, partial normal

@@ -236,3 +236,86 @@ class TestShardedSplat:
             center, half, pose, cfg.focal_x, cfg.focal_y, cfg, mesh)
         np.testing.assert_array_equal(np.asarray(fb_single),
                                       np.asarray(fb_sharded))
+
+
+class TestSlamStep2D:
+    """The full SLAM frame on a 2-D ("px", "map") mesh: tracking sharded
+    over image rows, map Morton-sharded, one jitted program
+    (distributed.slam_step_2d)."""
+
+    CFG = SLAMConfig(width=64, height=48, focal_x=55.0, focal_y=55.0,
+                     pyramid_depth=2, pyramid_iters=(2, 2),
+                     voxel_resolution=0.05, max_depth=6,
+                     node_capacity=1 << 14, leaf_capacity=1 << 12,
+                     insert_unique_cap=1 << 12)
+
+    def _frames(self, n):
+        from octree_slam_tpu.sensor import sources
+        scene = sources.default_scene()
+        gt = [sources.orbit_pose(i * 0.02) for i in range(n)]
+        fr = [sources.render_frame(scene, g, self.CFG.focal_x,
+                                   self.CFG.focal_y, width=self.CFG.width,
+                                   height=self.CFG.height) for g in gt]
+        return gt, fr
+
+    def test_two_by_four_matches_single_device(self):
+        cfg = self.CFG
+        mesh = distributed.make_mesh2(2, 4)
+        gt, frames = self._frames(3)
+        step = distributed.slam_step_2d(cfg, mesh)
+        state = distributed.slam_init_2d(cfg, mesh, initial_pose=gt[0])
+
+        poses, totals = [], []
+        for f in frames:
+            f = jax.device_put(f, distributed.frame_sharding(mesh, "px"))
+            state, (fb, pose, total) = step(state, f)
+            poses.append(np.asarray(pose))
+            totals.append(int(total))
+        assert fb.shape == (cfg.height, cfg.width, 4)
+        assert np.asarray(fb)[..., :3].sum() > 0
+        assert all(t > 0 for t in totals)
+
+        # tracking quality: the sharded ICP (different reduction order,
+        # same math) stays within float tolerance of ground truth
+        err = np.linalg.norm(poses[-1][:3, 3] - np.asarray(gt[-1])[:3, 3])
+        assert err < 0.05, err
+
+        # Map equality: replay the SAME world points (vertex maps are
+        # pose-independent; use the 2-D step's own poses) into one
+        # replicated pool — the shard union must match bit-for-bit.
+        from octree_slam_tpu.map import svo as svo_mod
+        from octree_slam_tpu.render.splat import append_new_leaves, \
+            create_leaf_list
+        from octree_slam_tpu.sensor import tracking as tr
+        from octree_slam_tpu import pipeline
+
+        half = cfg.voxel_resolution * (2 ** (cfg.max_depth - 1))
+        pool = svo_mod.create(cfg.node_capacity, jnp.zeros(3),
+                              jnp.float32(half))
+        leaves = create_leaf_list(cfg.leaf_capacity, cfg.node_capacity)
+        for f, pose in zip(frames, poses):
+            pyr = tr.build_pyramid(f.depth, f.color, cfg)
+            v = pyr[cfg.fuse_level].vertex.reshape(-1, 3)
+            wp = v @ jnp.asarray(pose)[:3, :3].T + jnp.asarray(pose)[:3, 3]
+            cols = pipeline._fuse_colors(f, cfg)
+            pool, st = svo_mod.insert(pool, wp, cols, depth=cfg.max_depth,
+                                      unique_cap=cfg.insert_unique_cap)
+            leaves = append_new_leaves(leaves, st)
+
+        smap = state[3]
+        sk = np.asarray(smap.leaves.keys).ravel()
+        sv = np.asarray(smap.leaves.vals).ravel()
+        live_s = sk >= 0
+        rk = np.asarray(leaves.keys)
+        rv = np.asarray(leaves.vals)
+        live_r = rk >= 0
+        assert live_s.sum() == live_r.sum() > 0
+        os_, or_ = np.argsort(sk[live_s]), np.argsort(rk[live_r])
+        np.testing.assert_array_equal(sk[live_s][os_], rk[live_r][or_])
+        np.testing.assert_array_equal(sv[live_s][os_], rv[live_r][or_])
+
+        # every shard only holds keys in its own level-1 Morton range
+        m = np.asarray(smap.leaves.keys)  # [4, LC]
+        for d in range(4):
+            k = m[d][m[d] >= 0]
+            assert np.all((k >> (3 * cfg.max_depth - 2)) == d)
