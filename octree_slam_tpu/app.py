@@ -243,6 +243,12 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
     renders_used = ({"none"} if render_every <= 0 else
                     {render_mode} if render_every == 1 else
                     {render_mode, "none"})
+    # Compile-ahead is unsafe on the axon remote-compile tunnel: a
+    # minutes-long compile racing the per-frame execution stream has
+    # wedged the orchestrator (and killed the relay) twice. Real PJRT
+    # backends compile service-side without that hazard, and the CPU
+    # path is how tests exercise the machinery.
+    precompile_ok = cfg.precompile_ahead and jax.default_backend() != "axon"
     # Donating hot-loop step: the previous state's buffers are recycled
     # in place (map updates without a 12MB pool copy per frame). Safe here
     # because this loop is the only holder of `state`. The compiled fn is
@@ -364,7 +370,7 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
                     "node_capacity": cfg.node_capacity,
                     "leaf_capacity": cfg.leaf_capacity,
                 }), flush=True)
-            elif cfg.precompile_ahead:
+            elif precompile_ok:
                 # Half-full: growth is coming — AOT-compile the doubled
                 # config now, in the background, so the 3/4 trigger swaps
                 # executables instead of stalling the run for a remote
@@ -592,6 +598,12 @@ def main(argv=None):
     p.add_argument("--spill-keep-radius", type=float, default=None,
                    help="meters: cells with a leaf within this camera "
                         "distance stay resident (default SLAMConfig)")
+    p.add_argument("--no-precompile-ahead", action="store_true",
+                   help="disable background AOT compilation of the "
+                        "post-growth step (cfg.precompile_ahead); growth "
+                        "then stalls for the full recompile. Use on "
+                        "platforms where a compile concurrent with "
+                        "execution is unsafe (the axon tunnel)")
     p.add_argument("--save-dir", type=str, default=None)
     p.add_argument("--save-state", type=str, default=None,
                    help="write the full SLAM state (map + pose) to this "
@@ -625,6 +637,8 @@ def main(argv=None):
         cap.update(track_finest_level=lvl, fuse_level=lvl,
                    pyramid_depth=SLAMConfig.pyramid_depth + lvl,
                    pyramid_iters=SLAMConfig.pyramid_iters)
+    if args.no_precompile_ahead:
+        cap["precompile_ahead"] = False
     if args.host_spill:
         cap["host_spill"] = True
         if args.spill_keep_radius is not None:
