@@ -36,13 +36,14 @@ _step_cache: dict = {}
 # which changes shapes and recompiles the step — minutes through a
 # remote-TPU tunnel whose persistent-cache keys are unstable, and the
 # dominant wall-clock cost of long runs (the 200-frame soak's wall fps is
-# recompile-bound while its steady fps is 22+). Compilation is an RPC the
-# client waits on with the GIL released (measured: a background .compile()
-# leaves concurrent step latency at its 48 ms median), so when the pool
-# crosses HALF full the app AOT-compiles the post-growth step in a daemon
-# thread; by the time the 3/4 growth threshold fires, the executable is
-# usually sitting in _aot_cache and the swap is free.
-_aot_cache: dict = {}      # (cfg, render) -> jax Compiled, ready to run
+# recompile-bound while its steady fps is 22+). Compilation releases the
+# GIL (measured: a background compile leaves concurrent step latency at
+# its 48 ms median), so when the pool crosses HALF full the app compiles
+# the post-growth step in a daemon thread — by warm-up execution on a
+# throwaway state (see precompile_step for why not AOT) — and by the time
+# the 3/4 growth threshold fires, the pre-warmed wrapper is usually
+# sitting in _aot_cache and the swap is free.
+_aot_cache: dict = {}      # (cfg, render) -> PRE-WARMED jit wrapper
 _aot_inflight: dict = {}   # (cfg, render) -> threading.Event (compile done)
 _aot_lock = None           # created lazily (threading import)
 
@@ -53,19 +54,28 @@ def _build_jit(cfg: SLAMConfig, render: str):
         donate_argnums=0)
 
 
-def _frame_shapes(cfg: SLAMConfig) -> Frame:
+def _dummy_frame(cfg: SLAMConfig) -> Frame:
     return Frame(
-        depth=jax.ShapeDtypeStruct((cfg.height, cfg.width), jnp.uint16),
-        color=jax.ShapeDtypeStruct((cfg.height, cfg.width, 3), jnp.uint8),
-        timestamp=jax.ShapeDtypeStruct((), jnp.float32))
+        depth=jnp.zeros((cfg.height, cfg.width), jnp.uint16),
+        color=jnp.zeros((cfg.height, cfg.width, 3), jnp.uint8),
+        timestamp=jnp.float32(0.0))
 
 
 def precompile_step(cfg: SLAMConfig, render: str):
-    """AOT-compile the donated step for (cfg, render) in a background
-    daemon thread; _donated_step picks the executable up when that config
-    becomes live. Returns the thread (for tests), or None if the config is
-    already compiled/in flight. Never raises: a failed or mispredicted
-    precompile just leaves the normal recompile path."""
+    """Compile the donated step for (cfg, render) in a background daemon
+    thread by WARM-UP EXECUTION: build the jit wrapper, run it once on a
+    throwaway init_state + zero frame (donated and discarded), and publish
+    the pre-warmed wrapper for _donated_step to adopt when that config
+    becomes live. Warm-up-by-execution rather than AOT lower().compile():
+    the XLA:CPU AOT path produces executables with different target
+    machine features than the jit path (the loader warns about the
+    mismatch, and a process that accumulated such executables has
+    segfaulted in later compiles), and a plain jit wrapper needs no
+    aval-mismatch fallback — a mispredicted shape simply recompiles.
+
+    Returns the thread (for tests), or None if the config is already
+    compiled/in flight. Never raises: a failed precompile just leaves the
+    normal recompile path."""
     import threading
     global _aot_lock
     if _aot_lock is None:
@@ -80,17 +90,19 @@ def precompile_step(cfg: SLAMConfig, render: str):
     def worker():
         try:
             t0 = time.perf_counter()
-            state_sds = jax.eval_shape(lambda: pipeline.init_state(cfg))
-            compiled = _build_jit(cfg, render).lower(
-                state_sds, _frame_shapes(cfg)).compile()
+            fn = _build_jit(cfg, render)
+            state = pipeline.init_state(cfg)  # throwaway; donated below
+            new_state, out = fn(state, _dummy_frame(cfg))
+            jax.block_until_ready(out.pose)
+            del new_state, out
             with _aot_lock:
-                _aot_cache[key] = compiled
+                _aot_cache[key] = fn
             print(json.dumps({
                 "event": "precompile_ready", "render": render,
                 "node_capacity": cfg.node_capacity,
                 "compile_s": round(time.perf_counter() - t0, 1)}),
                 flush=True)
-        except Exception as e:  # tunnel hiccup, shape drift, ...
+        except Exception as e:  # tunnel hiccup, OOM, ...
             print(json.dumps({"event": "precompile_failed",
                               "error": str(e)[:200]}), flush=True)
         finally:
@@ -113,7 +125,6 @@ def _donated_step(cfg: SLAMConfig, render: str):
     key = (cfg, render)
     fn = _step_cache.get(key)
     if fn is None:
-        compiled = None
         if _aot_lock is not None:
             with _aot_lock:
                 inflight = _aot_inflight.get(key)
@@ -127,27 +138,8 @@ def _donated_step(cfg: SLAMConfig, render: str):
                     print(json.dumps({"event": "precompile_wait_timeout"}),
                           flush=True)
             with _aot_lock:
-                compiled = _aot_cache.pop(key, None)
-        if compiled is not None:
-            # Compile-ahead hit: wrap the AOT executable with a one-shot
-            # fallback — if the live state's avals drifted from the
-            # predicted init_state shapes (e.g. a leaf-registry overflow
-            # rebuild picked a non-doubled capacity), the aval check
-            # raises BEFORE execution (donation untouched) and we pay the
-            # normal recompile instead.
-            jit_fn = [None]
-
-            def fn(state, frame, _c=compiled, _k=key, _jf=jit_fn):
-                if _jf[0] is None:
-                    try:
-                        return _c(state, frame)
-                    except Exception as e:
-                        print(json.dumps({
-                            "event": "precompile_mismatch",
-                            "error": str(e)[:200]}), flush=True)
-                        _jf[0] = _build_jit(*_k)
-                return _jf[0](state, frame)
-        else:
+                fn = _aot_cache.pop(key, None)  # pre-warmed jit wrapper
+        if fn is None:
             fn = _build_jit(cfg, render)
         _step_cache[key] = fn
     return fn
