@@ -302,6 +302,39 @@ def mesh_to_voxel_grid(mesh: Mesh, texture: Texture | None, *, log_n: int = 8,
                      scale=scale, bbox=bbox)
 
 
+def meshes_to_voxel_grid(meshes, textures, *, log_n: int = 8,
+                         tri_budget: int = 512, capacity: int = 1 << 18,
+                         conservative: bool = False) -> VoxelGrid:
+    """Voxelize EVERY loaded mesh into one shared grid over the union of
+    their bboxes — the reference never implemented this ("TODO: Voxelize
+    all meshes, not just the first one", scene.cpp:65). Mesh i samples
+    textures[i] (a flat green texel past the texture list, matching the
+    untextured default). Overlapping fragments from different meshes
+    resolve by max packed value, the same deterministic rule used within
+    one mesh."""
+    assert meshes, "no meshes"
+    lo = np.min([np.asarray(m.bbox.bbox0) for m in meshes], axis=0)
+    hi = np.max([np.asarray(m.bbox.bbox1) for m in meshes], axis=0)
+    bbox = BoundingBox(bbox0=jnp.asarray(lo, jnp.float32),
+                       bbox1=jnp.asarray(hi, jnp.float32))
+    n = 1 << log_n
+    grid = jnp.zeros((n, n, n), jnp.uint32)
+    default_tex = jnp.full((1, 1, 3), jnp.asarray([0.0, 1.0, 0.0]),
+                           jnp.float32)
+    for i, mesh in enumerate(meshes):
+        soup = prepare_mesh(mesh, bbox, log_n, tri_budget)
+        tex = (textures[i].data if i < len(textures)
+               and textures[i] is not None else default_tex)
+        g = voxelize(soup, tex, bbox.bbox0, bbox.bbox1, log_n=log_n,
+                     tri_budget=tri_budget, conservative=conservative)
+        grid = jnp.maximum(grid, g)
+    centers, colors, count = grid_to_voxel_list(
+        grid, bbox.bbox0, bbox.bbox1, log_n=log_n, capacity=capacity)
+    scale = (bbox.bbox1[0] - bbox.bbox0[0]) / n / 2.0
+    return VoxelGrid(centers=centers, colors=colors, count=count,
+                     scale=scale, bbox=bbox)
+
+
 def voxel_grid_to_mesh(grid: VoxelGrid, cube_scale: float = 1.0) -> Mesh:
     """Instantiate a cube mesh per occupied voxel (voxelGridToMesh +
     createCubeMesh, voxelization.cu:184-217,325-379). Host-side; intended

@@ -61,19 +61,28 @@ class Scene:
                         conservative: bool = False) -> VoxelGrid:
         if not self.meshes:
             raise ValueError("no meshes loaded")
-        mesh = self.meshes[0]
-        tex = self.textures[0] if self.textures else None
-        grid = voxelization.mesh_to_voxel_grid(
-            mesh, tex, log_n=self.cfg.vox_log_n,
-            tri_budget=self.cfg.vox_tri_budget,
-            capacity=self.cfg.extract_capacity,
-            conservative=conservative)
+        if len(self.meshes) == 1:
+            grid = voxelization.mesh_to_voxel_grid(
+                self.meshes[0],
+                self.textures[0] if self.textures else None,
+                log_n=self.cfg.vox_log_n,
+                tri_budget=self.cfg.vox_tri_budget,
+                capacity=self.cfg.extract_capacity,
+                conservative=conservative)
+        else:
+            # ALL loaded meshes, one shared grid over the union bbox —
+            # the reference's unimplemented TODO (scene.cpp:65)
+            grid = voxelization.meshes_to_voxel_grid(
+                self.meshes, self.textures, log_n=self.cfg.vox_log_n,
+                tri_budget=self.cfg.vox_tri_budget,
+                capacity=self.cfg.extract_capacity,
+                conservative=conservative)
         if octree:
             scale = float(grid.scale)
             if self.tree is None:
-                center = 0.5 * (np.asarray(mesh.bbox.bbox0)
-                                + np.asarray(mesh.bbox.bbox1))
-                half = float(np.max(np.asarray(mesh.bbox.bbox1) - center))
+                center = 0.5 * (np.asarray(grid.bbox.bbox0)
+                                + np.asarray(grid.bbox.bbox1))
+                half = float(np.max(np.asarray(grid.bbox.bbox1) - center))
                 self.tree = Octree(scale, center, half,
                                    capacity=self.cfg.node_capacity,
                                    extract_capacity=self.cfg.extract_capacity)

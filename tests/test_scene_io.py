@@ -172,3 +172,87 @@ class TestScene:
         scene.add_point_cloud_to_octree(jnp.zeros(3), far,
                                         jnp.ones((1, 3), jnp.float32))
         assert scene.tree.size > size1
+
+
+class TestMultiMeshVoxelize:
+    """Scene.voxelize_meshes covers EVERY loaded mesh (the reference's
+    unimplemented TODO at scene.cpp:65) over the union bbox, with
+    per-mesh textures."""
+
+    CUBE = """\
+v {x0} -0.5 -0.5
+v {x1} -0.5 -0.5
+v {x1} 0.5 -0.5
+v {x0} 0.5 -0.5
+v {x0} -0.5 0.5
+v {x1} -0.5 0.5
+v {x1} 0.5 0.5
+v {x0} 0.5 0.5
+f 1 2 3
+f 1 3 4
+f 5 7 6
+f 5 8 7
+f 1 5 6
+f 1 6 2
+f 2 6 7
+f 2 7 3
+f 3 7 8
+f 3 8 4
+f 4 8 5
+f 4 5 1
+"""
+
+    def test_two_meshes_both_voxelized(self, tmp_path):
+        import dataclasses
+        from octree_slam_tpu.config import SLAMConfig
+        from octree_slam_tpu.scene import Scene
+
+        a = tmp_path / "a.obj"
+        b = tmp_path / "b.obj"
+        a.write_text(self.CUBE.format(x0=-2.0, x1=-1.0))
+        b.write_text(self.CUBE.format(x0=1.0, x1=2.0))
+        cfg = SLAMConfig(vox_log_n=5, extract_capacity=1 << 14)
+        scene = Scene(cfg)
+        scene.load_obj_file(str(a))
+        scene.load_obj_file(str(b))
+        grid = scene.voxelize_meshes(octree=False)
+
+        n = int(grid.count)
+        assert n > 0
+        c = np.asarray(grid.centers)[:n]
+        # both x-regions are populated; the union bbox spans [-2, 2]
+        assert (c[:, 0] < -0.9).any() and (c[:, 0] > 0.9).any()
+        assert not ((c[:, 0] > -0.5) & (c[:, 0] < 0.5)).any()  # gap empty
+        # single-mesh path unchanged: only the first cube's region
+        solo = Scene(cfg)
+        solo.load_obj_file(str(a))
+        g1 = solo.voxel_grid = solo.voxelize_meshes(octree=False)
+        c1 = np.asarray(g1.centers)[: int(g1.count)]
+        assert (c1[:, 0] <= -0.9).all()
+
+    def test_per_mesh_textures(self, tmp_path):
+        from octree_slam_tpu.config import SLAMConfig
+        from octree_slam_tpu.core.types import Texture
+        from octree_slam_tpu.scene import Scene
+
+        a = tmp_path / "a.obj"
+        b = tmp_path / "b.obj"
+        a.write_text(self.CUBE.format(x0=-2.0, x1=-1.0))
+        b.write_text(self.CUBE.format(x0=1.0, x1=2.0))
+        cfg = SLAMConfig(vox_log_n=5, extract_capacity=1 << 14)
+        scene = Scene(cfg)
+        scene.load_obj_file(str(a))
+        scene.load_obj_file(str(b))
+        scene.textures = [
+            Texture(data=jnp.full((1, 1, 3),
+                                  jnp.asarray([1.0, 0.0, 0.0]))),
+            Texture(data=jnp.full((1, 1, 3),
+                                  jnp.asarray([0.0, 0.0, 1.0]))),
+        ]
+        grid = scene.voxelize_meshes(octree=False)
+        n = int(grid.count)
+        c = np.asarray(grid.centers)[:n]
+        col = np.asarray(grid.colors)[:n]
+        left = c[:, 0] < 0
+        assert (col[left, 0] > 0.9).all() and (col[left, 2] < 0.1).all()
+        assert (col[~left, 2] > 0.9).all() and (col[~left, 0] < 0.1).all()
