@@ -80,6 +80,19 @@ def precompile_step(cfg: SLAMConfig, render: str):
     global _aot_lock
     if _aot_lock is None:
         _aot_lock = threading.Lock()
+        # A daemon thread killed mid-XLA-compile aborts process teardown
+        # ("FATAL: exception not rethrown"); wait out in-flight compiles
+        # at exit instead (bounded — they are seconds on CPU, and the
+        # axon trigger is gated off entirely).
+        import atexit
+
+        def _drain():
+            with _aot_lock:
+                pending = list(_aot_inflight.values())
+            for ev in pending:
+                ev.wait(timeout=600)
+
+        atexit.register(_drain)
     key = (cfg, render)
     done = threading.Event()
     with _aot_lock:

@@ -188,3 +188,21 @@ class TestPrecompileAhead:
         assert st_a.pool.capacity == st_b.pool.capacity
         np.testing.assert_array_equal(np.asarray(st_a.pool.value),
                                       np.asarray(st_b.pool.value))
+
+
+class TestRunControls:
+    def test_stop_fn_ends_run_early(self):
+        scene = sources.default_scene()
+        gt = [sources.orbit_pose(i * 0.02) for i in range(6)]
+
+        def frame_fn(i):
+            return sources.render_frame(scene, gt[i], CFG.focal_x,
+                                        CFG.focal_y, width=CFG.width,
+                                        height=CFG.height)
+
+        res = app.run_slam(frame_fn, 6, CFG, initial_pose=gt[0],
+                           render_every=0, stop_fn=lambda i: i >= 3)
+        assert res.frames == 3
+        assert len(res.poses) == 3
+        assert res.steady_fps > 0 and res.max_frame_s > 0
+        assert res.growth_frame_s is None  # no growth in 3 frames
