@@ -54,6 +54,11 @@ def _fresh_caches():
     the on-disk persistent cache (otherwise the OFF arm's growth recompile
     silently reuses what the ON arm just built, and the A/B collapses)."""
     import jax
+    # an ON-arm background compile still in flight must finish before the
+    # OFF arm's timed region starts, or it competes for CPU during the
+    # baseline's growth-stall measurement
+    for ev in list(app._aot_inflight.values()):
+        ev.wait(timeout=1800)
     app._step_cache.clear()
     app._aot_cache.clear()
     try:

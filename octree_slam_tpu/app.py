@@ -43,9 +43,12 @@ _step_cache: dict = {}
 # throwaway state (see precompile_step for why not AOT) — and by the time
 # the 3/4 growth threshold fires, the pre-warmed wrapper is usually
 # sitting in _aot_cache and the swap is free.
+import threading as _threading
+
 _aot_cache: dict = {}      # (cfg, render) -> PRE-WARMED jit wrapper
 _aot_inflight: dict = {}   # (cfg, render) -> threading.Event (compile done)
-_aot_lock = None           # created lazily (threading import)
+_aot_lock = _threading.Lock()
+_aot_drain_registered = False
 
 
 def _build_jit(cfg: SLAMConfig, render: str):
@@ -76,10 +79,9 @@ def precompile_step(cfg: SLAMConfig, render: str):
     Returns the thread (for tests), or None if the config is already
     compiled/in flight. Never raises: a failed precompile just leaves the
     normal recompile path."""
-    import threading
-    global _aot_lock
-    if _aot_lock is None:
-        _aot_lock = threading.Lock()
+    global _aot_drain_registered
+    if not _aot_drain_registered:
+        _aot_drain_registered = True
         # A daemon thread killed mid-XLA-compile aborts process teardown
         # ("FATAL: exception not rethrown"); wait out in-flight compiles
         # at exit instead (bounded — they are seconds on CPU, and the
@@ -94,7 +96,7 @@ def precompile_step(cfg: SLAMConfig, render: str):
 
         atexit.register(_drain)
     key = (cfg, render)
-    done = threading.Event()
+    done = _threading.Event()
     with _aot_lock:
         if key in _step_cache or key in _aot_cache or key in _aot_inflight:
             return None
@@ -123,7 +125,7 @@ def precompile_step(cfg: SLAMConfig, render: str):
                 _aot_inflight.pop(key, None)
             done.set()
 
-    th = threading.Thread(target=worker, daemon=True,
+    th = _threading.Thread(target=worker, daemon=True,
                           name=f"precompile-{cfg.node_capacity}")
     th.start()
     return th
@@ -138,20 +140,30 @@ def _donated_step(cfg: SLAMConfig, render: str):
     key = (cfg, render)
     fn = _step_cache.get(key)
     if fn is None:
-        if _aot_lock is not None:
-            with _aot_lock:
-                inflight = _aot_inflight.get(key)
-            if inflight is not None:
-                # growth fired before the compile-ahead finished: waiting
-                # out the remainder is strictly cheaper than launching a
-                # second identical compile — but bounded, so a wedged
-                # remote compile service can only stall the run for as
-                # long as one recompile would have, not forever
-                if not inflight.wait(timeout=1800):
-                    print(json.dumps({"event": "precompile_wait_timeout"}),
-                          flush=True)
-            with _aot_lock:
-                fn = _aot_cache.pop(key, None)  # pre-warmed jit wrapper
+        with _aot_lock:
+            inflight = _aot_inflight.get(key)
+        if inflight is not None:
+            # growth fired before the compile-ahead finished: waiting
+            # out the remainder is strictly cheaper than launching a
+            # second identical compile — but bounded, so a wedged
+            # remote compile service can only stall the run for as
+            # long as one recompile would have, not forever
+            if not inflight.wait(timeout=1800):
+                print(json.dumps({"event": "precompile_wait_timeout"}),
+                      flush=True)
+        with _aot_lock:
+            fn = _aot_cache.pop(key, None)  # pre-warmed jit wrapper
+            # capacities only grow: predictions for smaller-or-equal pools
+            # that were never adopted (mispredicted combos — e.g. a leaf
+            # overflow doubled BOTH capacities where the trigger predicted
+            # one) can never become live; drop them so their executables
+            # don't pin memory for the process lifetime
+            caps = (cfg.node_capacity, cfg.leaf_capacity)
+            for k in [k for k in _aot_cache
+                      if (k[0].node_capacity, k[0].leaf_capacity) != caps
+                      and k[0].node_capacity <= caps[0]
+                      and k[0].leaf_capacity <= caps[1]]:
+                del _aot_cache[k]
         if fn is None:
             fn = _build_jit(cfg, render)
         _step_cache[key] = fn
@@ -376,12 +388,18 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
                     "leaf_capacity": cfg.leaf_capacity,
                 }), flush=True)
             elif precompile_ok:
-                # Half-full: growth is coming — AOT-compile the doubled
+                # Half-full: growth is coming — compile the doubled
                 # config now, in the background, so the 3/4 trigger swaps
                 # executables instead of stalling the run for a remote
-                # compile (see _aot_cache). Mispredictions (spill avoids
-                # growth, overflow rebuild picks a different leaf cap)
-                # just waste a background compile.
+                # compile (see _aot_cache). This predicts ONE combo (the
+                # dimensions past half); growths that double a different
+                # combination — an overflow-triggered node doubling while
+                # only leaves were predicted, or a leaf-overflow rebuild
+                # picking a non-doubled registry cap — miss the cache and
+                # pay the normal recompile (correct, just unaccelerated).
+                # Other mispredictions (spill avoids growth) just waste a
+                # background compile; stale entries are evicted on the
+                # next adoption.
                 pred_n = map_nodes > cfg.node_capacity // 2
                 pred_l = map_leaves > cfg.leaf_capacity // 2
                 if pred_n or pred_l:

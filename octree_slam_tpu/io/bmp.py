@@ -27,6 +27,16 @@ def load_bmp(path: str) -> Texture:
     bpp = struct.unpack_from("<H", data, 28)[0]
     if bpp not in (24, 32):
         raise ValueError(f"{path}: only 24/32-bit BMP supported (got {bpp})")
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression == 3:  # BI_BITFIELDS: masks may reorder the channels
+        masks = struct.unpack_from("<III", data, 54)
+        if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise ValueError(
+                f"{path}: BI_BITFIELDS with non-BGRA channel masks "
+                f"{tuple(hex(m) for m in masks)} is not supported")
+    elif compression != 0:  # BI_RGB
+        raise ValueError(f"{path}: compressed BMP (type {compression}) "
+                         "is not supported")
     ch = bpp // 8
     flip = height > 0  # positive height = bottom-up storage
     height = abs(height)

@@ -305,18 +305,26 @@ def mesh_to_voxel_grid(mesh: Mesh, texture: Texture | None, *, log_n: int = 8,
 def meshes_to_voxel_grid(meshes, textures, *, log_n: int = 8,
                          tri_budget: int = 512, capacity: int = 1 << 18,
                          conservative: bool = False) -> VoxelGrid:
-    """Voxelize EVERY loaded mesh into one shared grid over the union of
-    their bboxes — the reference never implemented this ("TODO: Voxelize
-    all meshes, not just the first one", scene.cpp:65). Mesh i samples
-    textures[i] (a flat green texel past the texture list, matching the
-    untextured default). Overlapping fragments from different meshes
-    resolve by max packed value, the same deterministic rule used within
-    one mesh."""
+    """Voxelize EVERY loaded mesh into one shared CUBIC grid over the
+    union of their bboxes — the reference never implemented this ("TODO:
+    Voxelize all meshes, not just the first one", scene.cpp:65). Mesh i
+    samples textures[i] (a flat green texel past the list or at a None
+    slot, matching the untextured default). Overlapping fragments from
+    different meshes resolve by max packed value, the same deterministic
+    rule used within one mesh.
+
+    Unlike the single-mesh path (which keeps the reference's per-axis
+    cells over the raw mesh bbox, computeScale voxelization.cu:78-80),
+    the union bbox is padded to a CUBE around its center: a union of
+    disjoint meshes is arbitrarily anisotropic, and non-cubic cells would
+    disagree with the scalar `scale` every octree/render consumer uses."""
     assert meshes, "no meshes"
     lo = np.min([np.asarray(m.bbox.bbox0) for m in meshes], axis=0)
     hi = np.max([np.asarray(m.bbox.bbox1) for m in meshes], axis=0)
-    bbox = BoundingBox(bbox0=jnp.asarray(lo, jnp.float32),
-                       bbox1=jnp.asarray(hi, jnp.float32))
+    c = 0.5 * (lo + hi)
+    half = float(np.max(hi - lo)) * 0.5
+    bbox = BoundingBox(bbox0=jnp.asarray(c - half, jnp.float32),
+                       bbox1=jnp.asarray(c + half, jnp.float32))
     n = 1 << log_n
     grid = jnp.zeros((n, n, n), jnp.uint32)
     default_tex = jnp.full((1, 1, 3), jnp.asarray([0.0, 1.0, 0.0]),

@@ -46,13 +46,24 @@ class Scene:
         return mesh
 
     def load_texture(self, filename: str) -> Texture:
+        """Loads a texture and pairs it with the MOST RECENTLY loaded mesh
+        (slot len(meshes)-1, earlier slots padded with None), so the
+        natural load-obj-then-texture call order associates correctly even
+        when an earlier mesh is untextured. The reference pairs purely by
+        list index (textures_[0] with meshes_[0], scene.cpp:70)."""
         if filename.lower().endswith(".bmp"):
             tex = bmp_io.load_bmp(filename)
         else:
             from PIL import Image
             arr = np.asarray(Image.open(filename).convert("RGB"), np.float32) / 255.0
             tex = Texture(data=jnp.asarray(arr))
-        self.textures.append(tex)
+        slot = max(0, len(self.meshes) - 1)
+        while len(self.textures) < slot:
+            self.textures.append(None)
+        if len(self.textures) == slot:
+            self.textures.append(tex)
+        else:
+            self.textures[slot] = tex
         return tex
 
     # --- voxelization (Scene::voxelizeMeshes, scene.cpp:64-85) ---

@@ -155,8 +155,9 @@ class TestPrecompileAhead:
         fn = app._donated_step(cfg_live, "none")
         new_state, out = fn(state, frame)
         assert int(new_state.frame_idx) == 1
-        assert (cfg_pred, "none") in app._aot_cache  # unused, not adopted
-        app._aot_cache.pop((cfg_pred, "none"), None)
+        # the stale smaller-capacity prediction is evicted on adoption of
+        # a bigger config (capacities only grow — it can never become live)
+        assert (cfg_pred, "none") not in app._aot_cache
         app._step_cache.pop((cfg_live, "none"), None)
         app._step_cache.pop((cfg_pred, "none"), None)
 
