@@ -222,6 +222,115 @@ def insert_sharded(smap: ShardedMap, points, colors, cfg: SLAMConfig,
     return ShardedMap(pool=pool, leaves=leaves), total
 
 
+def grow_sharded(smap: ShardedMap, cfg: SLAMConfig, mesh: Mesh, *,
+                 grow_nodes: bool = True, grow_leaves: bool = False,
+                 axis_name: str = "map") -> Tuple[ShardedMap, SLAMConfig]:
+    """Double every shard's pool and/or leaf-registry capacity, preserving
+    all content — pipeline.grow_state for the Morton-sharded map (shapes
+    are uniform across shards, so all grow together). Within a dense-
+    prealloc regime the stacked arrays pad in place (child pointers are
+    absolute); a doubling that crosses a prealloc boundary rebuilds each
+    shard from its own leaf registry via the value-verbatim insert
+    (svo.insert_exact, the same machinery as the single-pool rebuild),
+    entirely shard-local — no cross-chip traffic."""
+    import dataclasses
+
+    from octree_slam_tpu.core import packing
+    from octree_slam_tpu.map import morton
+
+    new_cfg = dataclasses.replace(
+        cfg,
+        node_capacity=cfg.node_capacity * (2 if grow_nodes else 1),
+        leaf_capacity=cfg.leaf_capacity * (2 if grow_leaves else 1))
+    m = mesh.shape[axis_name]
+    leaves = smap.leaves
+    rebuild = grow_nodes and (svo.prealloc_levels(new_cfg.node_capacity)
+                              != svo.prealloc_levels(cfg.node_capacity))
+    if rebuild and bool(jnp.any(leaves.overflowed)):
+        raise ValueError(
+            "sharded prealloc-boundary growth rebuilds from the leaf "
+            "registries, which must be intact — grow leaf_capacity "
+            "before a registry overflows")
+
+    if rebuild:
+        from jax import shard_map
+        shallow = max(1, min(cfg.accel_level, cfg.max_depth - 2))
+
+        def local(pool_s, leaves_s):
+            pool = SVONodePool(*(x[0] for x in pool_s))
+            lv = LeafList(*(x[0] for x in leaves_s))
+            fresh = svo.create(new_cfg.node_capacity, pool.center,
+                               pool.half_size)
+            out = create_leaf_list(new_cfg.leaf_capacity,
+                                   new_cfg.node_capacity)
+            keys = jnp.where(lv.keys >= 0, lv.keys, morton.INVALID_KEY)
+            fresh, st = svo.insert_exact(
+                fresh, keys, lv.vals, depth=cfg.max_depth,
+                unique_cap=cfg.insert_unique_cap, shallow_level=shallow,
+                overwrite=True)
+            out = append_new_leaves(out, st)
+
+            def _more(c):
+                return c[0]
+
+            def _page(c):
+                _, lk, p, o = c
+                p, s2 = svo.insert_exact(
+                    p, keys, lv.vals, depth=cfg.max_depth,
+                    unique_cap=cfg.insert_unique_cap,
+                    shallow_level=shallow, overwrite=True, min_key=lk)
+                return (s2.unique_overflow, s2.last_key, p,
+                        append_new_leaves(o, s2))
+
+            _, _, fresh, out = jax.lax.while_loop(
+                _more, _page,
+                (st.unique_overflow, st.last_key, fresh, out))
+            fresh = svo.refresh_interior(fresh, depth=cfg.max_depth)
+            return (jax.tree_util.tree_map(lambda x: x[None], fresh),
+                    jax.tree_util.tree_map(lambda x: x[None], out))
+
+        specs = (jax.tree_util.tree_map(lambda _: P(axis_name), smap.pool),
+                 jax.tree_util.tree_map(lambda _: P(axis_name),
+                                        smap.leaves))
+        pool, new_leaves = shard_map(
+            local, mesh=mesh, in_specs=specs, out_specs=specs,
+        )(smap.pool, smap.leaves)
+        return ShardedMap(pool=pool, leaves=new_leaves), new_cfg
+
+    pool = smap.pool
+    if grow_nodes:
+        pad = new_cfg.node_capacity - pool.child.shape[1]
+        pool = pool._replace(
+            child=jnp.concatenate(
+                [pool.child, jnp.zeros((m, pad), jnp.int32)], axis=1),
+            value=jnp.concatenate(
+                [pool.value,
+                 jnp.full((m, pad), packing.EMPTY_VALUE, jnp.uint32)],
+                axis=1),
+            overflowed=jnp.zeros((m,), bool))
+    lc_pad = new_cfg.leaf_capacity - leaves.keys.shape[1]
+    nc_pad = new_cfg.node_capacity - leaves.node2pos.shape[1]
+    new_leaves = LeafList(
+        keys=jnp.concatenate(
+            [leaves.keys, jnp.full((m, lc_pad), -1, jnp.int32)], axis=1),
+        nodes=jnp.concatenate(
+            [leaves.nodes, jnp.zeros((m, lc_pad), jnp.int32)], axis=1),
+        vals=jnp.concatenate(
+            [leaves.vals, jnp.zeros((m, lc_pad), jnp.uint32)], axis=1),
+        node2pos=jnp.concatenate(
+            [leaves.node2pos, jnp.full((m, nc_pad), -1, jnp.int32)],
+            axis=1),
+        count=leaves.count,
+        overflowed=leaves.overflowed,
+    )
+    smap2 = ShardedMap(pool=pool, leaves=new_leaves)
+    shardings = jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh,
+                                P(axis_name, *([None] * (x.ndim - 1)))),
+        smap2)
+    return jax.device_put(smap2, shardings), new_cfg
+
+
 def render_sharded_map(smap: ShardedMap, world_T_cam, fx, fy,
                        cfg: SLAMConfig, mesh: Mesh,
                        axis_name: str = "map") -> jnp.ndarray:

@@ -319,3 +319,99 @@ class TestSlamStep2D:
         for d in range(4):
             k = m[d][m[d] >= 0]
             assert np.all((k >> (3 * cfg.max_depth - 2)) == d)
+
+
+class TestShardedGrowth:
+    """grow_sharded: capacity doubling for the Morton-sharded map — pad in
+    place within a prealloc regime, shard-local value-verbatim rebuild
+    across a boundary (pipeline.grow_state's two paths, distributed)."""
+
+    def _cloud(self, n, seed, lo=-0.6, hi=0.6):
+        rng = np.random.default_rng(seed)
+        return (rng.uniform(lo, hi, (n, 3)).astype(np.float32),
+                rng.uniform(0, 1, (n, 3)).astype(np.float32))
+
+    def _union(self, smap):
+        sk = np.asarray(smap.leaves.keys).ravel()
+        sv = np.asarray(smap.leaves.vals).ravel()
+        live = sk >= 0
+        o = np.argsort(sk[live])
+        return sk[live][o], sv[live][o]
+
+    def test_pad_growth_matches_fresh_at_final_capacity(self):
+        """Same prealloc regime: insert -> grow -> insert must equal a
+        fresh sharded map at the final capacity fed both clouds (dense
+        bases match, so allocation indices and words are bit-identical)."""
+        import dataclasses
+        from octree_slam_tpu.map import svo as svo_mod
+        cfg = SLAMConfig(width=64, height=48, max_depth=6,
+                         voxel_resolution=2 * 0.64 / (1 << 6),
+                         node_capacity=1 << 16, leaf_capacity=1 << 11,
+                         insert_unique_cap=1 << 12)
+        assert svo_mod.prealloc_levels(1 << 16) == \
+            svo_mod.prealloc_levels(1 << 17)
+        mesh = distributed.make_mesh(8, axis_name="map")
+        p1, c1 = self._cloud(2000, 1)
+        p2, c2 = self._cloud(2000, 2)
+
+        smap = distributed.make_sharded_map(cfg, mesh)
+        smap, _ = distributed.insert_sharded(smap, jnp.asarray(p1),
+                                             jnp.asarray(c1), cfg, mesh)
+        smap, cfg2 = distributed.grow_sharded(smap, cfg, mesh,
+                                              grow_nodes=True,
+                                              grow_leaves=True)
+        assert cfg2.node_capacity == 1 << 17
+        assert smap.pool.child.shape == (8, 1 << 17)
+        smap, _ = distributed.insert_sharded(smap, jnp.asarray(p2),
+                                             jnp.asarray(c2), cfg2, mesh)
+
+        big = dataclasses.replace(cfg, node_capacity=1 << 17,
+                                  leaf_capacity=1 << 12)
+        ref = distributed.make_sharded_map(big, mesh)
+        ref, _ = distributed.insert_sharded(ref, jnp.asarray(p1),
+                                            jnp.asarray(c1), big, mesh)
+        ref, _ = distributed.insert_sharded(ref, jnp.asarray(p2),
+                                            jnp.asarray(c2), big, mesh)
+
+        k_a, v_a = self._union(smap)
+        k_b, v_b = self._union(ref)
+        np.testing.assert_array_equal(k_a, k_b)
+        np.testing.assert_array_equal(v_a, v_b)
+
+    def test_boundary_growth_preserves_content(self):
+        """Across a prealloc boundary (8192: pre=3 -> 16384: pre=4) the
+        rebuild must keep every leaf key/value bit-identical, render the
+        same image, and keep accepting inserts."""
+        from octree_slam_tpu.map import svo as svo_mod
+        assert svo_mod.prealloc_levels(8192) != svo_mod.prealloc_levels(16384)
+        cfg = SLAMConfig(width=64, height=48, max_depth=6,
+                         voxel_resolution=2 * 0.64 / (1 << 6),
+                         node_capacity=8192, leaf_capacity=1 << 10,
+                         insert_unique_cap=256)  # forces rebuild paging
+        mesh = distributed.make_mesh(8, axis_name="map")
+        p1, c1 = self._cloud(1500, 3)
+        smap = distributed.make_sharded_map(cfg, mesh)
+        smap, _ = distributed.insert_sharded(smap, jnp.asarray(p1),
+                                             jnp.asarray(c1), cfg, mesh)
+        k_before, v_before = self._union(smap)
+        eye = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(2.0)
+        fb_before = distributed.render_sharded_map(
+            smap, eye, cfg.focal_x, cfg.focal_y, cfg, mesh)
+
+        smap, cfg2 = distributed.grow_sharded(smap, cfg, mesh,
+                                              grow_nodes=True)
+        assert cfg2.node_capacity == 16384
+        k_after, v_after = self._union(smap)
+        np.testing.assert_array_equal(k_before, k_after)
+        np.testing.assert_array_equal(v_before, v_after)
+        fb_after = distributed.render_sharded_map(
+            smap, eye, cfg2.focal_x, cfg2.focal_y, cfg2, mesh)
+        np.testing.assert_array_equal(np.asarray(fb_before),
+                                      np.asarray(fb_after))
+
+        p2, c2 = self._cloud(800, 4)
+        smap, total = distributed.insert_sharded(smap, jnp.asarray(p2),
+                                                 jnp.asarray(c2), cfg2,
+                                                 mesh)
+        assert int(total) > 0
+        assert not bool(jnp.any(smap.pool.overflowed))
