@@ -631,6 +631,12 @@ def main(argv=None):
     p.add_argument("--save-state", type=str, default=None,
                    help="write the full SLAM state (map + pose) to this "
                         ".npz when the run ends")
+    p.add_argument("--save-trajectory", type=str, default=None,
+                   help="write the estimated trajectory in the TUM format "
+                        "(timestamp tx ty tz qx qy qz qw) for external "
+                        "evaluation tools (evo, TUM rgbd benchmark); "
+                        "ground truth, when available, goes to "
+                        "<path>.gt.txt")
     p.add_argument("--load-state", type=str, default=None,
                    help="resume from a state .npz written by --save-state "
                         "(config must match)")
@@ -709,6 +715,12 @@ def main(argv=None):
 
     if args.save_state and state_sink:
         save_state(args.save_state, state_sink[0], res.final_cfg)
+    if args.save_trajectory:
+        from octree_slam_tpu.io.tum import write_trajectory
+        write_trajectory(args.save_trajectory, res.poses)
+        if res.gt_poses and len(res.gt_poses) == len(res.poses):
+            write_trajectory(args.save_trajectory + ".gt.txt",
+                             res.gt_poses)
 
     print(json.dumps({
         "fps": round(res.fps, 3),

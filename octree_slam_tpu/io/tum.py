@@ -158,3 +158,51 @@ class TUMDataset:
         times = np.array([g[0] for g in self.groundtruth])
         j = int(np.argmin(np.abs(times - t)))
         return self.groundtruth[j][1]
+
+
+def rotmat_to_quat(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> (qx, qy, qz, qw), Shepperd's branch-stable
+    method (inverse of the parser above)."""
+    R = np.asarray(R, np.float64)
+    tr = R[0, 0] + R[1, 1] + R[2, 2]
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        qw = 0.25 * s
+        qx = (R[2, 1] - R[1, 2]) / s
+        qy = (R[0, 2] - R[2, 0]) / s
+        qz = (R[1, 0] - R[0, 1]) / s
+    elif R[0, 0] > R[1, 1] and R[0, 0] > R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2
+        qw = (R[2, 1] - R[1, 2]) / s
+        qx = 0.25 * s
+        qy = (R[0, 1] + R[1, 0]) / s
+        qz = (R[0, 2] + R[2, 0]) / s
+    elif R[1, 1] > R[2, 2]:
+        s = np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2]) * 2
+        qw = (R[0, 2] - R[2, 0]) / s
+        qx = (R[0, 1] + R[1, 0]) / s
+        qy = 0.25 * s
+        qz = (R[1, 2] + R[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1]) * 2
+        qw = (R[1, 0] - R[0, 1]) / s
+        qx = (R[0, 2] + R[2, 0]) / s
+        qy = (R[1, 2] + R[2, 1]) / s
+        qz = 0.25 * s
+    return np.array([qx, qy, qz, qw], np.float64)
+
+
+def write_trajectory(path: str, poses, timestamps=None) -> None:
+    """Write world_T_cam poses in the TUM trajectory format
+    ('timestamp tx ty tz qx qy qz qw' per line), consumable by the TUM
+    RGB-D benchmark tools and evo for external ATE/RPE evaluation — the
+    export half of _read_groundtruth. timestamps default to the frame
+    index in seconds."""
+    with open(path, "w") as f:
+        f.write("# timestamp tx ty tz qx qy qz qw\n")
+        for i, T in enumerate(poses):
+            T = np.asarray(T, np.float64)
+            t = float(timestamps[i]) if timestamps is not None else float(i)
+            q = rotmat_to_quat(T[:3, :3])
+            f.write("%.6f %.6f %.6f %.6f %.6f %.6f %.6f %.6f\n"
+                    % (t, T[0, 3], T[1, 3], T[2, 3], q[0], q[1], q[2], q[3]))

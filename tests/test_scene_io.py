@@ -256,3 +256,41 @@ f 4 5 1
         left = c[:, 0] < 0
         assert (col[left, 0] > 0.9).all() and (col[left, 2] < 0.1).all()
         assert (col[~left, 2] > 0.9).all() and (col[~left, 0] < 0.1).all()
+
+
+class TestTrajectoryExport:
+    def test_quat_roundtrip_through_parser(self, tmp_path):
+        """write_trajectory -> _read_groundtruth reproduces every pose:
+        the export is the exact inverse of the TUM parser."""
+        from octree_slam_tpu.io import tum as tum_io
+        rng = np.random.default_rng(5)
+        poses = []
+        for _ in range(24):
+            # random rotation via QR (sign-fixed) + random translation
+            q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+            if np.linalg.det(q) < 0:
+                q[:, 0] = -q[:, 0]
+            T = np.eye(4)
+            T[:3, :3] = q
+            T[:3, 3] = rng.uniform(-5, 5, 3)
+            poses.append(T)
+        p = str(tmp_path / "traj.txt")
+        tum_io.write_trajectory(p, poses)
+        parsed = tum_io._read_groundtruth(p)
+        assert len(parsed) == len(poses)
+        for i, (t, T) in enumerate(parsed):
+            assert t == float(i)
+            np.testing.assert_allclose(T, poses[i], atol=1e-5)
+
+    def test_cli_save_trajectory(self, tmp_path, capsys):
+        from octree_slam_tpu import app
+        out = str(tmp_path / "est.txt")
+        app.main(["--source", "orbit", "--frames", "2", "--width", "64",
+                  "--height", "48", "--max-depth", "6",
+                  "--resolution", "0.08", "--render-every", "0",
+                  "--log-every", "0", "--save-trajectory", out])
+        capsys.readouterr()
+        from octree_slam_tpu.io import tum as tum_io
+        est = tum_io._read_groundtruth(out)
+        gt = tum_io._read_groundtruth(out + ".gt.txt")
+        assert len(est) == len(gt) == 2
