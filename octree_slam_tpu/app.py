@@ -631,6 +631,10 @@ def main(argv=None):
     p.add_argument("--save-state", type=str, default=None,
                    help="write the full SLAM state (map + pose) to this "
                         ".npz when the run ends")
+    p.add_argument("--save-mesh", type=str, default=None,
+                   help="export the final map as a Wavefront OBJ of "
+                        "colored voxel cubes (voxelGridToMesh + a writer "
+                        "the reference lacks)")
     p.add_argument("--save-trajectory", type=str, default=None,
                    help="write the estimated trajectory in the TUM format "
                         "(timestamp tx ty tz qx qy qz qw) for external "
@@ -721,6 +725,24 @@ def main(argv=None):
         if res.gt_poses and len(res.gt_poses) == len(res.poses):
             write_trajectory(args.save_trajectory + ".gt.txt",
                              res.gt_poses)
+    if args.save_mesh and state_sink:
+        from octree_slam_tpu.core.types import BoundingBox, VoxelGrid
+        from octree_slam_tpu.io.obj import save_obj
+        from octree_slam_tpu.map import svo as svo_mod
+        from octree_slam_tpu.map import voxelization
+
+        fcfg = res.final_cfg
+        st = state_sink[0]
+        pool = (svo_mod.refresh_interior(st.pool, depth=fcfg.max_depth)
+                if bool(st.interior_stale) else st.pool)  # BFS needs interiors
+        ex = svo_mod.extract_voxels(pool, depth=fcfg.max_depth,
+                                    capacity=fcfg.extract_capacity)
+        grid = VoxelGrid(
+            centers=ex.centers, colors=ex.colors, count=ex.count,
+            scale=fcfg.voxel_resolution / 2.0,
+            bbox=BoundingBox(pool.center - pool.half_size,
+                             pool.center + pool.half_size))
+        save_obj(args.save_mesh, voxelization.voxel_grid_to_mesh(grid))
 
     print(json.dumps({
         "fps": round(res.fps, 3),

@@ -41,6 +41,7 @@ def load_obj(path: str) -> Mesh:
 
 def _load_obj_py(path: str) -> Mesh:
     positions = []
+    vcolors = []
     texcoords = []
     normals = []
     faces = []       # list of [(vi, ti, ni)] per corner
@@ -53,6 +54,9 @@ def _load_obj_py(path: str) -> Mesh:
             tag = parts[0]
             if tag == "v":
                 positions.append([float(x) for x in parts[1:4]])
+                # 'v x y z r g b' vertex-color extension (save_obj emits it)
+                vcolors.append([float(x) for x in parts[4:7]]
+                               if len(parts) >= 7 else None)
             elif tag == "vt":
                 u = float(parts[1])
                 v = float(parts[2]) if len(parts) > 2 else 0.0
@@ -114,8 +118,44 @@ def _load_obj_py(path: str) -> Mesh:
     return Mesh(
         vertices=jnp.asarray(v),
         normals=jnp.asarray(vnorm.astype(np.float32)),
-        colors=jnp.ones_like(jnp.asarray(v)),
+        colors=jnp.asarray(
+            np.asarray([c if c is not None else [1.0, 1.0, 1.0]
+                        for c in vcolors], np.float32)
+            if vcolors else np.ones_like(v)),
         faces=jnp.asarray(fidx),
         texcoords=jnp.asarray(fuv),
         bbox=BoundingBox(jnp.asarray(lo), jnp.asarray(hi)),
     )
+
+
+def save_obj(path: str, mesh: Mesh) -> None:
+    """Write a Mesh as Wavefront OBJ. Vertex colors use the widespread
+    'v x y z r g b' extension (read back by this module's own loader and
+    by MeshLab/Blender); normals are per-vertex 'vn' lines referenced by
+    the faces. The reference can display voxel-cube meshes
+    (voxelGridToMesh, voxelization.cu:325-379) but never export them."""
+    v = np.asarray(mesh.vertices, np.float64)
+    n = np.asarray(mesh.normals, np.float64)
+    c = np.asarray(mesh.colors, np.float64)
+    f = np.asarray(mesh.faces, np.int64)
+    has_n = n.size == v.size
+    has_c = c.size == v.size
+    with open(path, "w") as out:
+        out.write("# octree-slam-tpu mesh export: %d verts, %d tris\n"
+                  % (v.shape[0], f.shape[0]))
+        for i in range(v.shape[0]):
+            if has_c:
+                out.write("v %.6f %.6f %.6f %.4f %.4f %.4f\n"
+                          % (v[i, 0], v[i, 1], v[i, 2],
+                             c[i, 0], c[i, 1], c[i, 2]))
+            else:
+                out.write("v %.6f %.6f %.6f\n" % (v[i, 0], v[i, 1], v[i, 2]))
+        if has_n:
+            for i in range(n.shape[0]):
+                out.write("vn %.6f %.6f %.6f\n" % (n[i, 0], n[i, 1], n[i, 2]))
+        for i in range(f.shape[0]):
+            a, b, cc = int(f[i, 0]) + 1, int(f[i, 1]) + 1, int(f[i, 2]) + 1
+            if has_n:
+                out.write("f %d//%d %d//%d %d//%d\n" % (a, a, b, b, cc, cc))
+            else:
+                out.write("f %d %d %d\n" % (a, b, cc))

@@ -294,3 +294,45 @@ class TestTrajectoryExport:
         est = tum_io._read_groundtruth(out)
         gt = tum_io._read_groundtruth(out + ".gt.txt")
         assert len(est) == len(gt) == 2
+
+
+class TestObjExport:
+    def test_save_load_roundtrip_with_colors(self, tmp_path):
+        from octree_slam_tpu.io import obj as obj_mod
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                         np.float32)
+        faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        cols = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]],
+                        np.float32)
+        from octree_slam_tpu.core.types import Mesh, BoundingBox
+        norms = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+        mesh = Mesh(vertices=jnp.asarray(verts), normals=jnp.asarray(norms),
+                    colors=jnp.asarray(cols), faces=jnp.asarray(faces),
+                    texcoords=jnp.zeros((2, 3, 2), jnp.float32),
+                    bbox=BoundingBox(jnp.zeros(3), jnp.ones(3)))
+        p = str(tmp_path / "m.obj")
+        obj_mod.save_obj(p, mesh)
+        # the pure-Python parser reads the vertex-color extension back
+        back = obj_mod._load_obj_py(p)
+        np.testing.assert_allclose(np.asarray(back.vertices), verts,
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(back.faces), faces)
+        np.testing.assert_allclose(np.asarray(back.colors), cols, atol=1e-3)
+        # the dispatching loader (native or python) must at least not
+        # choke on the color-extended 'v' lines
+        back2 = obj_mod.load_obj(p)
+        np.testing.assert_allclose(np.asarray(back2.vertices), verts,
+                                   atol=1e-5)
+
+    def test_cli_save_mesh(self, tmp_path, capsys):
+        from octree_slam_tpu import app
+        from octree_slam_tpu.io import obj as obj_mod
+        out = str(tmp_path / "map.obj")
+        app.main(["--source", "orbit", "--frames", "2", "--width", "64",
+                  "--height", "48", "--max-depth", "6",
+                  "--resolution", "0.08", "--render-every", "0",
+                  "--log-every", "0", "--save-mesh", out])
+        capsys.readouterr()
+        mesh = obj_mod._load_obj_py(out)
+        assert mesh.faces.shape[0] > 0
+        assert mesh.faces.shape[0] % 12 == 0  # 12 tris per voxel cube
