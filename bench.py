@@ -22,7 +22,31 @@ images as the quality evidence (`cone_psnr_db`).
 from __future__ import annotations
 
 import json
+import os
+import threading
 import time
+
+# Watchdog BEFORE any backend touch: the axon tunnel's relay has been
+# observed to die (local ports 8082-8117 stop listening), and then even
+# backend initialization hangs forever — which to a benchmark driver looks
+# like an infinite benchmark. If the first device op hasn't completed
+# within the budget, emit ONE parseable diagnostic line and exit.
+_DEVICE_READY = threading.Event()
+
+
+def _watchdog(budget_s: float = 600.0):
+    if not _DEVICE_READY.wait(timeout=budget_s):
+        print(json.dumps({
+            "metric": "track_fuse_render_fps_640x480", "value": 0.0,
+            "unit": "fps", "vs_baseline": 0.0,
+            "error": f"device unreachable: no trivial op completed within "
+                     f"{budget_s:.0f}s of startup (tunnel relay down? "
+                     f"check `ss -tln | grep 8082`)",
+        }), flush=True)
+        os._exit(1)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +60,14 @@ from octree_slam_tpu.config import SLAMConfig
 from octree_slam_tpu.sensor import sources
 from octree_slam_tpu.utils import metrics
 from octree_slam_tpu.utils.timing import sync
+
+
+def probe_device() -> None:
+    """Release the startup watchdog once a trivial op round-trips."""
+    import numpy as np
+    y = jax.jit(lambda a: a * 2)(jnp.ones((8, 128)))
+    np.asarray(y)
+    _DEVICE_READY.set()
 
 
 def measure_sync_floor(n=10):
@@ -89,6 +121,7 @@ def run(cfg, frames, gt_poses, render_mode, sync_floor, n_warmup=2):
 
 
 def main():
+    probe_device()
     cfg = SLAMConfig(
         width=640, height=480,
         max_depth=9, voxel_resolution=0.02,  # 10.24 m volume at 2 cm leaves
