@@ -26,11 +26,15 @@ import os
 import threading
 import time
 
-# Watchdog BEFORE any backend touch: the axon tunnel's relay has been
-# observed to die (local ports 8082-8117 stop listening), and then even
-# backend initialization hangs forever — which to a benchmark driver looks
-# like an infinite benchmark. If the first device op hasn't completed
-# within the budget, emit ONE parseable diagnostic line and exit.
+# Watchdog BEFORE any backend touch (started by main(), so merely
+# importing this module has no side effects): the axon tunnel's relay has
+# been observed to die (local ports 8082-8117 stop listening), and then
+# even backend initialization hangs forever — which to a benchmark driver
+# looks like an infinite benchmark. If the first device op hasn't
+# completed within the budget, emit ONE parseable diagnostic line and
+# exit. NOTE: runtime.setup() itself touches the backend (its cache gate
+# reads jax.default_backend()), so it too runs under the watchdog, from
+# main().
 _DEVICE_READY = threading.Event()
 
 
@@ -46,14 +50,8 @@ def _watchdog(budget_s: float = 600.0):
         os._exit(1)
 
 
-threading.Thread(target=_watchdog, daemon=True).start()
-
 import jax
 import jax.numpy as jnp
-
-from octree_slam_tpu.utils import runtime
-
-runtime.setup()
 
 from octree_slam_tpu import pipeline
 from octree_slam_tpu.config import SLAMConfig
@@ -121,6 +119,9 @@ def run(cfg, frames, gt_poses, render_mode, sync_floor, n_warmup=2):
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+    from octree_slam_tpu.utils import runtime
+    runtime.setup()
     probe_device()
     cfg = SLAMConfig(
         width=640, height=480,

@@ -204,6 +204,8 @@ class RunResult:
     relocalizations: int = 0    # successful tracking-loss recoveries
     max_frame_s: float = 0.0    # worst single frame (excluding frame 0's
                                 # initial compile)
+    archive: Optional[object] = None  # the HostArchive when cfg.host_spill
+                                # (exports must include spilled regions)
     growth_frame_s: Optional[float] = None  # wall cost of the first
                                 # growth's swap frame: ~a step when
                                 # compile-ahead hid the recompile, minutes
@@ -475,6 +477,7 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
     result.map_nodes = int(out.map_nodes) if out is not None else 0
     if archive is not None:
         result.archived_cells = len(archive)
+        result.archive = archive
     if result.gt_poses and len(result.gt_poses) == len(result.poses):
         result.ate_rmse = metrics.ate_rmse(
             np.stack(result.poses), np.stack(result.gt_poses))
@@ -721,13 +724,21 @@ def main(argv=None):
         save_state(args.save_state, state_sink[0], res.final_cfg)
     if args.save_trajectory:
         from octree_slam_tpu.io.tum import write_trajectory
-        write_trajectory(args.save_trajectory, res.poses)
+        # real dataset timestamps when available — evo/TUM-benchmark
+        # association needs them (frame indices would associate zero
+        # pairs against an epoch-stamped groundtruth.txt)
+        ts = None
+        if args.source == "tum":
+            ts = [ds.pairs[i][0][0] for i in range(len(res.poses))]
+        write_trajectory(args.save_trajectory, res.poses, timestamps=ts)
         if res.gt_poses and len(res.gt_poses) == len(res.poses):
             write_trajectory(args.save_trajectory + ".gt.txt",
-                             res.gt_poses)
+                             res.gt_poses, timestamps=ts)
     if args.save_mesh and state_sink:
+        from octree_slam_tpu.core import packing
         from octree_slam_tpu.core.types import BoundingBox, VoxelGrid
         from octree_slam_tpu.io.obj import save_obj
+        from octree_slam_tpu.map import morton
         from octree_slam_tpu.map import svo as svo_mod
         from octree_slam_tpu.map import voxelization
 
@@ -735,10 +746,28 @@ def main(argv=None):
         st = state_sink[0]
         pool = (svo_mod.refresh_interior(st.pool, depth=fcfg.max_depth)
                 if bool(st.interior_stale) else st.pool)  # BFS needs interiors
-        ex = svo_mod.extract_voxels(pool, depth=fcfg.max_depth,
-                                    capacity=fcfg.extract_capacity)
+        # extract_all_leaves doubles the buffer until the WHOLE map fits
+        # (extract_voxels at a fixed capacity silently truncates big maps)
+        ex, _ = svo_mod.extract_all_leaves(
+            pool, depth=fcfg.max_depth,
+            start_capacity=fcfg.extract_capacity)
+        n_live = int(ex.count)
+        centers = np.asarray(ex.centers)[:n_live]
+        colors = np.asarray(ex.colors)[:n_live]
+        if res.archive is not None and len(res.archive):
+            # host-spilled regions are part of "the final map": decode
+            # their archived leaves and append them to the export
+            ak, av = res.archive.take(list(res.archive.cells.keys()))
+            a_centers = np.asarray(morton.decode_centers(
+                jnp.asarray(ak), pool.center, pool.half_size,
+                fcfg.max_depth))
+            a_colors = np.asarray(packing.unpack_rgba_unit(
+                jnp.asarray(av)))
+            centers = np.concatenate([centers, a_centers])
+            colors = np.concatenate([colors, a_colors])
         grid = VoxelGrid(
-            centers=ex.centers, colors=ex.colors, count=ex.count,
+            centers=jnp.asarray(centers), colors=jnp.asarray(colors),
+            count=jnp.int32(centers.shape[0]),
             scale=fcfg.voxel_resolution / 2.0,
             bbox=BoundingBox(pool.center - pool.half_size,
                              pool.center + pool.half_size))

@@ -20,13 +20,31 @@ def _parse_index(tok: str, count: int) -> int:
     return i - 1 if i > 0 else count + i
 
 
+def _has_vertex_colors(path: str) -> bool:
+    """Sniff the first 'v ' line for the 7-field vertex-color extension."""
+    try:
+        with open(path, "r") as f:
+            for line in f:
+                s = line.strip()
+                if s.startswith("v "):
+                    return len(s.split()) >= 7
+                if s.startswith("f "):
+                    return False
+    except OSError:
+        pass
+    return False
+
+
 def load_obj(path: str) -> Mesh:
     """Parse `path` into a Mesh; uses the native C++ parser when built
     (same semantics, ~20x faster on large meshes — tests/test_native.py
     keeps the two in lockstep), else the pure-Python path below."""
     try:
         from octree_slam_tpu.io import native
-        if native.available():
+        if native.available() and not _has_vertex_colors(path):
+            # the native parser reads 'v x y z' only; color-extended files
+            # (save_obj's 'v x y z r g b') take the Python path so the
+            # colors survive a round trip
             v, n, f, uv, lo, hi = native.load_obj_arrays(path)
             return Mesh(
                 vertices=jnp.asarray(v), normals=jnp.asarray(n),
@@ -137,25 +155,23 @@ def save_obj(path: str, mesh: Mesh) -> None:
     v = np.asarray(mesh.vertices, np.float64)
     n = np.asarray(mesh.normals, np.float64)
     c = np.asarray(mesh.colors, np.float64)
-    f = np.asarray(mesh.faces, np.int64)
+    f1 = np.asarray(mesh.faces, np.int64) + 1  # OBJ is 1-indexed
     has_n = n.size == v.size
     has_c = c.size == v.size
+    # vectorized formatting: voxel-cube exports reach millions of lines,
+    # and a per-element Python loop takes tens of seconds for the same
+    # bytes (savetxt formats row-batched in C)
     with open(path, "w") as out:
         out.write("# octree-slam-tpu mesh export: %d verts, %d tris\n"
-                  % (v.shape[0], f.shape[0]))
-        for i in range(v.shape[0]):
-            if has_c:
-                out.write("v %.6f %.6f %.6f %.4f %.4f %.4f\n"
-                          % (v[i, 0], v[i, 1], v[i, 2],
-                             c[i, 0], c[i, 1], c[i, 2]))
-            else:
-                out.write("v %.6f %.6f %.6f\n" % (v[i, 0], v[i, 1], v[i, 2]))
+                  % (v.shape[0], f1.shape[0]))
+        if has_c:
+            np.savetxt(out, np.concatenate([v, c], axis=1),
+                       fmt="v %.6f %.6f %.6f %.4f %.4f %.4f")
+        else:
+            np.savetxt(out, v, fmt="v %.6f %.6f %.6f")
         if has_n:
-            for i in range(n.shape[0]):
-                out.write("vn %.6f %.6f %.6f\n" % (n[i, 0], n[i, 1], n[i, 2]))
-        for i in range(f.shape[0]):
-            a, b, cc = int(f[i, 0]) + 1, int(f[i, 1]) + 1, int(f[i, 2]) + 1
-            if has_n:
-                out.write("f %d//%d %d//%d %d//%d\n" % (a, a, b, b, cc, cc))
-            else:
-                out.write("f %d %d %d\n" % (a, b, cc))
+            np.savetxt(out, n, fmt="vn %.6f %.6f %.6f")
+            np.savetxt(out, f1[:, [0, 0, 1, 1, 2, 2]],
+                       fmt="f %d//%d %d//%d %d//%d")
+        else:
+            np.savetxt(out, f1, fmt="f %d %d %d")

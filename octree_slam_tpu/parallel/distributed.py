@@ -33,7 +33,7 @@ from octree_slam_tpu.core.types import Frame
 from octree_slam_tpu.map import svo
 from octree_slam_tpu.map.svo import SVONodePool
 from octree_slam_tpu.render.splat import LeafList, append_new_leaves, \
-    create_leaf_list
+    create_leaf_list, leaf_list_from_extraction
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "px") -> Mesh:
@@ -236,7 +236,6 @@ def grow_sharded(smap: ShardedMap, cfg: SLAMConfig, mesh: Mesh, *,
     import dataclasses
 
     from octree_slam_tpu.core import packing
-    from octree_slam_tpu.map import morton
 
     new_cfg = dataclasses.replace(
         cfg,
@@ -246,11 +245,33 @@ def grow_sharded(smap: ShardedMap, cfg: SLAMConfig, mesh: Mesh, *,
     leaves = smap.leaves
     rebuild = grow_nodes and (svo.prealloc_levels(new_cfg.node_capacity)
                               != svo.prealloc_levels(cfg.node_capacity))
-    if rebuild and bool(jnp.any(leaves.overflowed)):
-        raise ValueError(
-            "sharded prealloc-boundary growth rebuilds from the leaf "
-            "registries, which must be intact — grow leaf_capacity "
-            "before a registry overflows")
+    if bool(jnp.any(leaves.overflowed)):
+        # An overflowed registry dropped registrations (appends are
+        # first-write-only): rebuild every shard's registry from its own
+        # POOL by doubling extraction (pipeline.grow_state's overflow
+        # path, per shard at host level — growth is rare). All shards
+        # must share one static leaf capacity, so size to the largest.
+        import dataclasses as _dc
+        exs, caps = [], []
+        for d in range(m):
+            pool_d = jax.tree_util.tree_map(lambda x: x[d], smap.pool)
+            ex, cap = svo.extract_all_leaves(
+                pool_d, depth=cfg.max_depth,
+                start_capacity=new_cfg.leaf_capacity)
+            exs.append((pool_d, ex))
+            caps.append(cap)
+        final_cap = max(caps)
+        new_cfg = _dc.replace(new_cfg, leaf_capacity=final_cap)
+        shards = []
+        for pool_d, ex in exs:
+            if ex.keys.shape[0] != final_cap:
+                ex = svo.extract_voxels(pool_d, depth=cfg.max_depth,
+                                        capacity=final_cap)
+            shards.append(leaf_list_from_extraction(
+                ex, pool_d.value, node_capacity=cfg.node_capacity))
+        leaves = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *shards)
+        smap = ShardedMap(pool=smap.pool, leaves=leaves)
 
     if rebuild:
         from jax import shard_map
@@ -263,7 +284,7 @@ def grow_sharded(smap: ShardedMap, cfg: SLAMConfig, mesh: Mesh, *,
                                pool.half_size)
             out = create_leaf_list(new_cfg.leaf_capacity,
                                    new_cfg.node_capacity)
-            keys = jnp.where(lv.keys >= 0, lv.keys, morton.INVALID_KEY)
+            keys = lv.keys  # insert_exact skips negatives itself
             fresh, st = svo.insert_exact(
                 fresh, keys, lv.vals, depth=cfg.max_depth,
                 unique_cap=cfg.insert_unique_cap, shallow_level=shallow,

@@ -415,3 +415,53 @@ class TestShardedGrowth:
                                                  mesh)
         assert int(total) > 0
         assert not bool(jnp.any(smap.pool.overflowed))
+
+    def test_overflowed_registry_rebuilds_on_growth(self):
+        """A shard whose leaf registry overflowed (appends dropped) must
+        recover at growth: the registry is rebuilt from the pool itself,
+        so no leaf is permanently lost and the sticky flag clears."""
+        from octree_slam_tpu.map import svo as svo_mod
+        cfg = SLAMConfig(width=64, height=48, max_depth=6,
+                         voxel_resolution=2 * 0.64 / (1 << 6),
+                         node_capacity=1 << 14, leaf_capacity=64,
+                         insert_unique_cap=1 << 10)
+        mesh = distributed.make_mesh(8, axis_name="map")
+        pts, cols = self._cloud(3000, 9)
+        smap = distributed.make_sharded_map(cfg, mesh)
+        smap, total = distributed.insert_sharded(smap, jnp.asarray(pts),
+                                                 jnp.asarray(cols), cfg,
+                                                 mesh)
+        assert bool(jnp.any(smap.leaves.overflowed))  # 64 slots << leaves
+
+        smap, cfg2 = distributed.grow_sharded(smap, cfg, mesh,
+                                              grow_nodes=False,
+                                              grow_leaves=True)
+        assert not bool(jnp.any(smap.leaves.overflowed))
+        k_u, v_u = self._union(smap)
+        assert k_u.size == int(total)  # every unique leaf re-registered
+
+        # the rebuilt registry matches a replicated single-pool insert
+        from octree_slam_tpu.render.splat import append_new_leaves, \
+            create_leaf_list
+        # the sharded map holds 8 pools of node_capacity, so the
+        # replicated twin needs 8x to fit the same leaves in ONE pool
+        rep_cap = cfg.node_capacity * 8
+        pool = svo_mod.create(rep_cap, jnp.zeros(3), jnp.float32(0.64))
+        leaves = create_leaf_list(1 << 13, rep_cap)
+        last_key = None
+        while True:  # page the unique-cap remainder like insert_sharded
+            pool, st = svo_mod.insert(pool, jnp.asarray(pts),
+                                      jnp.asarray(cols),
+                                      depth=cfg.max_depth,
+                                      unique_cap=cfg.insert_unique_cap,
+                                      min_key=last_key)
+            leaves = append_new_leaves(leaves, st)
+            if not bool(st.unique_overflow):
+                break
+            last_key = st.last_key
+        rk = np.asarray(leaves.keys)
+        rv = np.asarray(leaves.vals)
+        live = rk >= 0
+        o = np.argsort(rk[live])
+        np.testing.assert_array_equal(k_u, rk[live][o])
+        np.testing.assert_array_equal(v_u, rv[live][o])
