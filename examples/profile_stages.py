@@ -5,6 +5,7 @@ Timing on the axon remote platform MUST force a host fetch per measurement
 Calls are chained through state so results can't be served from any cache.
 """
 
+import functools
 import pathlib
 import sys
 import time
@@ -56,11 +57,17 @@ def main():
     print("frames ready", flush=True)
 
     # --- pyramid ---
+    # All chain perturbations and output probes live INSIDE the jit: any
+    # eager op on a large device array per iteration (a `fb[0, 0]` slice,
+    # a full-size astype) dispatches through the tunnel at ~100-500 ms —
+    # orders of magnitude over the stage being measured (see the splat
+    # block's receipts below).
     pyr_fn = jax.jit(lambda d, c: tracking.build_pyramid(d, c, cfg))
+    pyr_probe = jax.jit(lambda d, c: tracking.build_pyramid(d, c, cfg)[0]
+                        .vertex.astype(jnp.uint16)[:1, :1, 0])
     bench_chain(
         "build_pyramid",
-        lambda s, i: pyr_fn(frames[i % 4].depth + s,
-                            frames[i % 4].color)[0].vertex.astype(jnp.uint16)[:1, :1, 0],
+        lambda s, i: pyr_probe(frames[i % 4].depth + s, frames[i % 4].color),
         jnp.zeros((1, 1), jnp.uint16))
 
     pyrs = [pyr_fn(f.depth, f.color) for f in frames]
@@ -77,33 +84,32 @@ def main():
         jnp.zeros((4, 4), jnp.float32))
 
     # --- insert ---
-    insert_fn = jax.jit(
-        lambda p, x, c: svo.insert(p, x, c, depth=cfg.max_depth,
-                                   unique_cap=cfg.insert_unique_cap),
-        donate_argnums=0)
+    def _ins_body(p, vtx, T, color, **kw):
+        # the world transform + color scaling run IN-JIT, as in the
+        # pipeline (eager per-frame math pays tunnel dispatch, see above)
+        pts = vtx.reshape(-1, 3) @ T[:3, :3].T + T[:3, 3]
+        cols = color.reshape(-1, 3).astype(jnp.float32) / 255.0
+        return svo.insert(p, pts, cols, depth=cfg.max_depth,
+                          unique_cap=cfg.insert_unique_cap, **kw)
+
+    insert_fn = jax.jit(_ins_body, donate_argnums=0)
     pool0 = svo.create(cfg.node_capacity, jnp.zeros(3), jnp.float32(5.12))
 
     def ins(pool, i):
-        v = pyrs[i % 4][0].vertex.reshape(-1, 3)
-        pts = v @ poses[i % 4][:3, :3].T + poses[i % 4][:3, 3]
-        cols = frames[i % 4].color.reshape(-1, 3).astype(jnp.float32) / 255.0
-        pool, st = insert_fn(pool, pts, cols)
+        pool, st = insert_fn(pool, pyrs[i % 4][0].vertex, poses[i % 4],
+                             frames[i % 4].color)
         return pool
     pool = bench_chain("svo.insert eager (307k pts)", ins, pool0)
 
     # the production SLAM loop inserts lazily (cfg.lazy_interior): the
     # bottom-up mipmap + mirror emission are deferred
     insert_lazy_fn = jax.jit(
-        lambda p, x, c: svo.insert(p, x, c, depth=cfg.max_depth,
-                                   unique_cap=cfg.insert_unique_cap,
-                                   update_interior=False),
+        functools.partial(_ins_body, update_interior=False),
         donate_argnums=0)
 
     def ins_lazy(pool, i):
-        v = pyrs[i % 4][0].vertex.reshape(-1, 3)
-        pts = v @ poses[i % 4][:3, :3].T + poses[i % 4][:3, 3]
-        cols = frames[i % 4].color.reshape(-1, 3).astype(jnp.float32) / 255.0
-        pool, st = insert_lazy_fn(pool, pts, cols)
+        pool, st = insert_lazy_fn(pool, pyrs[i % 4][0].vertex, poses[i % 4],
+                                  frames[i % 4].color)
         return pool
     pool = bench_chain("svo.insert lazy-interior", ins_lazy, pool)
     # lazy inserts leave interiors stale; the marcher below reads them
@@ -114,18 +120,25 @@ def main():
     from octree_slam_tpu.render.splat import append_new_leaves, \
         create_leaf_list
     leaves = create_leaf_list(cfg.leaf_capacity, cfg.node_capacity)
-    _, st = svo.insert(pool, pyrs[0][0].vertex.reshape(-1, 3)
-                       @ poses[0][:3, :3].T + poses[0][:3, 3],
-                       frames[0].color.reshape(-1, 3).astype(jnp.float32) / 255.0,
-                       depth=cfg.max_depth, unique_cap=cfg.insert_unique_cap)
+    _, st = jax.jit(_ins_body)(pool, pyrs[0][0].vertex, poses[0],
+                               frames[0].color)
     leaves = append_new_leaves(leaves, st)
     sync(leaves)
-    splat_fn = jax.jit(lambda T: render_splat(
-        pool, leaves, T, cfg.focal_x, cfg.focal_y, width=cfg.width,
-        height=cfg.height, depth=cfg.max_depth))
+    # Two measured hazards shaped this block (receipts in the repo log):
+    #  * the map state must be an ARGUMENT, not a closure capture — a
+    #    jit-captured pool/registry is embedded as a constant;
+    #  * the anti-caching chain perturbation must happen INSIDE the jit:
+    #    an EAGER `prev_fb[0, 0]` slice of the previous framebuffer
+    #    dispatched through the axon tunnel measured ~500 ms/frame
+    #    (547 ms chained vs 44 ms unchained), 100x the render itself.
+    splat_fn = jax.jit(lambda p, l, T, prev: render_splat(
+        p, l, T + prev.ravel()[0] * 1e-9, cfg.focal_x, cfg.focal_y,
+        width=cfg.width, height=cfg.height, depth=cfg.max_depth))
+    # seed the chain with an output-SHAPED zero: a shape change in `prev`
+    # between warmup and the timed loop would put a recompile on the clock
+    fb0 = jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
     bench_chain("render_splat 640x480",
-                lambda s, i: splat_fn(poses[i % 4] + s[0, 0] * 1e-9),
-                jnp.zeros((4, 4), jnp.float32))
+                lambda s, i: splat_fn(pool, leaves, poses[i % 4], s), fb0)
 
     # --- slab-cone render (the production cone path) ---
     from octree_slam_tpu.render import conesplat
@@ -134,23 +147,29 @@ def main():
         leaf_size=cfg.voxel_resolution, z_near=cfg.cone_znear,
         z_far=cfg.max_range, n_slabs=cfg.cone_slabs,
         max_scale=cfg.cone_max_scale)
-    cone_splat_fn = jax.jit(lambda T: conesplat.render_cone_splat(
-        leaves, pool.center, pool.half_size, T, cfg.focal_x, cfg.focal_y,
+    cone_splat_fn = jax.jit(lambda l, c, h, T: conesplat.render_cone_splat(
+        l, c, h, T, cfg.focal_x, cfg.focal_y,
         spec=spec, depth=cfg.max_depth))
+    cone_splat_fn2 = jax.jit(
+        lambda l, c, h, T, prev: conesplat.render_cone_splat(
+            l, c, h, T + prev.ravel()[0] * 1e-9, cfg.focal_x, cfg.focal_y,
+            spec=spec, depth=cfg.max_depth))
     bench_chain("cone splat (slab) 640x480",
-                lambda s, i: cone_splat_fn(poses[i % 4] + s[0, 0] * 1e-9),
-                jnp.zeros((4, 4), jnp.float32))
+                lambda s, i: cone_splat_fn2(leaves, pool.center,
+                                            pool.half_size, poses[i % 4], s),
+                fb0)
 
     # --- exact cone march (reference-semantics control) ---
     accel = raycast.build_accel(pool, level=6)
     sync(accel)
-    cone_fn = jax.jit(lambda T: raycast.cone_trace(
-        pool, T, cfg.focal_x, cfg.focal_y, width=cfg.width, height=cfg.height,
+    cone_fn = jax.jit(lambda p, a, T, prev: raycast.cone_trace(
+        p, T + prev.ravel()[0] * 1e-9, cfg.focal_x, cfg.focal_y,
+        width=cfg.width, height=cfg.height,
         max_depth=cfg.max_depth, max_iters=cfg.max_march_iters,
-        accel=accel, accel_level=6))
+        accel=a, accel_level=6))
     bench_chain("cone_trace+accel 640x480",
-                lambda s, i: cone_fn(poses[i % 4] + s[0, 0] * 1e-9),
-                jnp.zeros((4, 4), jnp.float32), n=2)
+                lambda s, i: cone_fn(pool, accel, poses[i % 4], s),
+                fb0, n=2)
 
     ba = jax.jit(lambda p, b: raycast.build_accel(
         p._replace(n_nodes=p.n_nodes + b[0, 0]), level=6))
