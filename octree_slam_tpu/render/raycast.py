@@ -259,12 +259,15 @@ def cone_trace(pool: SVONodePool, world_T_cam: jnp.ndarray, fx, fy, *,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "max_depth", "dist_level",
-                     "max_iters", "max_skip", "debug_iters"))
+                     "max_iters", "max_skip", "debug_iters",
+                     "compact_after", "compact_cap"))
 def cone_trace_dense(cache, center: jnp.ndarray, half_size, world_T_cam,
                      fx, fy, *, width: int, height: int, max_depth: int,
                      dist_level: int = 6, max_iters: int = 48,
                      max_range: float = 10.0, start_dist: float = 0.002,
-                     max_skip: int = 7, debug_iters: bool = False):
+                     max_skip: int = 7, debug_iters: bool = False,
+                     compact_after: int = 12,
+                     compact_cap: int | None = None):
     """Cone trace the dense value-mip render cache (map/mips.py).
 
     Same accumulation semantics as cone_trace (coneTrace,
@@ -274,6 +277,19 @@ def cone_trace_dense(cache, center: jnp.ndarray, half_size, world_T_cam,
     in (dist-1)-cell skips instead of node-sized steps. This is the
     kernel-count-bound design the v5e measurements demand (~0.5 ms per
     unfused gather regardless of size).
+
+    Live-ray compaction (the reference's thrust::remove_if relaunch loop,
+    cone_tracing_kernels.cu:157-198, as static-shape sort-compaction): the
+    value/dist gathers are throughput-bound in the LANE count, but the
+    all-lanes loop keeps paying full-frame cost for the shrinking minority
+    of unfinished rays (grazers/misses — the march's tail, p99 ~87 trips).
+    After `compact_after` all-lanes trips — continuing until the live count
+    fits — the live rays are packed into `compact_cap` lanes (one stable
+    sort + a few gathers), the tail marches at ~1/4 frame width, and the
+    results scatter back. Per-lane step sequences are untouched, so the
+    image is BIT-IDENTICAL to the uncompacted march (tests/test_mips.py);
+    `compact_after=max_iters` disables. debug_iters implies uncompacted
+    (the per-ray trip histogram wants full-frame lanes).
     """
     from octree_slam_tpu.map import mips as mips_mod
 
@@ -325,16 +341,20 @@ def cone_trace_dense(cache, center: jnp.ndarray, half_size, world_T_cam,
         return jnp.clip(jnp.floor((pos - bbox0) / leaf_cell).astype(jnp.int32),
                         0, n_leaf - 1)
 
-    def cell_exit(pos, q, shift, cell):
-        corner = bbox0 + (q >> shift[:, None]).astype(jnp.float32) \
-            * cell[:, None]
-        t_axis = jnp.where(
-            jnp.abs(dirs) > 1e-9,
-            jnp.where(dirs > 0,
-                      (corner + cell[:, None] - pos),
-                      (corner - pos)) * inv_dirs,
-            jnp.inf)  # axis-parallel rays never exit through this face
-        return jnp.maximum(jnp.min(t_axis, axis=-1), 0.0)
+    def make_cell_exit(dirs_, inv_):
+        def cell_exit(pos, q, shift, cell):
+            corner = bbox0 + (q >> shift[:, None]).astype(jnp.float32) \
+                * cell[:, None]
+            t_axis = jnp.where(
+                jnp.abs(dirs_) > 1e-9,
+                jnp.where(dirs_ > 0,
+                          (corner + cell[:, None] - pos),
+                          (corner - pos)) * inv_,
+                jnp.inf)  # axis-parallel rays never exit through this face
+            return jnp.maximum(jnp.min(t_axis, axis=-1), 0.0)
+        return cell_exit
+
+    cell_exit = make_cell_exit(dirs, inv_dirs)
 
     # --- Phase 1: skip-only march (ONE gather per step, ~2ms vs ~7ms).
     # Advance rays through free space until every live ray either sits in
@@ -371,71 +391,121 @@ def cone_trace_dense(cache, center: jnp.ndarray, half_size, world_T_cam,
         state["fin"] = jnp.where(state["active"], jnp.int32(max_iters),
                                  jnp.int32(0))
 
-    def body(s):
-        ray_len = s["ray_len"]
-        pos = origin + dirs * ray_len[:, None]
-        q = quantize(pos)
+    def make_body(dirs_, inv_, linf_, limit_):
+        """Phase-2 march body over an arbitrary ray subset (full frame, or
+        the compacted live set — per-lane math is identical either way)."""
+        exit_ = make_cell_exit(dirs_, inv_)
 
-        # --- distance-field lookup (gather 1) ---
-        d = dist_at(q)
-        free = d > 0
+        def body(s):
+            ray_len = s["ray_len"]
+            pos = origin + dirs_ * ray_len[:, None]
+            q = quantize(pos)
 
-        # --- any-LOD value sample (gather 2) ---
-        pix_size = ray_len * pix_scale
-        lod = jnp.ceil(jnp.log2(jnp.maximum(
-            oct_size / jnp.maximum(pix_size, 1e-9), 1.0)))
-        lod = jnp.clip(lod.astype(jnp.int32), 1, max_depth)
-        shift = max_depth - lod
-        m = mips_mod.interleave3(q[:, 0] >> shift, q[:, 1] >> shift,
-                                 q[:, 2] >> shift, depth_bits)
-        fidx = ((jnp.int32(1) << (3 * lod)) - 8) // 7 + m
-        value = cache.values[fidx]
+            # --- distance-field lookup (gather 1) ---
+            d = dist_at(q)
+            free = d > 0
 
-        r, gg, b, a = packing.unpack_rgba8(value)
-        alpha = jnp.where(free, 0.0,
-                          jnp.maximum(a - 127, 0).astype(jnp.float32))
-        contrib = (alpha / 127.0)[:, None] * jnp.stack(
-            [r, gg, b], axis=-1).astype(jnp.float32)
+            # --- any-LOD value sample (gather 2) ---
+            pix_size = ray_len * pix_scale
+            lod = jnp.ceil(jnp.log2(jnp.maximum(
+                oct_size / jnp.maximum(pix_size, 1e-9), 1.0)))
+            lod = jnp.clip(lod.astype(jnp.int32), 1, max_depth)
+            shift = max_depth - lod
+            m = mips_mod.interleave3(q[:, 0] >> shift, q[:, 1] >> shift,
+                                     q[:, 2] >> shift, depth_bits)
+            fidx = ((jnp.int32(1) << (3 * lod)) - 8) // 7 + m
+            value = cache.values[fidx]
 
-        active = s["active"]
-        rgb = jnp.where(active[:, None], s["rgb"] + contrib, s["rgb"])
-        w_new = s["w"] + jnp.where(active, alpha, 0.0)
-        saturated = active & (w_new >= 127.0)
-        w_out = jnp.where(saturated, 255.0, w_new)
+            r, gg, b, a = packing.unpack_rgba8(value)
+            alpha = jnp.where(free, 0.0,
+                              jnp.maximum(a - 127, 0).astype(jnp.float32))
+            contrib = (alpha / 127.0)[:, None] * jnp.stack(
+                [r, gg, b], axis=-1).astype(jnp.float32)
 
-        # --- step: exact exit of the current cell (+ dist-1 cells of
-        #     guaranteed-empty L-infinity ball when in free space) ---
-        s_lod = oct_size * 2.0 / jnp.exp2(lod.astype(jnp.float32))
-        lev_cell = jnp.where(free, cell_l, s_lod)
-        lev_shift = jnp.where(free, shift_l, shift)
-        t_exit = cell_exit(pos, q, lev_shift, lev_cell)
-        skip = jnp.where(
-            free, (d - 1).astype(jnp.float32) * cell_l / jnp.maximum(linf, 1e-6),
-            0.0)
-        step = jnp.maximum(t_exit + skip + eps, 0.25 * leaf_cell)
-        ray_len = jnp.where(active, ray_len + step, ray_len)
+            active = s["active"]
+            rgb = jnp.where(active[:, None], s["rgb"] + contrib, s["rgb"])
+            w_new = s["w"] + jnp.where(active, alpha, 0.0)
+            saturated = active & (w_new >= 127.0)
+            w_out = jnp.where(saturated, 255.0, w_new)
 
-        oor = active & ~saturated & (ray_len > limit)
-        scale = 127.0 / jnp.maximum(w_out, 1.0)
-        rgb = jnp.where(oor[:, None], rgb * scale[:, None], rgb)
-        w_out = jnp.where(oor, 255.0, w_out)
+            # --- step: exact exit of the current cell (+ dist-1 cells of
+            #     guaranteed-empty L-infinity ball when in free space) ---
+            s_lod = oct_size * 2.0 / jnp.exp2(lod.astype(jnp.float32))
+            lev_cell = jnp.where(free, cell_l, s_lod)
+            lev_shift = jnp.where(free, shift_l, shift)
+            t_exit = exit_(pos, q, lev_shift, lev_cell)
+            skip = jnp.where(
+                free,
+                (d - 1).astype(jnp.float32) * cell_l
+                / jnp.maximum(linf_, 1e-6),
+                0.0)
+            step = jnp.maximum(t_exit + skip + eps, 0.25 * leaf_cell)
+            ray_len = jnp.where(active, ray_len + step, ray_len)
 
-        nxt = dict(
-            ray_len=ray_len,
-            rgb=rgb,
-            w=w_out,
-            active=active & ~saturated & ~oor,
-            it=s["it"] + 1,
-        )
-        if debug_iters:
-            nxt["fin"] = jnp.where(active & ~nxt["active"], nxt["it"],
-                                   s["fin"])
-        return nxt
+            oor = active & ~saturated & (ray_len > limit_)
+            scale = 127.0 / jnp.maximum(w_out, 1.0)
+            rgb = jnp.where(oor[:, None], rgb * scale[:, None], rgb)
+            w_out = jnp.where(oor, 255.0, w_out)
+
+            live = active & ~saturated & ~oor
+            nxt = dict(
+                ray_len=ray_len,
+                rgb=rgb,
+                w=w_out,
+                active=live,
+                n_act=jnp.sum(live).astype(jnp.int32),
+                it=s["it"] + 1,
+            )
+            if debug_iters:
+                nxt["fin"] = jnp.where(active & ~nxt["active"], nxt["it"],
+                                       s["fin"])
+            return nxt
+
+        return body
+
+    body_full = make_body(dirs, inv_dirs, linf, limit)
+    state["n_act"] = jnp.sum(state["active"]).astype(jnp.int32)
 
     def cond(s):
-        return (s["it"] < max_iters) & jnp.any(s["active"])
+        return (s["it"] < max_iters) & (s["n_act"] > 0)
 
-    state = jax.lax.while_loop(cond, body, state)
+    C = compact_cap if compact_cap is not None else max(128, n // 4)
+    if debug_iters or C >= n or compact_after >= max_iters:
+        state = jax.lax.while_loop(cond, body_full, state)
+    else:
+        # Phase 2a: all-lanes until the live set fits the compact buffer
+        # (at least compact_after trips — early trips finish the bulk).
+        def cond_a(s):
+            return cond(s) & ((s["it"] < compact_after) | (s["n_act"] > C))
+
+        state = jax.lax.while_loop(cond_a, body_full, state)
+
+        # Compact: stable-sort lane ids by liveness, take the first C.
+        # (s["n_act"] <= C here unless the loop exhausted max_iters, in
+        # which case phase 2b's cond is immediately false.)
+        order = jnp.argsort(jnp.where(state["active"], 0, 1).astype(jnp.int32))
+        sel = order[:C]
+        sub = dict(
+            ray_len=state["ray_len"][sel],
+            rgb=state["rgb"][sel],
+            w=state["w"][sel],
+            active=state["active"][sel],
+            n_act=state["n_act"],
+            it=state["it"],
+        )
+        body_c = make_body(dirs[sel], inv_dirs[sel], linf[sel], limit[sel])
+        sub = jax.lax.while_loop(cond, body_c, sub)
+
+        # Scatter the tail's results back; lanes outside `sel` were already
+        # finished at compaction time and keep their values.
+        state = dict(
+            state,
+            rgb=state["rgb"].at[sel].set(sub["rgb"]),
+            w=state["w"].at[sel].set(sub["w"]),
+            active=state["active"].at[sel].set(sub["active"]),
+            it=sub["it"],
+        )
+
     rgb = jnp.clip(state["rgb"], 0.0, 255.0) / 255.0
     a = jnp.clip(state["w"], 0.0, 255.0) / 255.0
     fb = jnp.concatenate([rgb, a[:, None]], axis=-1)

@@ -155,6 +155,32 @@ class TestDenseConeTrace:
                       np.asarray(fb_dense)[..., :3])[both]
         assert diff.mean() < 0.15
 
+    def test_live_ray_compaction_bit_identical(self):
+        """The sort-compacted tail march (raycast.cone_trace_dense
+        compact_after/compact_cap) must reproduce the all-lanes march
+        EXACTLY — per-lane step sequences are untouched by packing."""
+        pool = make_pool()
+        cache = mips.create(max_depth=DEPTH, dist_level=4, max_skip=5)
+        rng = np.random.default_rng(7)
+        # a half-frame wall: the other half rays graze/miss -> a live tail
+        xs = rng.uniform(-0.4, 0.05, 3000)
+        ys = rng.uniform(-0.4, 0.4, 3000)
+        pts = np.stack([xs, ys, np.full_like(xs, 0.3)], -1).astype(np.float32)
+        cols = rng.uniform(0, 1, (3000, 3)).astype(np.float32)
+        for _ in range(6):  # partial alpha: long accumulation tails
+            pool, st, cache = insert_cloud(pool, pts, cols, cache)
+
+        pose = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(-0.4)
+        kw = dict(width=64, height=48, max_depth=DEPTH, max_iters=48,
+                  max_range=4.0, dist_level=4, max_skip=5)
+        fb_ref = raycast.cone_trace_dense(
+            cache, pool.center, pool.half_size, pose, 50.0, 50.0,
+            compact_after=48, **kw)  # compaction disabled
+        fb_cmp = raycast.cone_trace_dense(
+            cache, pool.center, pool.half_size, pose, 50.0, 50.0,
+            compact_after=4, compact_cap=512, **kw)
+        np.testing.assert_array_equal(np.asarray(fb_ref), np.asarray(fb_cmp))
+
     def test_pipeline_cone_mode_runs_dense(self):
         from octree_slam_tpu import pipeline
         from octree_slam_tpu.config import SLAMConfig
