@@ -58,15 +58,8 @@ def main():
         state, out = step(state, f)
     sync(out.framebuffer)
     lvl = pipeline._accel_level(cfg)
-    # lazy-interior frames (the default) leave interior node values and the
-    # dense mirror STALE; the marcher needs both healed (CLAUDE.md invariant
-    # — pipeline.step does this for render="cone_march", direct callers
-    # must do it themselves)
-    from octree_slam_tpu.map import mips, svo
-    pool = svo.refresh_interior(state.pool, depth=cfg.max_depth)
-    cache = mips.rebuild_from_pool(pool, max_depth=cfg.max_depth,
-                                   dist_level=lvl,
-                                   max_skip=cfg.dist_max_skip)
+    # direct marcher call: heal the lazy-interior staleness first
+    pool, cache = pipeline.heal_for_march(state, cfg)
     pose = state.pose
     sync(cache.values)
     n = cfg.width * cfg.height

@@ -60,16 +60,9 @@ def main():
     sync(out.framebuffer)
     pose = state.pose
     lvl = pipeline._accel_level(cfg)
-    # lazy-interior frames (the default) leave interior node values and the
-    # dense mirror STALE; heal both before a direct cone_trace_dense call
-    # (pipeline.step does this automatically for render="cone_march") —
-    # profiling the stale mirror reads as a near-empty map (CLAUDE.md)
-    from octree_slam_tpu.map import mips as mips_mod
-    from octree_slam_tpu.map import svo as svo_mod
-    pool = svo_mod.refresh_interior(state.pool, depth=cfg.max_depth)
-    cache = mips_mod.rebuild_from_pool(pool, max_depth=cfg.max_depth,
-                                       dist_level=lvl,
-                                       max_skip=cfg.dist_max_skip)
+    # direct marcher call: heal the lazy-interior staleness first
+    # (profiling the stale mirror reads as a near-empty map, CLAUDE.md)
+    pool, cache = pipeline.heal_for_march(state, cfg)
     sync(cache.values)
 
     sync_floor = timed(lambda: jnp.zeros((8, 128)) + 1, n=8)

@@ -192,12 +192,16 @@ def _unique_compact(skeys, svalid, scolors_u8, unique_cap: int):
     upos = jnp.where(live_row, upos_s[:unique_cap], n)
     ukeys = jnp.where(live_row, ukeys_s[:unique_cap], morton.INVALID_KEY)
 
-    w = svalid.astype(jnp.float32)
-    # ONE f32[N,4] running sum (rgb + count): the segment reduction below
+    w = svalid.astype(jnp.int32)
+    # ONE i32[N,4] running sum (rgb + count): the segment reduction below
     # then needs 2 row gathers instead of 4 (each [U]-row gather from a
-    # 307k table is ~0.85 ms on v5e — latency-, not bandwidth-, bound)
+    # 307k table is ~0.85 ms on v5e — latency-, not bandwidth-, bound).
+    # int32 is EXACT here (sums bounded by 307200*255 < 2^31); an f32
+    # cumsum reaches ~7.8e7 where ULP=8 and cost late-sorted keys up to
+    # ±1.5 color levels (round-2 verdict probe).
     csum = jnp.cumsum(
-        jnp.concatenate([scolors_u8 * w[:, None], w[:, None]], axis=1),
+        jnp.concatenate(
+            [scolors_u8.astype(jnp.int32) * w[:, None], w[:, None]], axis=1),
         axis=0)
 
     # the LAST processed unique's segment must stop where the first
@@ -211,10 +215,11 @@ def _unique_compact(skeys, svalid, scolors_u8, unique_cap: int):
 
     def at(c, i):
         v = c[jnp.clip(i, 0, n - 1)]
-        return jnp.where((i >= 0)[..., None], v, 0.0)
+        return jnp.where((i >= 0)[..., None], v, 0)
 
-    seg = at(csum, end) - at(csum, start_prev)   # f32[U, 4]
-    sum_rgb, cnt = seg[:, :3], seg[:, 3]
+    seg = at(csum, end) - at(csum, start_prev)   # i32[U, 4] (exact)
+    sum_rgb = seg[:, :3].astype(jnp.float32)
+    cnt = seg[:, 3].astype(jnp.float32)
     mean_rgb = sum_rgb / jnp.maximum(cnt, 1.0)[:, None] / 255.0
 
     ulive = (jnp.arange(unique_cap) < jnp.minimum(u_count, unique_cap)) \
@@ -389,7 +394,7 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     svalid = skeys != morton.INVALID_KEY
     sc = jnp.stack(
         [spacked & 0xFF, (spacked >> 8) & 0xFF, (spacked >> 16) & 0xFF],
-        axis=-1).astype(jnp.float32)
+        axis=-1)  # i32 — _unique_compact accumulates exactly in int32
 
     ukeys, mean_rgb, ulive, u_count = _unique_compact(skeys, svalid, sc, U)
 

@@ -76,6 +76,24 @@ def _accel_level(cfg: SLAMConfig) -> int:
     return max(1, min(cfg.accel_level, cfg.max_depth - 2))
 
 
+def heal_for_march(state: "SLAMState", cfg: SLAMConfig):
+    """Heal lazy-interior staleness for a DIRECT marcher call.
+
+    Lazy frames (cfg.lazy_interior) leave interior node values and the
+    dense mirror STALE; anything that calls raycast.cone_trace_dense /
+    the BFS extractor outside pipeline.step must refresh both first
+    (pipeline.step self-heals only for render="cone_march").
+    Returns (pool, cache) ready for the marcher. Idempotent — safe to
+    call on a non-stale state.
+    """
+    lvl = _accel_level(cfg)
+    pool = svo.refresh_interior(state.pool, depth=cfg.max_depth)
+    cache = mips_mod.rebuild_from_pool(pool, max_depth=cfg.max_depth,
+                                       dist_level=lvl,
+                                       max_skip=cfg.dist_max_skip)
+    return pool, cache
+
+
 def _fuse_once(pool, leaves, accel, world_pts, colors, valid,
                cfg: SLAMConfig, *, eager: bool,
                min_key=None, with_dist: bool):

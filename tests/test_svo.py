@@ -357,3 +357,28 @@ class TestFullyPreallocated:
         assert np.all(np.asarray(reached) == 4)
         _, _, _, a = packing.unpack_rgba8(vals)
         assert np.all(np.asarray(a) >= 129)
+
+
+class TestSegmentMeanPrecision:
+    def test_exact_means_at_full_frame_scale(self):
+        """Regression (round-2 verdict #3): per-key color means must be
+        bit-exact even for keys late in the sorted order at full-frame
+        lane counts. The old f32 cumulative sum reached ~7.8e7 (ULP = 8)
+        at 307k lanes and cost late keys up to +-1.5 color levels; the
+        int32 accumulator is exact (sums < 307200*255 < 2^31)."""
+        import numpy as np
+        from octree_slam_tpu.map import morton
+
+        n_unique, reps = 153_600, 2
+        n = n_unique * reps                      # 307,200 = one VGA frame
+        skeys = jnp.repeat(jnp.arange(n_unique, dtype=jnp.int32), reps)
+        svalid = jnp.ones((n,), bool)
+        # per-key samples {1, 254}: exact mean 127.5 for EVERY key
+        sc = jnp.tile(jnp.array([[1], [254]], jnp.int32), (n_unique, 3))
+        ukeys, mean_rgb, ulive, u_count = svo._unique_compact(
+            skeys, svalid, sc, 1 << 18)
+        assert int(u_count) == n_unique
+        live = np.asarray(ulive)
+        means = np.asarray(mean_rgb)[live] * 255.0
+        np.testing.assert_array_equal(means, np.full_like(means, 127.5))
+        assert np.asarray(ukeys)[live][-1] == n_unique - 1  # late keys live
