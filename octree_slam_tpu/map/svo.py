@@ -78,6 +78,13 @@ def prealloc_levels(capacity: int) -> int:
     the gather it deletes is pure latency while the slots only matter if
     the sparse region actually fills (growth/tiering absorb that); level 5
     and below keep the original 1/8 (resp. 1/2) schedules."""
+    # Level 7 (2.4M dense slots for pools >= ~3.6M) was measured and
+    # REJECTED in round 3: swapping one descend gather for the bigger
+    # dense region was a wash at fuse-level-1 lane counts (16.6 vs
+    # 16.0 ms) and a regression at full-res (22.4 vs 26.4 FPS, depth-9
+    # 1 cm) — the 4M-slot tables make every other gather/scatter slower.
+    # A new tier would also silently slow pools that GROW past its
+    # threshold.
     if 3 * _LEVEL_BASE[7] <= capacity:   # level 6: pools >= ~900k nodes
         return 6
     if 8 * _LEVEL_BASE[6] <= capacity:   # level 5: pools >= ~300k nodes

@@ -100,7 +100,16 @@ def _fuse_once(pool, leaves, accel, world_pts, colors, valid,
     """One insert pass + registry append + accel maintenance — the single
     definition behind the step's primary insert, its in-device remainder
     pages, and the host-driven insert_remainder (they previously drifted:
-    only the primary pass may refresh the distance field)."""
+    only the primary pass may refresh the distance field).
+
+    Without dense mips the AccelGrid is NOT maintained here: only the
+    exact marcher reads it, and step's cone_march branch rebuilds it
+    unconditionally per frame (direct marcher callers outside step must
+    build_accel themselves — same contract as heal_for_march for the
+    dense mirror). The previous shallow-alloc-triggered lax.cond rebuild
+    re-fired nearly every frame on 1 cm maps (new 8 cm tiles keep
+    appearing), a traced 15.7 ms/frame spent on a renderer that was not
+    in use (round-3 depth-9/1cm trace)."""
     lvl = _accel_level(cfg)
     pool, st = svo.insert(pool, world_pts, colors, valid=valid,
                           depth=cfg.max_depth,
@@ -117,18 +126,6 @@ def _fuse_once(pool, leaves, accel, world_pts, colors, valid,
                                 max_depth=cfg.max_depth, dist_level=lvl,
                                 max_skip=cfg.dist_max_skip,
                                 with_dist=with_dist)
-    elif cfg.use_dense_mips:
-        pass  # mirror deferred with the interiors (lazy frames)
-    else:
-        # Entry grid refresh: child pointers are write-once, so the cached
-        # per-cell entry nodes only go stale when a tile appears at a
-        # shallow level — rare after warmup.
-        new_pool = pool
-        old_accel = accel
-        accel = jax.lax.cond(
-            st.shallow_allocs > 0,
-            lambda: raycast.build_accel(new_pool, level=lvl),
-            lambda: old_accel)
     return pool, leaves, accel, st
 
 
@@ -392,6 +389,10 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
                 fb = jnp.repeat(jnp.repeat(fb, s, axis=0), s, axis=1)
                 fb = fb[:cfg.height, :cfg.width]
         else:
+            # non-dense accel is NOT maintained by the fuse path (see
+            # _fuse_once): rebuild the entry grid for this march frame —
+            # ~16 ms against a march that costs ~30x that
+            accel = raycast.build_accel(pool, level=lvl)
             fb = raycast.cone_trace(
                 pool, pose, cfg.focal_x, cfg.focal_y,
                 width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,

@@ -145,3 +145,46 @@ class TestPipelineHeal:
             max_skip=cfg.dist_max_skip)
         np.testing.assert_array_equal(np.asarray(state.accel.values),
                                       np.asarray(rebuilt.values))
+
+    def test_march_after_cone_frames_rebuilds_entry_grid_nondense(self):
+        """use_dense_mips=False: the fuse path no longer maintains the
+        AccelGrid (only the marcher reads it — its shallow-alloc rebuild
+        fired nearly every frame on fine maps, 15.7 ms traced), so a
+        cone_march frame must rebuild the entry grid itself or rays
+        would skip the geometry fused during the cone frames."""
+        import jax
+        from octree_slam_tpu import pipeline
+        from octree_slam_tpu.config import SLAMConfig
+        from octree_slam_tpu.sensor import sources
+
+        cfg = SLAMConfig(width=64, height=48, focal_x=55.0, focal_y=55.0,
+                         pyramid_depth=2, pyramid_iters=(2, 2),
+                         voxel_resolution=0.05, max_depth=6,
+                         node_capacity=1 << 15, leaf_capacity=1 << 12,
+                         accel_level=4, max_march_iters=24,
+                         use_dense_mips=False, lazy_interior=True)
+        scene = sources.default_scene()
+        state = pipeline.init_state(cfg,
+                                    initial_pose=sources.orbit_pose(0.0))
+        cone_step = jax.jit(
+            lambda s, f: pipeline.step(s, f, cfg, render="cone"))
+        march_step = jax.jit(
+            lambda s, f: pipeline.step(s, f, cfg, render="cone_march"))
+        for i in range(3):
+            f = sources.render_frame(scene, sources.orbit_pose(i * 0.02),
+                                     cfg.focal_x, cfg.focal_y,
+                                     width=cfg.width, height=cfg.height)
+            state, out = cone_step(state, f)
+        f = sources.render_frame(scene, sources.orbit_pose(0.06),
+                                 cfg.focal_x, cfg.focal_y,
+                                 width=cfg.width, height=cfg.height)
+        state, out = march_step(state, f)
+        fb = np.asarray(out.framebuffer)
+        assert fb[..., :3].max() > 0.05  # the march saw the fused map
+        # the carried accel is the rebuilt one: a fresh build matches
+        from octree_slam_tpu.render import raycast
+        fresh = raycast.build_accel(state.pool,
+                                    level=pipeline._accel_level(cfg))
+        for a, b in zip(jax.tree_util.tree_leaves(state.accel),
+                        jax.tree_util.tree_leaves(fresh)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
