@@ -135,6 +135,16 @@ class SLAMConfig:
                                         # before it can be re-observed;
                                         # keep > restore for hysteresis)
 
+    # --- Multi-chip map sharding (parallel/distributed.py; beyond-parity:
+    #     the reference is single-GPU, SURVEY.md section 2.3) ---
+    map_split_level: int = 1            # morton level of the shard-range
+                                        # boundaries: device d owns keys in
+                                        # [bounds[d], bounds[d+1]) of the
+                                        # 8^level cell space. Level 1 with
+                                        # equal bounds = the octant split;
+                                        # level 2/3 gives 64/512 cells for
+                                        # load-balanced rebalancing
+
     # --- Mesh voxelization (voxelization.cu:24-25: GRID_RES=8 -> 256^3) ---
     vox_log_n: int = 8                  # grid is (1<<vox_log_n)^3 voxels
     vox_tri_budget: int = 512           # static per-triangle candidate voxels

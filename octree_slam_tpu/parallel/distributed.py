@@ -113,41 +113,53 @@ def splat_sharded(leaf_vals, leaf_keys, center, half_size,
 
 class ShardedMap(NamedTuple):
     """Morton-range-sharded map state: every array has a leading mesh-axis
-    dimension; device d holds pool/leaf shard d. Device d owns the key
-    range whose level-1 octant's top log2(M) bits equal d (Morton keys are
-    level-major, so this is a contiguous key range — the "bricks sharded
-    by Morton range" scale-out named in ARCHITECTURE.md: each shard's
-    HBM holds 1/M of the world, and capacities scale per device)."""
+    dimension; device d holds pool/leaf shard d. Device d owns the
+    CONTIGUOUS morton key range [bounds[d], bounds[d+1]) in units of
+    level-`cfg.map_split_level` cells (Morton keys are level-major, so a
+    cell range is a contiguous key range — the "bricks sharded by Morton
+    range" scale-out named in ARCHITECTURE.md: each shard's HBM holds a
+    tunable fraction of the world; `rebalance_sharded` re-cuts the
+    boundaries to equalize observed leaf load)."""
 
     pool: SVONodePool   # stacked [M, ...]
     leaves: LeafList    # stacked [M, ...]
+    bounds: jnp.ndarray  # i32[M, M+1] range boundaries, identical rows
+                         # (each shard carries a full copy)
 
 
-def _axis_bits(mesh: Mesh, axis_name: str) -> int:
-    m = mesh.shape[axis_name]
-    bits = m.bit_length() - 1
-    assert (1 << bits) == m and bits <= 3, \
-        "map axis must be 2, 4, or 8 devices (level-1 octant split)"
-    return bits
+def default_bounds(cfg: SLAMConfig, m: int):
+    """Equal key-space split of the 8^split_level cells over m shards
+    (numpy i32[m+1]). With split_level=1 and m=8 this is exactly the
+    octant-per-device partition."""
+    import numpy as np
+    cells = 1 << (3 * cfg.map_split_level)
+    assert m <= cells, \
+        f"{m} shards need map_split_level >= {max(1, (m - 1).bit_length() + 2) // 3}"
+    return np.round(np.arange(m + 1) * cells / m).astype(np.int32)
 
 
 def make_sharded_map(cfg: SLAMConfig, mesh: Mesh, map_center=(0.0, 0.0, 0.0),
-                     axis_name: str = "map") -> ShardedMap:
+                     axis_name: str = "map", bounds=None) -> ShardedMap:
     """M empty per-device pools/registries, placed shard-per-device."""
+    import numpy as np
     m = mesh.shape[axis_name]
     half = cfg.voxel_resolution * (2 ** (cfg.max_depth - 1))
     pool = svo.create(cfg.node_capacity,
                       jnp.asarray(map_center, jnp.float32),
                       jnp.float32(half))
     leaves = create_leaf_list(cfg.leaf_capacity, cfg.node_capacity)
+    if bounds is None:
+        bounds = default_bounds(cfg, m)
+    bounds = np.asarray(bounds, np.int32)
+    assert bounds.shape == (m + 1,)
 
     def stack(x):
-        import numpy as np
         return jnp.asarray(np.broadcast_to(np.asarray(x)[None],
                                            (m,) + np.asarray(x).shape))
 
     smap = ShardedMap(pool=jax.tree_util.tree_map(stack, pool),
-                      leaves=jax.tree_util.tree_map(stack, leaves))
+                      leaves=jax.tree_util.tree_map(stack, leaves),
+                      bounds=stack(bounds))
     shardings = jax.tree_util.tree_map(
         lambda x: NamedSharding(mesh, P(axis_name, *([None] * (x.ndim - 1)))),
         smap)
@@ -170,18 +182,23 @@ def insert_sharded(smap: ShardedMap, points, colors, cfg: SLAMConfig,
     """
     from jax import shard_map
 
-    bits = _axis_bits(mesh, axis_name)
+    from octree_slam_tpu.map import morton
 
-    def local(pool_s, leaves_s, pts, cols):
+    L = cfg.map_split_level
+
+    def local(pool_s, leaves_s, bounds_s, pts, cols):
         pool = SVONodePool(*(x[0] for x in pool_s))
         leaves = LeafList(*(x[0] for x in leaves_s))
+        b = bounds_s[0]
         d = jax.lax.axis_index(axis_name)
-        # level-1 octant = (x>cx) + 2(y>cy) + 4(z>cz) (computeKey,
-        # svo.cu:50-57); its top `bits` are the owning device index
-        gt = pts > pool.center[None, :]
-        oct1 = (gt[:, 0].astype(jnp.int32) + 2 * gt[:, 1].astype(jnp.int32)
-                + 4 * gt[:, 2].astype(jnp.int32))
-        mine = (oct1 >> (3 - bits)) == d
+        # shard-range routing: the level-L prefix of a point's morton key
+        # (the octant chain is prefix-consistent, so encoding at depth L
+        # IS the full key's level-L prefix; computeKey octant test,
+        # svo.cu:50-57). Non-finite points encode to INVALID_KEY, which
+        # exceeds every boundary — owned by no shard (svo.insert would
+        # drop them anyway).
+        prefix, _ = morton.encode(pts, pool.center, pool.half_size, L)
+        mine = (prefix >= b[d]) & (prefix < b[d + 1])
         pool, stats = svo.insert(pool, pts, cols, valid=mine,
                                  depth=cfg.max_depth,
                                  unique_cap=cfg.insert_unique_cap)
@@ -216,10 +233,43 @@ def insert_sharded(smap: ShardedMap, points, colors, cfg: SLAMConfig,
         jax.tree_util.tree_map(lambda _: P(axis_name), smap.leaves)
     pool, leaves, total = shard_map(
         local, mesh=mesh,
-        in_specs=(spec_map[0], spec_map[1], P(), P()),
+        in_specs=(spec_map[0], spec_map[1], P(axis_name), P(), P()),
         out_specs=(spec_map[0], spec_map[1], P()),
-    )(smap.pool, smap.leaves, points, colors)
-    return ShardedMap(pool=pool, leaves=leaves), total
+    )(smap.pool, smap.leaves, smap.bounds, points, colors)
+    return ShardedMap(pool=pool, leaves=leaves, bounds=smap.bounds), total
+
+
+def _exact_rebuild(keys, vals, center, half_size, cfg: SLAMConfig):
+    """Build a fresh pool + registry from a (keys, vals) leaf snapshot via
+    the value-verbatim insert with unique-cap paging, then refresh
+    interiors — the shard-local rebuild shared by boundary growth and
+    rebalancing (svo.insert_exact reproduces every value bit-identically).
+    keys: i32[N] (< 0 = skip); vals: u32[N]. jit-safe."""
+    shallow = max(1, min(cfg.accel_level, cfg.max_depth - 2))
+    fresh = svo.create(cfg.node_capacity, center, half_size)
+    out = create_leaf_list(cfg.leaf_capacity, cfg.node_capacity)
+    fresh, st = svo.insert_exact(
+        fresh, keys, vals, depth=cfg.max_depth,
+        unique_cap=cfg.insert_unique_cap, shallow_level=shallow,
+        overwrite=True)
+    out = append_new_leaves(out, st)
+
+    def _more(c):
+        return c[0]
+
+    def _page(c):
+        _, lk, p, o = c
+        p, s2 = svo.insert_exact(
+            p, keys, vals, depth=cfg.max_depth,
+            unique_cap=cfg.insert_unique_cap,
+            shallow_level=shallow, overwrite=True, min_key=lk)
+        return (s2.unique_overflow, s2.last_key, p,
+                append_new_leaves(o, s2))
+
+    _, _, fresh, out = jax.lax.while_loop(
+        _more, _page, (st.unique_overflow, st.last_key, fresh, out))
+    fresh = svo.refresh_interior(fresh, depth=cfg.max_depth)
+    return fresh, out
 
 
 def grow_sharded(smap: ShardedMap, cfg: SLAMConfig, mesh: Mesh, *,
@@ -271,42 +321,17 @@ def grow_sharded(smap: ShardedMap, cfg: SLAMConfig, mesh: Mesh, *,
                 ex, pool_d.value, node_capacity=cfg.node_capacity))
         leaves = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *shards)
-        smap = ShardedMap(pool=smap.pool, leaves=leaves)
+        smap = ShardedMap(pool=smap.pool, leaves=leaves,
+                          bounds=smap.bounds)
 
     if rebuild:
         from jax import shard_map
-        shallow = max(1, min(cfg.accel_level, cfg.max_depth - 2))
 
         def local(pool_s, leaves_s):
             pool = SVONodePool(*(x[0] for x in pool_s))
             lv = LeafList(*(x[0] for x in leaves_s))
-            fresh = svo.create(new_cfg.node_capacity, pool.center,
-                               pool.half_size)
-            out = create_leaf_list(new_cfg.leaf_capacity,
-                                   new_cfg.node_capacity)
-            keys = lv.keys  # insert_exact skips negatives itself
-            fresh, st = svo.insert_exact(
-                fresh, keys, lv.vals, depth=cfg.max_depth,
-                unique_cap=cfg.insert_unique_cap, shallow_level=shallow,
-                overwrite=True)
-            out = append_new_leaves(out, st)
-
-            def _more(c):
-                return c[0]
-
-            def _page(c):
-                _, lk, p, o = c
-                p, s2 = svo.insert_exact(
-                    p, keys, lv.vals, depth=cfg.max_depth,
-                    unique_cap=cfg.insert_unique_cap,
-                    shallow_level=shallow, overwrite=True, min_key=lk)
-                return (s2.unique_overflow, s2.last_key, p,
-                        append_new_leaves(o, s2))
-
-            _, _, fresh, out = jax.lax.while_loop(
-                _more, _page,
-                (st.unique_overflow, st.last_key, fresh, out))
-            fresh = svo.refresh_interior(fresh, depth=cfg.max_depth)
+            fresh, out = _exact_rebuild(
+                lv.keys, lv.vals, pool.center, pool.half_size, new_cfg)
             return (jax.tree_util.tree_map(lambda x: x[None], fresh),
                     jax.tree_util.tree_map(lambda x: x[None], out))
 
@@ -316,7 +341,8 @@ def grow_sharded(smap: ShardedMap, cfg: SLAMConfig, mesh: Mesh, *,
         pool, new_leaves = shard_map(
             local, mesh=mesh, in_specs=specs, out_specs=specs,
         )(smap.pool, smap.leaves)
-        return ShardedMap(pool=pool, leaves=new_leaves), new_cfg
+        return ShardedMap(pool=pool, leaves=new_leaves,
+                          bounds=smap.bounds), new_cfg
 
     pool = smap.pool
     if grow_nodes:
@@ -344,12 +370,104 @@ def grow_sharded(smap: ShardedMap, cfg: SLAMConfig, mesh: Mesh, *,
         count=leaves.count,
         overflowed=leaves.overflowed,
     )
-    smap2 = ShardedMap(pool=pool, leaves=new_leaves)
+    smap2 = ShardedMap(pool=pool, leaves=new_leaves, bounds=smap.bounds)
     shardings = jax.tree_util.tree_map(
         lambda x: NamedSharding(mesh,
                                 P(axis_name, *([None] * (x.ndim - 1)))),
         smap2)
     return jax.device_put(smap2, shardings), new_cfg
+
+
+def shard_leaf_counts(smap: ShardedMap):
+    """Per-shard live leaf counts (i32[M]) — the load-imbalance metric.
+    Registry keys are -1 until appended, so `keys >= 0` counts exactly the
+    registered leaves of each shard."""
+    return jnp.sum((smap.leaves.keys >= 0).astype(jnp.int32), axis=1)
+
+
+def balanced_bounds(cell_counts, m: int):
+    """Cut the level-L cell space into m contiguous ranges of near-equal
+    total count (numpy; greedy cumulative-sum split). cell_counts:
+    i64[8^L] leaves per cell. Returns i32[m+1], strictly increasing,
+    covering [0, 8^L]. A range is never empty (every shard owns >= 1
+    cell) so the partition stays total and disjoint."""
+    import numpy as np
+    cells = len(cell_counts)
+    c = np.concatenate([[0], np.cumsum(cell_counts)])
+    total = int(c[-1])
+    bounds = [0]
+    for d in range(1, m):
+        t = total * d / m
+        i = int(np.searchsorted(c, t, side="left"))
+        i = max(bounds[-1] + 1, min(i, cells - (m - d)))
+        bounds.append(i)
+    bounds.append(cells)
+    return np.asarray(bounds, np.int32)
+
+
+def rebalance_sharded(smap: ShardedMap, cfg: SLAMConfig, mesh: Mesh,
+                      axis_name: str = "map") -> ShardedMap:
+    """Re-cut the shard boundaries to equalize leaf load and redistribute
+    the map (host-level, rare — a growth-cadence operation, not per-frame).
+
+    The fixed level-1 octant split loads 1-2 of 8 devices on any scene
+    concentrated in few octants (round-2 verdict item #5). This measures
+    the observed per-cell leaf histogram at cfg.map_split_level, computes
+    balanced contiguous ranges, and rebuilds every shard from the UNION
+    leaf snapshot filtered to its new range (value-verbatim insert_exact,
+    so the union is bit-identical before and after). Needs
+    map_split_level >= 2 to help: level 1 has only 8 cells to cut.
+    """
+    import numpy as np
+    from jax import shard_map
+
+    from octree_slam_tpu.map import morton
+
+    m = mesh.shape[axis_name]
+    L = cfg.map_split_level
+    cells = 1 << (3 * L)
+
+    # union leaf snapshot from the registries (vals mirror every touched
+    # leaf's current word, append_new_leaves contract)
+    keys_np = np.asarray(smap.leaves.keys).ravel()
+    vals_np = np.asarray(smap.leaves.vals).ravel()
+    live = keys_np >= 0
+    keys_live = keys_np[live]
+    prefixes = keys_live >> (3 * (cfg.max_depth - L))
+    counts = np.bincount(prefixes, minlength=cells)
+    bounds = balanced_bounds(counts, m)
+
+    # static union buffer: every shard gets the full snapshot and keeps
+    # its new range (same replicated-routing shape as insert_sharded)
+    cap_u = smap.leaves.keys.shape[1]  # per-shard registry capacity
+    union_k = np.full((m * cap_u,), -1, np.int32)
+    union_v = np.zeros((m * cap_u,), np.uint32)
+    union_k[: keys_live.size] = keys_live
+    union_v[: keys_live.size] = vals_np[live]
+    union_k_j = jnp.asarray(union_k)
+    union_v_j = jnp.asarray(union_v)
+    bounds_stacked = jnp.asarray(
+        np.broadcast_to(bounds[None], (m, m + 1)).copy())
+
+    def local(bounds_s, uk, uv, center, half):
+        b = bounds_s[0]
+        d = jax.lax.axis_index(axis_name)
+        prefix = uk >> (3 * (cfg.max_depth - L))
+        mine = (uk >= 0) & (prefix >= b[d]) & (prefix < b[d + 1])
+        k = jnp.where(mine, uk, -1)
+        fresh, out = _exact_rebuild(k, uv, center, half, cfg)
+        return (jax.tree_util.tree_map(lambda x: x[None], fresh),
+                jax.tree_util.tree_map(lambda x: x[None], out))
+
+    specs = (jax.tree_util.tree_map(lambda _: P(axis_name), smap.pool),
+             jax.tree_util.tree_map(lambda _: P(axis_name), smap.leaves))
+    pool, new_leaves = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name), P(), P(), P(), P()),
+        out_specs=specs,
+    )(bounds_stacked, union_k_j, union_v_j,
+      smap.pool.center[0], smap.pool.half_size[0])
+    return ShardedMap(pool=pool, leaves=new_leaves, bounds=bounds_stacked)
 
 
 def render_sharded_map(smap: ShardedMap, world_T_cam, fx, fy,
@@ -393,8 +511,11 @@ def slam_step_2d(cfg: SLAMConfig, mesh: Mesh):
     identical math to pipeline.step (frame-to-frame ICP, divergence
     gates fusion per-frame); the map lives only in the shards.
 
-    Returns step(state, frame) -> (state', (framebuffer, pose, total
-    unique leaves this frame)).
+    Returns step(state, frame) -> (state', (framebuffer, pose, signals))
+    where signals is a packed f32[8] health vector
+    [unique_total, max_shard_nodes, max_shard_leaf_count,
+     any_pool_overflow, any_leaf_overflow, diverged, residual, inliers]
+    — ONE fetch per frame drives the host loop (parallel/run2d.py).
     """
     from octree_slam_tpu import pipeline
     from octree_slam_tpu.sensor import tracking as tr
@@ -420,7 +541,24 @@ def slam_step_2d(cfg: SLAMConfig, mesh: Mesh):
         fb = render_sharded_map(smap, new_pose, cfg.focal_x, cfg.focal_y,
                                 cfg, mesh)
         new_state = (tuple(pyramid), new_pose, jnp.bool_(True), smap)
-        return new_state, (fb, new_pose, total)
+        # Packed health/growth signals — ONE small fetch serves the host
+        # loop (run2d), which reads it TRAILING one frame so a frame costs
+        # max(step, RTT), the pipeline.run_slam fetch protocol. Plain array
+        # reductions over the stacked shard arrays; XLA inserts the
+        # cross-shard collectives.
+        signals = jnp.stack([
+            total.astype(jnp.float32),
+            jnp.max(smap.pool.n_nodes).astype(jnp.float32),
+            jnp.max(smap.leaves.count).astype(jnp.float32),
+            jnp.any(smap.pool.overflowed).astype(jnp.float32),
+            jnp.any(smap.leaves.overflowed).astype(jnp.float32),
+            (initialized & tstats.diverged).astype(jnp.float32),
+            # inliers/residual are per-pyramid-level vectors; report the
+            # finest tracked level (index 0, the last GN iterations)
+            tstats.residual.ravel()[0].astype(jnp.float32),
+            tstats.inliers.ravel()[0].astype(jnp.float32),
+        ])
+        return new_state, (fb, new_pose, signals)
 
     # No in_shardings pins: the initial state is placed by slam_init_2d
     # (ShardedMap device_put over "map"; pose/flags replicated), frames by

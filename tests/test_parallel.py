@@ -268,9 +268,9 @@ class TestSlamStep2D:
         poses, totals = [], []
         for f in frames:
             f = jax.device_put(f, distributed.frame_sharding(mesh, "px"))
-            state, (fb, pose, total) = step(state, f)
+            state, (fb, pose, sig) = step(state, f)
             poses.append(np.asarray(pose))
-            totals.append(int(total))
+            totals.append(int(sig[0]))  # signals[0] = global unique count
         assert fb.shape == (cfg.height, cfg.width, 4)
         assert np.asarray(fb)[..., :3].sum() > 0
         assert all(t > 0 for t in totals)

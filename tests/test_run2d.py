@@ -1,0 +1,197 @@
+"""Multi-chip application loop + shard load balance (round-2 verdict #4/#5).
+
+Runs on the virtual 8-device CPU mesh (conftest). Covers:
+  * rebalance_sharded on an adversarial one-octant scene: per-shard leaf
+    counts within 2x of the mean afterwards, union bit-identical;
+  * run_slam_2d: >= 20 synthetic-orbit frames through a growth event on a
+    2x4 ("px" x "map") mesh, final shard-union map bit-identical to a
+    single-chip run of the same frames;
+  * boundary routing correctness for level-2 splits.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from octree_slam_tpu.config import SLAMConfig
+from octree_slam_tpu.parallel import distributed, run2d
+
+
+def union(smap):
+    return run2d.union_leaves(smap)
+
+
+class TestRebalance:
+    CFG = SLAMConfig(width=64, height=48, focal_x=60.0, focal_y=60.0,
+                     max_depth=6, voxel_resolution=2 * 0.64 / (1 << 6),
+                     node_capacity=1 << 16, leaf_capacity=1 << 12,
+                     insert_unique_cap=1 << 12, map_split_level=2)
+
+    def one_octant_cloud(self, n=3000, seed=11):
+        """Everything in octant 0 (x,y,z < 0): the fixed octant split
+        loads exactly one of 8 devices (round-2 verdict item #5)."""
+        rng = np.random.default_rng(seed)
+        pts = rng.uniform(-0.6, -0.01, (n, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        return pts, cols
+
+    def test_rebalance_one_octant_scene(self):
+        cfg = self.CFG
+        mesh = distributed.make_mesh(8, axis_name="map")
+        pts, cols = self.one_octant_cloud()
+        smap = distributed.make_sharded_map(cfg, mesh)
+        smap, total = distributed.insert_sharded(
+            smap, jnp.asarray(pts), jnp.asarray(cols), cfg, mesh)
+
+        counts = np.asarray(distributed.shard_leaf_counts(smap))
+        assert int(total) > 500
+        # adversarial by construction: all leaves land in one shard
+        # (octant 0 is cell range [0, 8) at level 2 = shard 0's default
+        # range [0, 8))
+        assert counts.max() == counts.sum()
+
+        k0, v0 = union(smap)
+        smap2 = distributed.rebalance_sharded(smap, cfg, mesh)
+        counts2 = np.asarray(distributed.shard_leaf_counts(smap2))
+
+        # balanced within ~2x of the mean (level-2 split: 64 cells over
+        # 8 shards; granularity is per-cell so perfect balance is not
+        # guaranteed, 2x is the verdict's bar)
+        assert counts2.sum() == counts.sum()
+        assert counts2.max() <= 2.0 * counts2.mean(), counts2
+        # every shard owns a non-empty CELL range (a trailing shard may
+        # still hold zero leaves when all occupied cells fit in fewer
+        # ranges — correct: the partition must stay total)
+        b = np.asarray(smap2.bounds)[0]
+        assert np.all(np.diff(b) >= 1)
+
+        # union is bit-identical after redistribution
+        k1, v1 = union(smap2)
+        np.testing.assert_array_equal(k0, k1)
+        np.testing.assert_array_equal(v0, v1)
+
+        # every shard holds only keys in its new range
+        b = np.asarray(smap2.bounds)[0]
+        keys = np.asarray(smap2.leaves.keys)
+        L = cfg.map_split_level
+        for d in range(8):
+            kd = keys[d][keys[d] >= 0]
+            pref = kd >> (3 * (cfg.max_depth - L))
+            assert np.all((pref >= b[d]) & (pref < b[d + 1]))
+
+        # inserts continue correctly under the new boundaries
+        pts2, cols2 = self.one_octant_cloud(800, seed=12)
+        smap3, _ = distributed.insert_sharded(
+            smap2, jnp.asarray(pts2), jnp.asarray(cols2), cfg, mesh)
+        # reference: replicated pool fed both clouds
+        from octree_slam_tpu.map import svo as svo_mod
+        from octree_slam_tpu.render.splat import append_new_leaves, \
+            create_leaf_list
+        half = cfg.voxel_resolution * (2 ** (cfg.max_depth - 1))
+        pool = svo_mod.create(cfg.node_capacity, jnp.zeros(3),
+                              jnp.float32(half))
+        leaves = create_leaf_list(cfg.leaf_capacity, cfg.node_capacity)
+        for p, c in ((pts, cols), (pts2, cols2)):
+            pool, st = svo_mod.insert(pool, jnp.asarray(p), jnp.asarray(c),
+                                      depth=cfg.max_depth,
+                                      unique_cap=cfg.insert_unique_cap)
+            leaves = append_new_leaves(leaves, st)
+        rk = np.asarray(leaves.keys)
+        rv = np.asarray(leaves.vals)
+        live = rk >= 0
+        order = np.argsort(rk[live], kind="stable")
+        k3, v3 = union(smap3)
+        np.testing.assert_array_equal(k3, rk[live][order])
+        np.testing.assert_array_equal(v3, rv[live][order])
+
+    def test_balanced_bounds_properties(self):
+        rng = np.random.default_rng(0)
+        for m in (2, 4, 8):
+            for _ in range(5):
+                counts = rng.integers(0, 100, size=64)
+                counts[rng.integers(0, 64)] += 5000  # a hot cell
+                b = distributed.balanced_bounds(counts, m)
+                assert b[0] == 0 and b[-1] == 64
+                assert np.all(np.diff(b) >= 1)  # total, disjoint, nonempty
+
+
+class TestRunSlam2D:
+    """run_slam_2d: the run_slam-grade host loop over the 2-D mesh."""
+
+    # node_capacity is sized so NO pool ever overflows (pool overflow
+    # truncates allocation in sorted-key order, which differs between a
+    # global pool and shard-local pools — bit-identity only holds for
+    # lossless runs); leaf_capacity is deliberately tiny so the registry
+    # overflows early and forces growth events on both sides.
+    CFG = SLAMConfig(width=64, height=48, focal_x=55.0, focal_y=55.0,
+                     pyramid_depth=2, pyramid_iters=(2, 2),
+                     voxel_resolution=0.05, max_depth=6,
+                     node_capacity=1 << 15, leaf_capacity=1 << 10,
+                     insert_unique_cap=1 << 11, map_split_level=2,
+                     relocalize=False)
+
+    def _frames(self, n):
+        from octree_slam_tpu.sensor import sources
+        scene = sources.default_scene()
+        gt = [sources.orbit_pose(i * 0.02) for i in range(n)]
+        fr = [sources.render_frame(scene, g, self.CFG.focal_x,
+                                   self.CFG.focal_y, width=self.CFG.width,
+                                   height=self.CFG.height) for g in gt]
+        return gt, fr
+
+    def test_twenty_frames_through_growth_matches_single_chip(self):
+        cfg = self.CFG
+        n = 20
+        mesh = distributed.make_mesh2(2, 4)
+        gt, frames = self._frames(n)
+
+        state, final_cfg, info = run2d.run_slam_2d(
+            frames, cfg, mesh, initial_pose=gt[0], grow_headroom=0.75,
+            rebalance_factor=1.1)
+        events = info["events"]
+        assert any(e["event"] == "grow" for e in events), \
+            "capacities were sized to force at least one growth event"
+        # the desk scene weights the floor/wall octants, so a tight 1.1x
+        # trigger guarantees at least one mid-run redistribution — the
+        # bit-identity check below then covers insert-after-rebalance
+        assert any(e["event"] == "rebalance" for e in events)
+        # growth doubled at least the leaf registry (tiny initial cap)
+        assert (final_cfg.leaf_capacity > cfg.leaf_capacity
+                or final_cfg.node_capacity > cfg.node_capacity)
+        smap = state[3]
+        assert not bool(np.any(np.asarray(smap.pool.overflowed)))
+        assert not bool(np.any(np.asarray(smap.leaves.overflowed)))
+
+        # single-chip reference: pipeline.step over the same frames with
+        # matching growth policy; tracking math is identical, so the maps
+        # must agree bit-for-bit (keys AND values)
+        from octree_slam_tpu import pipeline
+        scfg = dataclasses.replace(cfg)
+        sstate = pipeline.init_state(scfg, initial_pose=gt[0])
+        step = jax.jit(
+            lambda s, f, c: pipeline.step(s, f, c, render="none"),
+            static_argnames="c")
+        for f in frames:
+            sstate, out = step(sstate, f, scfg)
+            if (int(out.map_nodes) > 0.75 * scfg.node_capacity
+                    or bool(out.map_overflowed)
+                    or int(out.map_leaves) > 0.75 * scfg.leaf_capacity):
+                sstate, scfg = pipeline.grow_state(
+                    sstate, scfg, grow_nodes=True, grow_leaves=True)
+        assert not bool(sstate.pool.overflowed)
+        assert not bool(sstate.leaves.overflowed)
+
+        rk = np.asarray(sstate.leaves.keys)
+        rv = np.asarray(sstate.leaves.vals)
+        live = rk >= 0
+        order = np.argsort(rk[live], kind="stable")
+        ku, vu = run2d.union_leaves(smap)
+        np.testing.assert_array_equal(ku, rk[live][order])
+        np.testing.assert_array_equal(vu, rv[live][order])
+
+        # trajectory: 2-D mesh tracking stayed near ground truth
+        err = np.linalg.norm(info["poses"][-1][:3, 3]
+                             - np.asarray(gt[-1])[:3, 3])
+        assert err < 0.08, err
