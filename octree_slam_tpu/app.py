@@ -512,6 +512,7 @@ def save_state(path: str, state: pipeline.SLAMState,
              "fuse_level": cfg.fuse_level,
              "max_depth": cfg.max_depth,
              "use_dense_mips": int(cfg.use_dense_mips),
+             "track_keyframe": int(cfg.track_keyframe),
              "voxel_resolution": cfg.voxel_resolution}
             if cfg else {})
     np.savez_compressed(path, n=len(flat), **caps,
@@ -536,6 +537,7 @@ def load_state(path: str, cfg: SLAMConfig
                       ("pyramid_depth", int), ("track_finest_level", int),
                       ("fuse_level", int), ("max_depth", int),
                       ("use_dense_mips", lambda v: bool(int(v))),
+                      ("track_keyframe", lambda v: bool(int(v))),
                       ("voxel_resolution", float)):
         if key in z:
             overrides[key] = cast(z[key])
@@ -624,6 +626,10 @@ def main(argv=None):
     p.add_argument("--spill-keep-radius", type=float, default=None,
                    help="meters: cells with a leaf within this camera "
                         "distance stay resident (default SLAMConfig)")
+    p.add_argument("--keyframe-tracking", action="store_true",
+                   help="anchor ICP to the last keyframe instead of the "
+                        "previous frame (cfg.track_keyframe): drift "
+                        "accrues per keyframe, not per frame")
     p.add_argument("--no-precompile-ahead", action="store_true",
                    help="disable background AOT compilation of the "
                         "post-growth step (cfg.precompile_ahead); growth "
@@ -673,6 +679,8 @@ def main(argv=None):
         cap.update(track_finest_level=lvl, fuse_level=lvl,
                    pyramid_depth=SLAMConfig.pyramid_depth + lvl,
                    pyramid_iters=SLAMConfig.pyramid_iters)
+    if args.keyframe_tracking:
+        cap["track_keyframe"] = True
     if args.no_precompile_ahead:
         cap["precompile_ahead"] = False
     if args.host_spill:

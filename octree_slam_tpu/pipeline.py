@@ -56,6 +56,12 @@ class SLAMState(NamedTuple):
     diverged: jnp.ndarray      # bool[] tracking lost at some frame
     interior_stale: jnp.ndarray  # bool[] lazy frames deferred the interior
                                  # mipmap + dense-mirror refresh
+    # Keyframe anchor (cfg.track_keyframe; empty pytrees when disabled so
+    # the donated/checkpointed template stays shape-stable per config):
+    key_pyramid: Tuple[PyramidLevel, ...]  # the anchor frame's maps
+    key_pose: jnp.ndarray      # f32[4,4] world_T_key ((0,) when disabled)
+    key_T_cam: jnp.ndarray     # f32[4,4] key_T_cam of the PREVIOUS frame
+                               # (the GN seed; (0,) when disabled)
 
 
 class StepOutput(NamedTuple):
@@ -183,6 +189,11 @@ def init_state(cfg: SLAMConfig, map_center=(0.0, 0.0, 0.0),
         frame_idx=jnp.int32(0),
         diverged=jnp.bool_(False),
         interior_stale=jnp.bool_(False),
+        key_pyramid=(_empty_pyramid(cfg) if cfg.track_keyframe else ()),
+        key_pose=(jnp.array(pose, copy=True) if cfg.track_keyframe
+                  else jnp.zeros((0,), jnp.float32)),
+        key_T_cam=(jnp.eye(4, dtype=jnp.float32) if cfg.track_keyframe
+                   else jnp.zeros((0,), jnp.float32)),
     )
 
 
@@ -278,12 +289,44 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     # the camera, and orbit ATE degraded 0.22 m -> 0.90 m. The model-view
     # machinery lives on in relocalize.py, where coarse accuracy is all a
     # recovery needs. ---
-    update_T, tstats = tracking.track(list(state.last_pyramid),
-                                      list(pyramid), cfg)
     eye = jnp.eye(4, dtype=jnp.float32)
-    update_T = jnp.where(state.initialized, update_T, eye)
-    pose = state.pose @ update_T
-    diverged = state.diverged | (state.initialized & tstats.diverged)
+    if cfg.track_keyframe:
+        # Keyframe anchoring: ICP against the ANCHOR frame's maps (drift
+        # accrues per keyframe, not per frame), seeded by the previous
+        # frame's key-relative transform so GN starts one frame from the
+        # optimum. Re-anchor when the camera moves keyframe_max_dist /
+        # keyframe_max_angle_deg from the anchor (never on a diverged
+        # solve: a bad pose must not become the new anchor).
+        update_T, tstats = tracking.track(
+            list(state.key_pyramid), list(pyramid), cfg,
+            init_T=state.key_T_cam)
+        update_T = jnp.where(state.initialized, update_T, eye)
+        pose = jnp.where(state.initialized,
+                         state.key_pose @ update_T, state.pose)
+        diverged = state.diverged | (state.initialized & tstats.diverged)
+        t_dist = jnp.linalg.norm(update_T[:3, 3])
+        cos_ang = jnp.clip((jnp.trace(update_T[:3, :3]) - 1.0) * 0.5,
+                           -1.0, 1.0)
+        import math as _math
+        far = (t_dist > cfg.keyframe_max_dist) | (
+            cos_ang < _math.cos(
+                _math.radians(cfg.keyframe_max_angle_deg)))
+        re_anchor = (~state.initialized) | (
+            far & ~tstats.diverged)
+        key_pyramid = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(re_anchor, new, old),
+            tuple(pyramid), state.key_pyramid)
+        key_pose = jnp.where(re_anchor, pose, state.key_pose)
+        key_T_cam = jnp.where(re_anchor, eye, update_T)
+    else:
+        update_T, tstats = tracking.track(list(state.last_pyramid),
+                                          list(pyramid), cfg)
+        update_T = jnp.where(state.initialized, update_T, eye)
+        pose = state.pose @ update_T
+        diverged = state.diverged | (state.initialized & tstats.diverged)
+        key_pyramid = state.key_pyramid
+        key_pose = state.key_pose
+        key_T_cam = state.key_T_cam
 
     # --- Fuse: full-res camera-frame points -> world -> SVO insert
     #     (main.cpp:39-44 -> svoFromPointCloud). ---
@@ -416,6 +459,9 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
         frame_idx=state.frame_idx + 1,
         diverged=diverged,
         interior_stale=jnp.bool_(not eager),
+        key_pyramid=key_pyramid,
+        key_pose=key_pose,
+        key_T_cam=key_T_cam,
     )
     out = StepOutput(
         framebuffer=fb,

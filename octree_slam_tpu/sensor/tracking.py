@@ -275,7 +275,9 @@ def _track_level(last: PyramidLevel, cur: PyramidLevel, level: int,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def track(last_pyramid: List[PyramidLevel], current_pyramid: List[PyramidLevel],
-          cfg: SLAMConfig) -> Tuple[jnp.ndarray, TrackStats]:
+          cfg: SLAMConfig,
+          init_T: jnp.ndarray | None = None
+          ) -> Tuple[jnp.ndarray, TrackStats]:
     """Coarse-to-fine ICP: returns cam_{t-1}_T_cam_t, the rigid transform
     aligning the current camera frame onto the last one, plus health stats
     (per-frame inlier/residual metrics; SURVEY.md section 5 failure
@@ -284,8 +286,14 @@ def track(last_pyramid: List[PyramidLevel], current_pyramid: List[PyramidLevel],
     Mirrors the schedule at rgbd_camera.cpp:102-170: iterate levels
     coarse -> fine with cfg.pyramid_iters (fine-first order, like
     PYRAMID_ITERS), carrying the accumulated update across levels.
+
+    init_T seeds the Gauss-Newton iterations (identity when omitted —
+    the frame-to-frame case, where motion is sub-threshold). Keyframe
+    anchoring passes the previous frame's keyframe-relative transform so
+    the solver starts one frame, not one keyframe, from the optimum.
     """
-    update_T = jnp.eye(4, dtype=jnp.float32)
+    update_T = (jnp.eye(4, dtype=jnp.float32) if init_T is None
+                else jnp.asarray(init_T, jnp.float32))
     diverged = jnp.bool_(False)
     inliers = []
     residuals = []
