@@ -84,20 +84,23 @@ def main():
     pool, cache = pipeline.heal_for_march(state, cfg)
     sync(cache.values)
 
-    march = jax.jit(lambda: raycast.cone_trace_dense(
-        cache, pool.center, pool.half_size, pose,
+    # big arrays must be ARGUMENTS: a closure capture embeds the 613 MB
+    # mips cache as a jit constant and the tunnel's compile upload 413s
+    march = jax.jit(lambda c, T: raycast.cone_trace_dense(
+        c, pool.center, pool.half_size, T,
         cfg.focal_x, cfg.focal_y, width=cfg.width, height=cfg.height,
         max_depth=cfg.max_depth, dist_level=lvl, max_iters=cfg.max_march_iters,
         max_range=cfg.max_range, start_dist=cfg.start_dist,
-        max_skip=cfg.dist_max_skip))()
+        max_skip=cfg.dist_max_skip))(cache, pose)
     spec = conesplat.make_slab_spec(
         width=cfg.width, height=cfg.height, fx=cfg.focal_x,
         leaf_size=cfg.voxel_resolution, z_near=cfg.cone_znear,
         z_far=cfg.max_range, n_slabs=cfg.cone_slabs,
         max_scale=cfg.cone_max_scale)
-    slab = jax.jit(lambda: conesplat.render_cone_splat(
-        state.leaves, pool.center, pool.half_size, pose,
-        cfg.focal_x, cfg.focal_y, spec=spec, depth=cfg.max_depth))()
+    slab = jax.jit(lambda lv, T: conesplat.render_cone_splat(
+        lv, pool.center, pool.half_size, T,
+        cfg.focal_x, cfg.focal_y, spec=spec, depth=cfg.max_depth))(
+        state.leaves, pose)
     m = np.asarray(march[..., :3], np.float64)
     s = np.asarray(slab[..., :3], np.float64)
 

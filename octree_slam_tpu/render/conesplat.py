@@ -34,17 +34,37 @@ pipeline already keeps a persistent registry (render/splat.py).
      reference adds the final sample uncapped, :106-121), then apply the
      127/w exit rescale to unsaturated pixels (:131-139).
 
+Two accumulation modes (static `accumulate` flag):
+  * accumulate=True (default, round-3): scatter-ADD `[w, w*r, w*g, w*b]`
+    into an f32 (cells, 4) buffer — still ONE scatter kernel (the 4-wide
+    window is contiguous). A cell's color becomes the confidence-weighted
+    MEAN of every leaf landing in it, which is the scatter-space analog of
+    the march's interior-mip sample at coarse LOD (the mip IS the weighted
+    child mean, map/svo.py mipmap); stacked surfaces within a slab
+    accumulate like consecutive march samples instead of min-replacing;
+    and the rgb555 quantization of the packed word disappears. Each cell's
+    contribution is capped at ONE march sample's weight (alpha-127 <= 128,
+    cone_tracing_kernels.cu:106-122): the cell IS the footprint the march
+    samples once, however many leaf centers stack inside it.
+  * accumulate=False (round-2 legacy, kept for A/B): packed scatter-min,
+    nearest-confident-leaf-per-cell resolve.
+
+Coarse slabs are upsampled bilinearly (static `bilinear` flag; the
+premultiplied (w, w*rgb) fields are linear, so interpolation is exact
+partial-coverage math) — silhouettes ramp at the true edge instead of
+snapping to the slab cell grid, which round-3 error analysis measured as
+55% of the slab-vs-march MSE (examples/cone_error_analysis.py).
+
 Divergences from the march (documented; the exact marchers remain in
 render/raycast.py and tests compare the two):
-  * two distinct surfaces falling in the SAME slab and cell contribute only
-    the nearer one (the march composites both); K slabs keep this rare;
   * a leaf contributes to the pixel(s) its center projects into rather than
-    to every ray crossing its cell — silhouettes are blocky at the slab
-    cell scale, and thin surfaces cannot be "tunneled through" the way the
-    march's node-sized steps can skip them (the slab image is arguably the
-    more correct one; see tests/test_conesplat.py);
-  * the march's per-step interior-mip color at coarse LOD is approximated
-    by the nearest leaf's color at the matched raster scale.
+    to every ray crossing its cell — thin surfaces cannot be "tunneled
+    through" the way the march's node-sized steps can skip them (the slab
+    image is arguably the more correct one; see tests/test_conesplat.py);
+  * within one slab the march orders samples front-to-back and can
+    saturate mid-slab; the additive cell mean has no intra-slab order —
+    two distinct surfaces in the SAME slab cell blend into one mean
+    sample (the min path dropped the farther one entirely).
 """
 
 from __future__ import annotations
@@ -118,10 +138,47 @@ def _per_slab_select(k: jnp.ndarray, table: Sequence[int]) -> jnp.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "depth"))
+def _double_bilinear(img: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """2x upsample along `axis` with half-pixel-centered linear weights.
+
+    out[2i] = 0.75*in[i] + 0.25*in[i-1]; out[2i+1] = 0.75*in[i] +
+    0.25*in[i+1] (edges clamped) — the standard align_corners=False tent.
+    Elementwise + interleave only, so the per-slab chain stays fusable.
+    """
+    n = img.shape[axis]
+    first = jax.lax.slice_in_dim(img, 0, 1, axis=axis)
+    last = jax.lax.slice_in_dim(img, n - 1, n, axis=axis)
+    prev = jnp.concatenate(
+        [first, jax.lax.slice_in_dim(img, 0, n - 1, axis=axis)], axis=axis)
+    nxt = jnp.concatenate(
+        [jax.lax.slice_in_dim(img, 1, n, axis=axis), last], axis=axis)
+    even = 0.75 * img + 0.25 * prev
+    odd = 0.75 * img + 0.25 * nxt
+    out = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(img.shape)
+    shape[axis] *= 2
+    return out.reshape(shape)
+
+
+def _upsample(img: jnp.ndarray, scale: int, bilinear: bool) -> jnp.ndarray:
+    """(h, w, c) -> (h*scale, w*scale, c), power-of-two scale."""
+    if scale == 1:
+        return img
+    if not bilinear:
+        return jnp.repeat(jnp.repeat(img, scale, axis=0), scale, axis=1)
+    while scale > 1:
+        img = _double_bilinear(img, 0)
+        img = _double_bilinear(img, 1)
+        scale //= 2
+    return img
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "depth", "accumulate",
+                                             "bilinear"))
 def render_cone_splat(leaves: LeafList, center: jnp.ndarray, half_size,
                       world_T_cam: jnp.ndarray, fx, fy, *,
-                      spec: SlabSpec, depth: int) -> jnp.ndarray:
+                      spec: SlabSpec, depth: int, accumulate: bool = True,
+                      bilinear: bool = True) -> jnp.ndarray:
     """Cone-composite the occupied leaf set to f32[H, W, 4].
 
     Output convention matches raycast.cone_trace: rgb in [0, 1] accumulated
@@ -160,6 +217,21 @@ def render_cone_splat(leaves: LeafList, center: jnp.ndarray, half_size,
 
     cell = off + (py // s) * sw + (px // s)
     idx = jnp.where(ok, cell, spec.total_cells)
+
+    if accumulate:
+        # ONE f32 scatter-ADD of [w, w*r, w*g, w*b] (contiguous 4-window):
+        # per-cell confidence-weighted color mean = the march's mip-style
+        # footprint sample; stacked surfaces accumulate like march samples.
+        wf = jnp.where(ok, w_leaf.astype(jnp.float32), 0.0)
+        vals = jnp.stack([
+            wf,
+            wf * r8.astype(jnp.float32),
+            wf * g8.astype(jnp.float32),
+            wf * b8.astype(jnp.float32),
+        ], axis=-1)
+        abuf = jnp.zeros((spec.total_cells, 4), jnp.float32).at[idx].add(
+            vals, mode="drop")
+        return _composite_additive(abuf, spec, bilinear)
 
     # Nearest-leaf-per-cell resolve in ONE packed scatter-min word (the two
     # scatter kernels were 95% of the render's device time — a profiler
@@ -229,6 +301,50 @@ def render_cone_splat(leaves: LeafList, center: jnp.ndarray, half_size,
         rgb_acc = rgb_acc + gate[..., None] * rgb_s
         w_acc = w_acc + gate
 
+    return _finish(w_acc, rgb_acc, H, W)
+
+
+def _composite_additive(abuf: jnp.ndarray, spec: SlabSpec,
+                        bilinear: bool) -> jnp.ndarray:
+    """Front-to-back composite of the additive (cells, 4) slab buffer.
+
+    Per-slab rule mirrors coneTrace (cone_tracing_kernels.cu:106-122): add
+    while w_acc < 127, with the cell's confidence-weighted mean color. A
+    cell usually holds SEVERAL leaf centers of the SAME surface (the slab
+    scale targets 1-4 per cell so contiguous surfaces leave no holes), but
+    the march samples that footprint ONCE, with weight alpha-127 <= 128 —
+    so each cell contributes at most one sample's weight (128), at the
+    cell's weighted-mean color. Without this cap a saturated wall added
+    its summed stack (~2-4x128) and over-brightened the unsaturated
+    channels ~2x vs the march (caught by
+    test_conesplat.TestOracle::test_saturation_caps_accumulation).
+    """
+    H, W = spec.height, spec.width
+    w_acc = jnp.zeros((H, W), jnp.float32)
+    rgb_acc = jnp.zeros((H, W, 3), jnp.float32)
+    for kk in range(spec.n_slabs):
+        sc = spec.scales[kk]
+        o = spec.offsets[kk]
+        hh, ww = H // sc, W // sc
+        sl = jax.lax.dynamic_slice(abuf, (o, 0), (hh * ww, 4)).reshape(
+            hh, ww, 4)
+        # one-sample cap BEFORE upsampling (cell = one march footprint
+        # sample): rescale the whole premultiplied vector so the color
+        # stays the cell mean and the field stays linear for the tent
+        cap = jnp.minimum(sl[..., :1], 128.0) / jnp.maximum(sl[..., :1],
+                                                            1e-6)
+        sl = _upsample(sl * cap, sc, bilinear)
+        w = sl[..., 0]
+        wrgb = sl[..., 1:]
+        gate = jnp.where((w > 0.0) & (w_acc < 127.0), 1.0, 0.0)
+        rgb_acc = rgb_acc + gate[..., None] * wrgb
+        w_acc = w_acc + gate * w
+    return _finish(w_acc, rgb_acc, H, W)
+
+
+def _finish(w_acc: jnp.ndarray, rgb_acc: jnp.ndarray, H: int,
+            W: int) -> jnp.ndarray:
+    """Shared composite tail: hole repair + exit rescale -> f32[H, W, 4]."""
     # --- image-space hole repair. A curved surface spreads adjacent leaves
     # across slabs, so a slab cell on a sphere limb can stay empty and the
     # ray "tunnels" (black speckles). Borrow accumulation from the

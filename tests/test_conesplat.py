@@ -8,6 +8,7 @@ shared map — the two implement the same semantics
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from octree_slam_tpu.core import packing
 from octree_slam_tpu.map import morton, svo
@@ -60,8 +61,14 @@ class TestSlabSpec:
             assert 96 % s == 0 and 72 % s == 0
 
 
+MODES = [dict(accumulate=True, bilinear=True),
+         dict(accumulate=True, bilinear=False),
+         dict(accumulate=False, bilinear=False)]
+
+
 class TestOracle:
-    def test_single_leaf_color_and_rescale(self):
+    @pytest.mark.parametrize("mode", MODES)
+    def test_single_leaf_color_and_rescale(self, mode):
         """One unsaturated leaf: rescale by 127/w reproduces full color."""
         depth = 6
         pool = svo.create(1 << 14, jnp.zeros(3), 2.0)
@@ -73,19 +80,23 @@ class TestOracle:
                                         leaf_size=4.0 / (1 << depth))
         fb = np.asarray(conesplat.render_cone_splat(
             leaves, pool.center, pool.half_size, pose, 60.0, 60.0,
-            spec=spec, depth=depth))
+            spec=spec, depth=depth, **mode))
         ys, xs = np.nonzero(fb[..., 1] > 0.1)
         assert len(xs) >= 1
         # the leaf sits ~2 m away: near image center
         assert abs(xs.mean() - 32) < 6 and abs(ys.mean() - 24) < 6
-        px = fb[ys[0], xs[0]]
-        # blend of 4 samples of (0.2, 0.9, 0.3) from alpha 127: the stored
-        # color converges near the input; after the 127/w exit rescale the
-        # pixel shows it at full strength
+        # read the blob's PEAK pixel: bilinear upsampling intentionally
+        # ramps the silhouette, so edge pixels carry fractional weight
+        # (and the 127/max(w,1) exit rescale leaves sub-1 weights dim);
+        # the peak must show the blend of 4 samples of (0.2, 0.9, 0.3)
+        # at full strength after the 127/w rescale
+        py, px_ = np.unravel_index(np.argmax(fb[..., 1]), fb[..., 1].shape)
+        px = fb[py, px_]
         assert px[1] > 0.55 and px[1] > 2.0 * px[0]
         assert np.all(fb[..., 3] == 1.0)
 
-    def test_saturation_caps_accumulation(self):
+    @pytest.mark.parametrize("mode", MODES)
+    def test_saturation_caps_accumulation(self, mode):
         """A fully saturated near wall hides everything behind it."""
         depth = 6
         pool = svo.create(1 << 16, jnp.zeros(3), 2.0)
@@ -107,7 +118,7 @@ class TestOracle:
                                         leaf_size=4.0 / (1 << depth))
         fb = np.asarray(conesplat.render_cone_splat(
             leaves, pool.center, pool.half_size, pose, 60.0, 60.0,
-            spec=spec, depth=depth))
+            spec=spec, depth=depth, **mode))
         center = fb[20:28, 28:36]
         assert center[..., 0].mean() > 0.5          # red wall in front
         assert center[..., 2].mean() < 0.15         # blue wall occluded
@@ -125,7 +136,8 @@ class TestOracle:
 
 
 class TestAgainstMarch:
-    def test_wall_matches_exact_march(self):
+    @pytest.mark.parametrize("mode", MODES)
+    def test_wall_matches_exact_march(self, mode):
         """Same map, same pose: slab compositor vs the exact marcher."""
         depth = 6
         pool = svo.create(1 << 16, jnp.zeros(3), 2.0)
@@ -139,7 +151,7 @@ class TestAgainstMarch:
                                         leaf_size=4.0 / (1 << depth))
         fb_slab = np.asarray(conesplat.render_cone_splat(
             leaves, pool.center, pool.half_size, pose, 60.0, 60.0,
-            spec=spec, depth=depth))
+            spec=spec, depth=depth, **mode))
 
         # The march tunnels through the 1-leaf-thick wall on oblique rays
         # (it steps by the reached-node size, cone_tracing_kernels.cu:126-129
