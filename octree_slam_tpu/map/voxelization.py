@@ -192,6 +192,42 @@ def _barycentric(p, a, b, c):
     return jnp.clip(jnp.stack([w0, w1, w2], -1), 0.0, 1.0)
 
 
+def _tri_fragments(v0, v1, v2, valid, lo, cell, half, n, tri_budget,
+                   conservative):
+    """Candidate enumeration + overlap for ONE triangle (vmapped by both
+    the dense rasterizer and the A-buffer emitter): walk the triangle's
+    voxel-space AABB up to tri_budget cells and test each against the
+    selected separating criterion. Returns (flat_idx i32[budget],
+    hit bool[budget], centers f32[budget, 3])."""
+    tmin = jnp.minimum(jnp.minimum(v0, v1), v2)
+    tmax = jnp.maximum(jnp.maximum(v0, v1), v2)
+    i_lo = jnp.clip(jnp.floor((tmin - lo) / cell).astype(jnp.int32), 0, n - 1)
+    i_hi = jnp.clip(jnp.floor((tmax - lo) / cell).astype(jnp.int32), 0, n - 1)
+    dims = i_hi - i_lo + 1
+
+    k = jnp.arange(tri_budget, dtype=jnp.int32)
+    kx = k % dims[0]
+    ky = (k // dims[0]) % dims[1]
+    kz = k // (dims[0] * dims[1])
+    in_budget = k < dims[0] * dims[1] * dims[2]
+    ix = i_lo[0] + kx
+    iy = i_lo[1] + ky
+    iz = i_lo[2] + kz
+    centers = lo + (jnp.stack([ix, iy, iz], -1).astype(jnp.float32) + 0.5) * cell
+
+    nrm = jnp.cross(v1 - v0, v2 - v0)
+    nl = jnp.linalg.norm(nrm)
+    n_hat = nrm / jnp.where(nl < 1e-12, 1.0, nl)
+    overlap = (_tri_box_overlap_conservative if conservative
+               else _tri_box_overlap_thin)
+    hit = (
+        valid & in_budget & (nl > 1e-12)
+        & overlap(centers, half, v0, v1, v2, n_hat)
+    )
+    flat = (iz * n + iy) * n + ix
+    return flat, hit, centers
+
+
 @functools.partial(jax.jit,
                    static_argnames=("log_n", "tri_budget", "conservative"))
 def voxelize(soup: TriangleSoup, texture: jnp.ndarray, bbox_lo: jnp.ndarray,
@@ -212,31 +248,8 @@ def voxelize(soup: TriangleSoup, texture: jnp.ndarray, bbox_lo: jnp.ndarray,
     th, tw = texture.shape[0], texture.shape[1]
 
     def per_triangle(v0, v1, v2, uv, valid):
-        tmin = jnp.minimum(jnp.minimum(v0, v1), v2)
-        tmax = jnp.maximum(jnp.maximum(v0, v1), v2)
-        i_lo = jnp.clip(jnp.floor((tmin - lo) / cell).astype(jnp.int32), 0, n - 1)
-        i_hi = jnp.clip(jnp.floor((tmax - lo) / cell).astype(jnp.int32), 0, n - 1)
-        dims = i_hi - i_lo + 1
-
-        k = jnp.arange(tri_budget, dtype=jnp.int32)
-        kx = k % dims[0]
-        ky = (k // dims[0]) % dims[1]
-        kz = k // (dims[0] * dims[1])
-        in_budget = k < dims[0] * dims[1] * dims[2]
-        ix = i_lo[0] + kx
-        iy = i_lo[1] + ky
-        iz = i_lo[2] + kz
-        centers = lo + (jnp.stack([ix, iy, iz], -1).astype(jnp.float32) + 0.5) * cell
-
-        nrm = jnp.cross(v1 - v0, v2 - v0)
-        nl = jnp.linalg.norm(nrm)
-        n_hat = nrm / jnp.where(nl < 1e-12, 1.0, nl)
-        overlap = (_tri_box_overlap_conservative if conservative
-                   else _tri_box_overlap_thin)
-        hit = (
-            valid & in_budget & (nl > 1e-12)
-            & overlap(centers, half, v0, v1, v2, n_hat)
-        )
+        flat, hit, centers = _tri_fragments(
+            v0, v1, v2, valid, lo, cell, half, n, tri_budget, conservative)
 
         w = _barycentric(centers, v0, v1, v2)
         uvp = w @ uv  # [budget, 2]
@@ -249,7 +262,6 @@ def voxelize(soup: TriangleSoup, texture: jnp.ndarray, bbox_lo: jnp.ndarray,
             (rgb[:, 2] * 255).astype(jnp.int32),
             jnp.full((tri_budget,), 127, jnp.int32),
         )
-        flat = (iz * n + iy) * n + ix
         return jnp.where(hit, flat, n * n * n), jnp.where(hit, val, 0)
 
     idx, val = jax.vmap(per_triangle)(soup.v0, soup.v1, soup.v2, soup.uv,
@@ -257,6 +269,67 @@ def voxelize(soup: TriangleSoup, texture: jnp.ndarray, bbox_lo: jnp.ndarray,
     grid = jnp.zeros((n * n * n,), jnp.uint32)
     grid = grid.at[idx.reshape(-1)].max(val.reshape(-1), mode="drop")
     return grid.reshape(n, n, n)
+
+
+class ABuffer(NamedTuple):
+    """Fragment-list voxelization output (VoxelPipe's A-buffer mode,
+    external/include/voxelpipe/voxelpipe.h:151-213 + abuffer.h): one
+    record per overlapping (triangle, voxel) pair instead of one blended
+    value per voxel, sorted by voxel id so consumers can walk each
+    voxel's fragment run (get_fragment_ids / get_fragment_tris)."""
+
+    frag_voxel: jnp.ndarray  # i32[cap] flat voxel id (z*N + y)*N + x,
+                             # ascending; n^3 past `count`
+    frag_tri: jnp.ndarray    # i32[cap] emitting triangle index (soup
+                             # order), ascending within a voxel run
+    count: jnp.ndarray       # i32[] valid fragments
+    overflowed: jnp.ndarray  # bool[] capacity exceeded (fragments past
+                             # `capacity` were dropped; the reference
+                             # fails outright when its reserve is small,
+                             # voxelpipe_inline.h via reserve())
+
+
+@functools.partial(jax.jit, static_argnames=("log_n", "tri_budget",
+                                             "capacity", "conservative"))
+def voxelize_abuffer(soup: TriangleSoup, bbox_lo: jnp.ndarray,
+                     bbox_hi: jnp.ndarray, *, log_n: int, tri_budget: int,
+                     capacity: int, conservative: bool = False) -> ABuffer:
+    """A-buffer voxelization: emit every overlapping (triangle, voxel)
+    pair as a fragment record (ABufferContext::run semantics,
+    voxelpipe.h:179-196). Same candidate enumeration and overlap tests
+    as `voxelize`; instead of scatter-blending into a dense grid, live
+    pairs are prefix-sum-compacted and sorted by voxel id (the
+    reference's b40c fragment sort). The sort is stable and emission is
+    triangle-major, so fragments within one voxel come out in ascending
+    triangle order — deterministic where the reference's intra-voxel
+    order is scheduling-dependent."""
+    n = 1 << log_n
+    lo = bbox_lo
+    cell = jnp.maximum((bbox_hi - bbox_lo) / n, 1e-12)
+    half = cell * 0.5
+
+    def per_triangle(v0, v1, v2, valid):
+        flat, hit, _ = _tri_fragments(
+            v0, v1, v2, valid, lo, cell, half, n, tri_budget, conservative)
+        return flat, hit
+
+    flat, hit = jax.vmap(per_triangle)(soup.v0, soup.v1, soup.v2,
+                                       soup.valid)
+    t = soup.v0.shape[0]
+    tri_ids = jnp.broadcast_to(
+        jnp.arange(t, dtype=jnp.int32)[:, None], (t, tri_budget))
+    (vox_c, tri_c), count = compaction.compact_multi(
+        [flat.reshape(-1), tri_ids.reshape(-1)], hit.reshape(-1), capacity)
+    total = jnp.minimum(jnp.sum(hit.astype(jnp.int32)), jnp.int32(2**31 - 1))
+    overflowed = total > capacity
+    # sort by voxel id with dead lanes pushed to the end (key n^3); the
+    # compaction is order-preserving (triangle-major), so a stable sort
+    # leaves each voxel's fragments in ascending triangle order
+    lanes = jnp.arange(capacity, dtype=jnp.int32)
+    key = jnp.where(lanes < count, vox_c, jnp.int32(n * n * n))
+    key_s, tri_s = jax.lax.sort_key_val(key, tri_c, is_stable=True)
+    return ABuffer(frag_voxel=key_s, frag_tri=tri_s, count=count,
+                   overflowed=overflowed)
 
 
 @functools.partial(jax.jit, static_argnames=("log_n", "capacity"))
