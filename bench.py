@@ -80,11 +80,23 @@ def measure_sync_floor(n=10):
     return (time.perf_counter() - t0) / n
 
 
+_steppers = {}
+
+
+def stepper(cfg, render_mode):
+    """One donated jit per render mode, shared across passes (a fresh
+    lambda per call would be a fresh jit cache entry = a recompile)."""
+    key = (cfg, render_mode)
+    if key not in _steppers:
+        _steppers[key] = jax.jit(
+            lambda s, f, _m=render_mode: pipeline.step(s, f, cfg, render=_m),
+            donate_argnums=0)
+    return _steppers[key]
+
+
 def run(cfg, frames, gt_poses, render_mode, sync_floor, n_warmup=2):
     state = pipeline.init_state(cfg, initial_pose=gt_poses[0])
-    step = jax.jit(
-        lambda s, f: pipeline.step(s, f, cfg, render=render_mode),
-        donate_argnums=0)
+    step = stepper(cfg, render_mode)
     for i in range(n_warmup):
         state, out = step(state, frames[i])
     sync(out.framebuffer)
@@ -161,6 +173,19 @@ def main():
                                                 "cone", sync_floor)
     fps_march, tp_march, ate_m, out_march = run(cfg, frames, gt_poses,
                                                 "cone_march", sync_floor)
+
+    # Renderer fidelity on a CLEAN single-pass map: the timed runs above
+    # replay the stream through donated state (throughput methodology), so
+    # the replayed frames re-track from the final pose — a deliberate
+    # misregistration that ghost-fuses the map. Comparing renderers on
+    # that dirtied map understated PSNR by ~4 dB (round-3 sweep: 23.8
+    # there vs 28.0 on a map built the way production builds one).
+    state = pipeline.init_state(cfg, initial_pose=gt_poses[0])
+    for i in range(len(frames) - 1):
+        state, _ = stepper(cfg, "splat")(state, frames[i])
+    state2 = jax.tree_util.tree_map(jnp.copy, state)
+    _, out_cone = stepper(cfg, "cone")(state, frames[-1])
+    _, out_march = stepper(cfg, "cone_march")(state2, frames[-1])
 
     import numpy as np
     d = (np.asarray(out_cone.framebuffer)[..., :3]

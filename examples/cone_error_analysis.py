@@ -1,21 +1,22 @@
 """Where does the slab compositor lose PSNR vs the exact march?
 
 Round-2 verdict item #2 asks for >=30 dB at >=30 FPS; this measures WHERE
-today's ~24-27 dB error lives so the fix targets the right artifact:
-  * hole/tunnel pixels (march hits, slab empty) and phantom pixels
-    (slab hits, march empty) — silhouette-shaped error;
-  * color error on pixels both renderers hit (interior-mip vs
-    nearest-leaf color substitution, dropped second surfaces);
-  * PSNR excluding an edge band around march silhouettes — the ceiling
-    achievable by fixing edges alone.
+the error lives (edge band vs interior, hole/phantom pixels) and sweeps
+slab-compositor variants (accumulate x bilinear x dilate x max_scale)
+against ONE exact-march render — the march is the expensive part
+(~7 ms/while-trip x p99 87 trips), the slab variants are milliseconds.
 
-Saves march/slab/diff images under docs/img/ (verdict item #9).
+Saves march/slab/diff images under docs/img/ (verdict item #9) for the
+headline variant, and optionally a reference snapshot (--save-ref) so
+later sweeps can skip the map build + march entirely (--load-ref).
 
-Run: python examples/cone_error_analysis.py
+Run: python examples/cone_error_analysis.py [--save-ref /tmp/cone_ref.npz]
+     python examples/cone_error_analysis.py --load-ref /tmp/cone_ref.npz
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import pathlib
 import sys
@@ -35,8 +36,40 @@ from octree_slam_tpu import pipeline
 from octree_slam_tpu.config import SLAMConfig
 from octree_slam_tpu.io.bmp import save_image
 from octree_slam_tpu.render import conesplat, raycast
+from octree_slam_tpu.render.splat import LeafList
 from octree_slam_tpu.sensor import sources
 from octree_slam_tpu.utils.timing import sync
+
+CFG = SLAMConfig(width=640, height=480, max_depth=9,
+                 voxel_resolution=0.02, node_capacity=1 << 20,
+                 leaf_capacity=1 << 17)
+
+# (accumulate, bilinear, dilate, max_scale) variants; the first is the
+# production default and gets the docs/img artifacts. Round-3 sweep #1
+# found scatter-MIN beats the scatter-add mean everywhere (27.31 vs
+# 24.43 dB): at SLAM ranges the march's cone footprint is SMALLER than a
+# leaf (fx*leaf/z > 1 px out to fx*leaf meters ~ 10.6 m), so the march
+# samples single leaves, not mip means — nearest-leaf is the right color
+# model and the mean/bilinear smoothing only blurs. Sweep #2 explores
+# min-mode combos of the empty-cell borrow + raster scale.
+VARIANTS = [
+    ("min+dilate1/s4", dict(accumulate=False, bilinear=False,
+                            dilate=1), 4),
+    ("blend.25+dilate1/s4", dict(accumulate=False, bilinear=False,
+                                 dilate=1, blend=0.25), 4),
+    ("blend.5+dilate1/s4", dict(accumulate=False, bilinear=False,
+                                dilate=1, blend=0.5), 4),
+    ("blend.75+dilate1/s4", dict(accumulate=False, bilinear=False,
+                                 dilate=1, blend=0.75), 4),
+    ("blend1.0+dilate1/s4", dict(accumulate=False, bilinear=False,
+                                 dilate=1, blend=1.0), 4),
+    ("blend.5+dilate1/s8", dict(accumulate=False, bilinear=False,
+                                dilate=1, blend=0.5), 8),
+    ("blend.5+dilate2/s4", dict(accumulate=False, bilinear=False,
+                                dilate=2, blend=0.5), 4),
+    ("blend.5+bilin+dilate1/s4", dict(accumulate=False, bilinear=True,
+                                      dilate=1, blend=0.5), 4),
+]
 
 
 def build_map(cfg, n=14):
@@ -64,7 +97,7 @@ def psnr(a, b, mask=None):
     return float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
 
 
-def dilate(m, it=1):
+def dilate_mask(m, it=1):
     for _ in range(it):
         p = np.pad(m, 1)
         m = (p[:-2, 1:-1] | p[2:, 1:-1] | p[1:-1, :-2] | p[1:-1, 2:]
@@ -73,38 +106,44 @@ def dilate(m, it=1):
     return m
 
 
-def main():
-    cfg = SLAMConfig(width=640, height=480, max_depth=9,
-                     voxel_resolution=0.02, node_capacity=1 << 20,
-                     leaf_capacity=1 << 17)
+def reference_images(args):
+    """(march f64[H,W,3], leaves-as-numpy dict, pose, center, half)."""
+    if args.load_ref:
+        z = np.load(args.load_ref)
+        leaves = {k[3:]: z[k] for k in z.files if k.startswith("lv_")}
+        return (z["march"], leaves, z["pose"], z["center"],
+                float(z["half_size"]))
     print("building 14-frame bench map...", flush=True)
-    state = build_map(cfg)
+    state = build_map(CFG)
     pose = state.pose
-    lvl = pipeline._accel_level(cfg)
-    pool, cache = pipeline.heal_for_march(state, cfg)
+    lvl = pipeline._accel_level(CFG)
+    pool, cache = pipeline.heal_for_march(state, CFG)
     sync(cache.values)
-
     # big arrays must be ARGUMENTS: a closure capture embeds the 613 MB
     # mips cache as a jit constant and the tunnel's compile upload 413s
     march = jax.jit(lambda c, T: raycast.cone_trace_dense(
         c, pool.center, pool.half_size, T,
-        cfg.focal_x, cfg.focal_y, width=cfg.width, height=cfg.height,
-        max_depth=cfg.max_depth, dist_level=lvl, max_iters=cfg.max_march_iters,
-        max_range=cfg.max_range, start_dist=cfg.start_dist,
-        max_skip=cfg.dist_max_skip))(cache, pose)
-    spec = conesplat.make_slab_spec(
-        width=cfg.width, height=cfg.height, fx=cfg.focal_x,
-        leaf_size=cfg.voxel_resolution, z_near=cfg.cone_znear,
-        z_far=cfg.max_range, n_slabs=cfg.cone_slabs,
-        max_scale=cfg.cone_max_scale)
-    slab = jax.jit(lambda lv, T: conesplat.render_cone_splat(
-        lv, pool.center, pool.half_size, T,
-        cfg.focal_x, cfg.focal_y, spec=spec, depth=cfg.max_depth))(
-        state.leaves, pose)
+        CFG.focal_x, CFG.focal_y, width=CFG.width, height=CFG.height,
+        max_depth=CFG.max_depth, dist_level=lvl,
+        max_iters=CFG.max_march_iters, max_range=CFG.max_range,
+        start_dist=CFG.start_dist,
+        max_skip=CFG.dist_max_skip))(cache, pose)
     m = np.asarray(march[..., :3], np.float64)
-    s = np.asarray(slab[..., :3], np.float64)
+    leaves = {f: np.asarray(getattr(state.leaves, f))
+              for f in state.leaves._fields}
+    pose_np = np.asarray(pose)
+    center = np.asarray(pool.center)
+    half = float(pool.half_size)
+    if args.save_ref:
+        np.savez_compressed(
+            args.save_ref, march=m, pose=pose_np, center=center,
+            half_size=half,
+            **{f"lv_{k}": v for k, v in leaves.items()})
+        print(f"reference saved to {args.save_ref}", flush=True)
+    return m, leaves, pose_np, center, half
 
-    total_psnr = psnr(m, s)
+
+def analyze(m, s):
     lum_m = m.mean(-1)
     lum_s = s.mean(-1)
     hit_m = lum_m > 0.02
@@ -114,29 +153,52 @@ def main():
     # as the depth/object discontinuity proxy, dilated 2 px.
     gy = np.abs(np.diff(lum_m, axis=0, prepend=lum_m[:1]))
     gx = np.abs(np.diff(lum_m, axis=1, prepend=lum_m[:, :1]))
-    edge = dilate((gx + gy) > 0.08, 2)
+    edge = dilate_mask((gx + gy) > 0.08, 2)
     both = hit_m & hit_s
-
     err = ((m - s) ** 2).mean(-1)
-    stats = {
-        "psnr_db": round(total_psnr, 2),
+    return {
+        "psnr_db": round(psnr(m, s), 2),
         "psnr_excl_edge_db": round(psnr(m, s, ~edge), 2),
         "psnr_both_hit_db": round(psnr(m, s, both & ~edge), 2),
-        "frac_march_only": round(float((hit_m & ~hit_s).mean()), 5),
-        "frac_slab_only": round(float((hit_s & ~hit_m).mean()), 5),
         "frac_edge_band": round(float(edge.mean()), 4),
         "mse_share_edge": round(float(err[edge].sum() / err.sum()), 4),
-        "mse_share_march_only": round(
-            float(err[hit_m & ~hit_s].sum() / err.sum()), 4),
-        "mse_share_slab_only": round(
-            float(err[hit_s & ~hit_m].sum() / err.sum()), 4),
         "mse_share_bothhit_nonedge": round(
             float(err[both & ~edge].sum() / err.sum()), 4),
         "p99_abs_err": round(float(np.percentile(
             np.abs(m - s).mean(-1), 99)), 4),
-    }
-    print(json.dumps(stats), flush=True)
+    }, edge
 
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--save-ref", default=None)
+    p.add_argument("--load-ref", default=None)
+    args = p.parse_args()
+    cfg = CFG
+
+    m, lv, pose_np, center, half = reference_images(args)
+    leaves = LeafList(**{k: jnp.asarray(v) for k, v in lv.items()})
+    pose = jnp.asarray(pose_np)
+
+    best = None
+    for name, mode, max_scale in VARIANTS:
+        spec = conesplat.make_slab_spec(
+            width=cfg.width, height=cfg.height, fx=cfg.focal_x,
+            leaf_size=cfg.voxel_resolution, z_near=cfg.cone_znear,
+            z_far=cfg.max_range, n_slabs=cfg.cone_slabs,
+            max_scale=max_scale)
+        slab = jax.jit(
+            lambda lvs, T, _s=spec, _m=mode: conesplat.render_cone_splat(
+                lvs, jnp.asarray(center), half, T,
+                cfg.focal_x, cfg.focal_y, spec=_s, depth=cfg.max_depth,
+                **_m))(leaves, pose)
+        s = np.asarray(slab[..., :3], np.float64)
+        stats, edge = analyze(m, s)
+        print(json.dumps({"variant": name, **stats}), flush=True)
+        if best is None:
+            best = (s, edge)  # the production default gets the artifacts
+
+    s, edge = best
     out = pathlib.Path(__file__).resolve().parents[1] / "docs" / "img"
     out.mkdir(parents=True, exist_ok=True)
     save_image(str(out / "cone_march.png"),

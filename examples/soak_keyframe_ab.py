@@ -1,0 +1,77 @@
+"""Keyframe-anchored tracking A/B on the long-run soak (verdict #7).
+
+Round-2 recorded 0.48 m ATE over a 200-frame full-360° orbit
+(~6.3 cm/frame, 12.6 m path) with frame-to-frame odometry — ~3.8% of
+path, parity-acceptable (the reference tracker is frame-to-frame and
+disabled in its own main loop, main.cpp:35) but the obvious next win.
+This script replays the SAME soak trajectory with cfg.track_keyframe
+on and off and prints one JSON line per arm: ATE, steady fps, and the
+drift ratio. Target: keyframe ATE < 0.25 m at unchanged per-frame cost.
+
+Run (real TPU): python examples/soak_keyframe_ab.py [--frames 200]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from octree_slam_tpu.utils import runtime
+
+runtime.setup()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=200)
+    p.add_argument("--radius", type=float, default=2.0)
+    args = p.parse_args()
+
+    from octree_slam_tpu import app
+    from octree_slam_tpu.config import SLAMConfig
+    from octree_slam_tpu.sensor import sources
+
+    n = args.frames
+    step_angle = 2.0 * np.pi / n  # full 360° sweep, like the round-2 soak
+    base = SLAMConfig(width=640, height=480, max_depth=9,
+                      voxel_resolution=0.02, node_capacity=1 << 20,
+                      leaf_capacity=1 << 18)
+    scene = sources.default_scene()
+    gt = [sources.orbit_pose(i * step_angle, radius=args.radius)
+          for i in range(n)]
+
+    def frame_fn(i):
+        return sources.render_frame(scene, gt[i], base.focal_x,
+                                    base.focal_y, width=base.width,
+                                    height=base.height)
+
+    results = {}
+    for kf in (False, True):
+        cfg = dataclasses.replace(base, track_keyframe=kf)
+        res = app.run_slam(frame_fn, n, cfg, initial_pose=gt[0],
+                           gt_fn=lambda i: gt[i], render_every=1,
+                           render_mode="cone", log_every=50)
+        arm = "keyframe" if kf else "frame_to_frame"
+        results[arm] = {"ate_rmse_m": round(res.ate_rmse, 4),
+                        "steady_fps": round(res.steady_fps, 2),
+                        "diverged": res.diverged,
+                        "map_nodes": res.map_nodes}
+        print(json.dumps({"arm": arm, **results[arm]}), flush=True)
+    ratio = results["keyframe"]["ate_rmse_m"] / max(
+        results["frame_to_frame"]["ate_rmse_m"], 1e-9)
+    print(json.dumps({"config": "soak_keyframe_ab", "frames": n,
+                      "path_m": round(2 * np.pi * args.radius, 2),
+                      "ate_ratio_keyframe_over_f2f": round(ratio, 3),
+                      **{f"{k}_{m}": v for k, r in results.items()
+                         for m, v in r.items()}}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

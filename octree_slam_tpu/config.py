@@ -106,7 +106,12 @@ class SLAMConfig:
     #     path; the exact marchers stay behind render="cone_march" ---
     cone_slabs: int = 16                # geometric depth slabs
     cone_znear: float = 0.25            # nearest slab boundary (meters)
-    cone_max_scale: int = 8             # coarsest slab raster decimation
+    cone_max_scale: int = 4             # coarsest slab raster decimation
+                                        # (round-3 sweep: 4 + the dilate-1
+                                        # empty-cell borrow beats 8 by
+                                        # 0.7 dB — the 4 px cell matches
+                                        # the march's own ~5 px leaf
+                                        # quantization at SLAM depths)
     fov: float = 45.0                   # degrees (vertical), for pix footprint
 
     # --- Relocalization (relocalize.py; beyond-parity — the reference

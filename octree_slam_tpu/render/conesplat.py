@@ -34,26 +34,31 @@ pipeline already keeps a persistent registry (render/splat.py).
      reference adds the final sample uncapped, :106-121), then apply the
      127/w exit rescale to unsaturated pixels (:131-139).
 
-Two accumulation modes (static `accumulate` flag):
-  * accumulate=True (default, round-3): scatter-ADD `[w, w*r, w*g, w*b]`
-    into an f32 (cells, 4) buffer — still ONE scatter kernel (the 4-wide
-    window is contiguous). A cell's color becomes the confidence-weighted
-    MEAN of every leaf landing in it, which is the scatter-space analog of
-    the march's interior-mip sample at coarse LOD (the mip IS the weighted
-    child mean, map/svo.py mipmap); stacked surfaces within a slab
-    accumulate like consecutive march samples instead of min-replacing;
-    and the rgb555 quantization of the packed word disappears. Each cell's
-    contribution is capped at ONE march sample's weight (alpha-127 <= 128,
-    cone_tracing_kernels.cu:106-122): the cell IS the footprint the march
-    samples once, however many leaf centers stack inside it.
-  * accumulate=False (round-2 legacy, kept for A/B): packed scatter-min,
-    nearest-confident-leaf-per-cell resolve.
+Two accumulation modes (static `accumulate` flag), A/B'd exhaustively in
+round 3 (examples/cone_error_analysis.py, 22 variants vs one exact march):
+  * accumulate=False (DEFAULT): packed scatter-min,
+    nearest-confident-leaf-per-cell resolve. Measured BEST: at SLAM
+    ranges the march's cone footprint is SMALLER than a leaf
+    (fx*leaf = 10.6 m on the Kinect intrinsics), so the march samples
+    SINGLE leaves — nearest-leaf is the right color model.
+  * accumulate=True: scatter-ADD `[w, w*r, w*g, w*b]` into an f32
+    (cells, 4) buffer (one scatter; the 4-wide window is contiguous);
+    cell color = confidence-weighted mean, capped at ONE march sample's
+    weight (alpha-127 <= 128, cone_tracing_kernels.cu:106-122). Measured
+    3 dB WORSE than min (24.4 vs 27.3 dB) — the mean blurs the march's
+    single-leaf samples; kept for A/B and for future >10 m regimes where
+    footprints do exceed a leaf. `blend` in (0,1] mixes the two fields
+    (runs BOTH scatters; +0.1 dB at 0.25 — measured not worth the cost).
 
-Coarse slabs are upsampled bilinearly (static `bilinear` flag; the
-premultiplied (w, w*rgb) fields are linear, so interpolation is exact
-partial-coverage math) — silhouettes ramp at the true edge instead of
-snapping to the slab cell grid, which round-3 error analysis measured as
-55% of the slab-vs-march MSE (examples/cone_error_analysis.py).
+`dilate` rounds of empty-cell borrowing (see _borrow_empty) reproduce
+the march's full-color grazing halo one footprint past every silhouette
+— without it the slab limb cuts off at the leaf centers and a dark
+scalloped ring appears (edge band = 55-62% of slab-vs-march MSE in every
+round-3 measurement). `bilinear` (tent upsampling of the premultiplied
+fields) measured WORSE than nearest everywhere — the march's own images
+are leaf-blocky — and stays available for display polish. Measured knee:
+min + dilate=1 + cone_max_scale=4 = 28.0 dB vs min/no-dilate/s8's 27.3
+(and the headline-map mix: see BASELINE.md).
 
 Divergences from the march (documented; the exact marchers remain in
 render/raycast.py and tests compare the two):
@@ -160,6 +165,35 @@ def _double_bilinear(img: jnp.ndarray, axis: int) -> jnp.ndarray:
     return out.reshape(shape)
 
 
+def _borrow_empty(sl: jnp.ndarray) -> jnp.ndarray:
+    """Empty slab cells adopt their tent-filtered 3x3 neighborhood.
+
+    The march paints a full-color halo ~1 leaf footprint past every
+    silhouette: a ray that merely GRAZES a shell leaf accumulates its
+    sample, and the 127/w exit rescale brings any nonzero accumulation to
+    full strength (cone_tracing_kernels.cu:106-139). Leaf-center binning
+    stops at the silhouette instead, leaving a dark scalloped ring where
+    the march shows color (round-3 error analysis: the edge band carried
+    62% of slab-vs-march MSE). Borrowing into EMPTY cells only extends
+    coverage by one cell — one projected footprint, the march's grazing
+    reach — while occupied interior cells keep their own mean untouched.
+    Separable [0.25, 0.5, 0.25] tent on the premultiplied fields."""
+    def tent(img, axis):
+        n = img.shape[axis]
+        first = jax.lax.slice_in_dim(img, 0, 1, axis=axis)
+        last = jax.lax.slice_in_dim(img, n - 1, n, axis=axis)
+        prev = jnp.concatenate(
+            [first, jax.lax.slice_in_dim(img, 0, n - 1, axis=axis)],
+            axis=axis)
+        nxt = jnp.concatenate(
+            [jax.lax.slice_in_dim(img, 1, n, axis=axis), last], axis=axis)
+        return 0.5 * img + 0.25 * (prev + nxt)
+
+    t = tent(tent(sl, 0), 1)
+    empty = sl[..., :1] <= 0.0
+    return jnp.where(empty, t, sl)
+
+
 def _upsample(img: jnp.ndarray, scale: int, bilinear: bool) -> jnp.ndarray:
     """(h, w, c) -> (h*scale, w*scale, c), power-of-two scale."""
     if scale == 1:
@@ -174,11 +208,12 @@ def _upsample(img: jnp.ndarray, scale: int, bilinear: bool) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "depth", "accumulate",
-                                             "bilinear"))
+                                             "bilinear", "dilate", "blend"))
 def render_cone_splat(leaves: LeafList, center: jnp.ndarray, half_size,
                       world_T_cam: jnp.ndarray, fx, fy, *,
-                      spec: SlabSpec, depth: int, accumulate: bool = True,
-                      bilinear: bool = True) -> jnp.ndarray:
+                      spec: SlabSpec, depth: int, accumulate: bool = False,
+                      bilinear: bool = False, dilate: int = 1,
+                      blend: float = 0.0) -> jnp.ndarray:
     """Cone-composite the occupied leaf set to f32[H, W, 4].
 
     Output convention matches raycast.cone_trace: rgb in [0, 1] accumulated
@@ -218,10 +253,11 @@ def render_cone_splat(leaves: LeafList, center: jnp.ndarray, half_size,
     cell = off + (py // s) * sw + (px // s)
     idx = jnp.where(ok, cell, spec.total_cells)
 
-    if accumulate:
+    if accumulate or blend > 0.0:
         # ONE f32 scatter-ADD of [w, w*r, w*g, w*b] (contiguous 4-window):
-        # per-cell confidence-weighted color mean = the march's mip-style
-        # footprint sample; stacked surfaces accumulate like march samples.
+        # per-cell confidence-weighted color mean of every leaf landing in
+        # the cell — the scatter-space analog of the march's along-ray
+        # blend of the several leaves an oblique ray crosses in one slab.
         wf = jnp.where(ok, w_leaf.astype(jnp.float32), 0.0)
         vals = jnp.stack([
             wf,
@@ -231,7 +267,19 @@ def render_cone_splat(leaves: LeafList, center: jnp.ndarray, half_size,
         ], axis=-1)
         abuf = jnp.zeros((spec.total_cells, 4), jnp.float32).at[idx].add(
             vals, mode="drop")
-        return _composite_additive(abuf, spec, bilinear)
+
+        def add_field(o, hh, ww):
+            sl = jax.lax.dynamic_slice(
+                abuf, (o, 0), (hh * ww, 4)).reshape(hh, ww, 4)
+            # one-sample cap (cell = one march footprint sample; see
+            # _composite_fields) applied here so the blend mixes two
+            # comparable per-sample fields
+            cap = jnp.minimum(sl[..., :1], 128.0) / jnp.maximum(
+                sl[..., :1], 1e-6)
+            return sl * cap
+
+    if accumulate:
+        return _composite_fields(add_field, spec, bilinear, dilate)
 
     # Nearest-leaf-per-cell resolve in ONE packed scatter-min word (the two
     # scatter kernels were 95% of the render's device time — a profiler
@@ -269,55 +317,51 @@ def render_cone_splat(leaves: LeafList, center: jnp.ndarray, half_size,
     buf = jnp.full((spec.total_cells,), EMPTY, jnp.int32).at[idx].min(
         jnp.where(ok, word, EMPTY), mode="drop")
 
-    # --- front-to-back composite over slabs (unrolled; fuses to one pass).
-    # Per-sample rule mirrors coneTrace exactly: while w_acc < 127, add the
-    # FULL (alpha/127)*rgb8 contribution (the reference's final sample is
-    # not clipped, cone_tracing_kernels.cu:106-121). ---
-    w_acc = jnp.zeros((H, W), jnp.float32)
-    rgb_acc = jnp.zeros((H, W, 3), jnp.float32)
-    for kk in range(K):
-        sc = spec.scales[kk]
-        o = spec.offsets[kk]
-        hh, ww = H // sc, W // sc
-        n = hh * ww
-
-        def up(flat):
-            img = jax.lax.dynamic_slice(flat, (o,), (n,)).reshape(hh, ww)
-            if sc > 1:
-                img = jnp.repeat(jnp.repeat(img, sc, axis=0), sc, axis=1)
-            return img
-
-        w = up(buf)
-        occ = w != EMPTY
-        # weight = alpha - 127 = (127 - inv_a7) + 1 (zeroed by the occ gate)
-        alpha = (128 - ((w >> 15) & 0x7F)).astype(jnp.float32)
+    def field_of_slab(o, hh, ww):
+        # decode the packed word into premultiplied fields
+        # [alpha, alpha*r, alpha*g, alpha*b] (empty cells all-zero);
+        # weight = alpha - 127 = (127 - inv_a7) + 1
+        w = jax.lax.dynamic_slice(buf, (o,), (hh * ww,)).reshape(hh, ww)
+        occ = (w != EMPTY).astype(jnp.float32)
+        alpha = occ * (128 - ((w >> 15) & 0x7F)).astype(jnp.float32)
         # expand 5-bit channels to 8-bit (replicate top bits into the low 3)
         rr = ((w >> 10) & 0x1F)
         gg = ((w >> 5) & 0x1F)
         bb = (w & 0x1F)
         rgb_s = jnp.stack([(rr << 3) | (rr >> 2), (gg << 3) | (gg >> 2),
-                           (bb << 3) | (bb >> 2)], axis=-1).astype(jnp.float32)
-        gate = (occ & (w_acc < 127.0)).astype(jnp.float32) * alpha
-        rgb_acc = rgb_acc + gate[..., None] * rgb_s
-        w_acc = w_acc + gate
+                           (bb << 3) | (bb >> 2)],
+                          axis=-1).astype(jnp.float32)
+        sl = jnp.concatenate([alpha[..., None], alpha[..., None] * rgb_s],
+                             axis=-1)
+        if blend > 0.0:
+            # mix the nearest-leaf sample with the cell's weighted mean:
+            # the march samples ONE leaf per step but an oblique ray
+            # crosses SEVERAL per slab and blends them across steps —
+            # pure nearest is speckly exactly where leaf colors are noisy
+            # (young, few-observation regions)
+            sl = (1.0 - blend) * sl + blend * add_field(o, hh, ww)
+        return sl
 
-    return _finish(w_acc, rgb_acc, H, W)
+    return _composite_fields(field_of_slab, spec, bilinear, dilate)
 
 
-def _composite_additive(abuf: jnp.ndarray, spec: SlabSpec,
-                        bilinear: bool) -> jnp.ndarray:
-    """Front-to-back composite of the additive (cells, 4) slab buffer.
+def _composite_fields(field_of_slab, spec: SlabSpec,
+                      bilinear: bool, dilate: int) -> jnp.ndarray:
+    """Front-to-back composite of per-slab premultiplied fields.
+
+    field_of_slab(offset, hh, ww) -> f32[hh, ww, 4] of
+    [w, w*r8, w*g8, w*b8] per cell (zero when empty) — the nearest-leaf
+    decode for the scatter-min word, or the stacked sums for the
+    scatter-add buffer.
 
     Per-slab rule mirrors coneTrace (cone_tracing_kernels.cu:106-122): add
-    while w_acc < 127, with the cell's confidence-weighted mean color. A
-    cell usually holds SEVERAL leaf centers of the SAME surface (the slab
-    scale targets 1-4 per cell so contiguous surfaces leave no holes), but
-    the march samples that footprint ONCE, with weight alpha-127 <= 128 —
-    so each cell contributes at most one sample's weight (128), at the
-    cell's weighted-mean color. Without this cap a saturated wall added
-    its summed stack (~2-4x128) and over-brightened the unsaturated
-    channels ~2x vs the march (caught by
-    test_conesplat.TestOracle::test_saturation_caps_accumulation).
+    while w_acc < 127. A cell's contribution is capped at ONE march
+    sample's weight (alpha-127 <= 128): the cell IS the footprint the
+    march samples once, however many leaf centers stack inside it (without
+    the cap, the additive mode's saturated-wall cells summed their 2-4x128
+    stack and over-brightened unsaturated channels ~2x — caught by
+    test_conesplat.TestOracle::test_saturation_caps_accumulation; the cap
+    is a no-op for the min word, whose alpha is <= 128 by construction).
     """
     H, W = spec.height, spec.width
     w_acc = jnp.zeros((H, W), jnp.float32)
@@ -326,11 +370,12 @@ def _composite_additive(abuf: jnp.ndarray, spec: SlabSpec,
         sc = spec.scales[kk]
         o = spec.offsets[kk]
         hh, ww = H // sc, W // sc
-        sl = jax.lax.dynamic_slice(abuf, (o, 0), (hh * ww, 4)).reshape(
-            hh, ww, 4)
+        sl = field_of_slab(o, hh, ww)
+        for _ in range(dilate):
+            sl = _borrow_empty(sl)
         # one-sample cap BEFORE upsampling (cell = one march footprint
         # sample): rescale the whole premultiplied vector so the color
-        # stays the cell mean and the field stays linear for the tent
+        # stays the cell's and the field stays linear for the tent
         cap = jnp.minimum(sl[..., :1], 128.0) / jnp.maximum(sl[..., :1],
                                                             1e-6)
         sl = _upsample(sl * cap, sc, bilinear)

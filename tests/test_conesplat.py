@@ -61,9 +61,10 @@ class TestSlabSpec:
             assert 96 % s == 0 and 72 % s == 0
 
 
-MODES = [dict(accumulate=True, bilinear=True),
-         dict(accumulate=True, bilinear=False),
-         dict(accumulate=False, bilinear=False)]
+MODES = [dict(accumulate=False, bilinear=False),           # production
+         dict(accumulate=False, bilinear=False, dilate=0),  # round-2 shape
+         dict(accumulate=True, bilinear=True),
+         dict(accumulate=False, bilinear=False, blend=0.5)]
 
 
 class TestOracle:
