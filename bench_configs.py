@@ -25,6 +25,13 @@ bench.py; this file covers the rest of `BASELINE.json.configs`:
               frame fuses in one lossless pass
   warmmarch — the EXACT cone marcher on an alpha-saturated map (its
               best case; the cold-map figure is bench.py cone_march_fps)
+  conescale — the exact marcher at cone_scale 1/2/4 (quarter/sixteenth
+              rays, nearest-upsampled): fps + PSNR per scale — the
+              recommended hybrid when exact march semantics are needed
+              at interactive rates
+  rgbdterm  — ICP + photometric tracking A/B (w_rgbd 0.0 vs 0.1): the
+              reference's intended-but-stubbed combined system
+              (rgbd_camera.cpp:131-141, localization_kernels.cu:328-331)
   tum       — TUM-format replay end to end (association, quaternion ground
               truth, native PNG prefetcher, 5000-per-meter depth). No real
               fr1/desk exists in this offline environment; the sequence is
@@ -127,7 +134,29 @@ def cone_views(tree, cfg, fx, eye_dist, n_views=32):
         fb = render(i)
     sync(fb)
     dt = (time.perf_counter() - t0 - fl) / n_views
-    return 1.0 / max(dt, 1e-6), n_leaves, fb
+    # return VIEW 0's image (not the last orbit view) so callers can
+    # compare it against an oracle render at the same pose
+    return 1.0 / max(dt, 1e-6), n_leaves, render(0)
+
+
+def _psnr_db(a, b):
+    """PSNR of two f32 RGB(A) framebuffers over the rgb channels."""
+    d = (np.asarray(a[..., :3], np.float64)
+         - np.asarray(b[..., :3], np.float64))
+    return float(10.0 * np.log10(1.0 / max(float((d * d).mean()), 1e-12)))
+
+
+def march_view(tree, cfg, fx, pose, width, height, max_iters=192):
+    """One exact pointer-march render of a voxelized tree (PSNR oracle)."""
+    from octree_slam_tpu.render import raycast
+
+    lvl = max(1, min(cfg.accel_level, tree.max_depth - 2))
+    accel = raycast.build_accel(tree.pool, level=lvl)
+    return raycast.cone_trace(
+        tree.pool, pose, fx, fx, width=width, height=height,
+        max_depth=tree.max_depth, max_iters=max_iters,
+        max_range=cfg.max_range, start_dist=cfg.start_dist,
+        accel=accel, accel_level=lvl)
 
 
 def config_mesh_cone(name, obj_path, tex_path, log_n, width=640, height=480):
@@ -159,7 +188,17 @@ def config_mesh_cone(name, obj_path, tex_path, log_n, width=640, height=480):
 
     half = float(scene.tree.pool.half_size)
     fx = cfg.focal_x
-    fps, n_leaves, _ = cone_views(scene.tree, cfg, fx, eye_dist=2.6 * half)
+    fps, n_leaves, fb0 = cone_views(scene.tree, cfg, fx,
+                                    eye_dist=2.6 * half)
+    # per-config slab-vs-exact-march PSNR on the first orbit view
+    # (round-2 verdict #9); the march is the bit-faithful pointer
+    # descent, so this is the same oracle the headline PSNR uses
+    from octree_slam_tpu.sensor import sources
+    center = np.asarray(scene.tree.pool.center)
+    pose0 = jax.device_put(sources.orbit_pose(
+        0.0, radius=2.6 * half, height=0.3 * 2.6 * half, target=center))
+    march = march_view(scene.tree, cfg, fx, pose0, width, height)
+    psnr = _psnr_db(np.asarray(march), np.asarray(fb0))
     print(json.dumps({
         "config": name, "metric": "cone_render_fps", "value": round(fps, 2),
         "unit": "fps", "grid": f"{1 << log_n}^3",
@@ -169,6 +208,7 @@ def config_mesh_cone(name, obj_path, tex_path, log_n, width=640, height=480):
         "voxelize_insert_ms": round(vox_insert_ms, 1),
         "tris": int(mesh.faces.shape[0]),
         "resolution": f"{width}x{height}",
+        "cone_psnr_db": round(psnr, 2),
     }))
 
 
@@ -476,6 +516,159 @@ def config_warm_march(n_rounds=4):
     }))
 
 
+def config_cone_scale():
+    """The EXACT marcher at cfg.cone_scale s: march (W/s, H/s) rays with
+    scaled intrinsics, nearest-upsample s x back (pipeline.step's
+    render="cone_march" path, cone_tracing_kernels.cu:157-198 semantics at
+    reduced ray count). Records fps per scale plus PSNR of the upsampled
+    image vs the full-ray march — the recommended hybrid when exact march
+    SEMANTICS are required at interactive rates (the slab compositor
+    remains the real-time default)."""
+    from octree_slam_tpu import pipeline
+    from octree_slam_tpu.render import raycast
+    from octree_slam_tpu.sensor import sources
+
+    cfg = SLAMConfig(width=640, height=480, max_depth=9,
+                     voxel_resolution=0.02, node_capacity=1 << 20,
+                     leaf_capacity=1 << 17)
+    scene = sources.default_scene()
+    state = pipeline.init_state(cfg, initial_pose=sources.orbit_pose(0.0))
+    step = jax.jit(lambda s, f: pipeline.step(s, f, cfg, render="none"),
+                   donate_argnums=0)
+    for i in range(14):
+        gt = sources.orbit_pose(i * 0.01, radius=2.0)
+        f = sources.render_frame(scene, gt, cfg.focal_x, cfg.focal_y,
+                                 width=cfg.width, height=cfg.height)
+        state, out = step(state, f)
+    sync(out.pose)
+    pose = state.pose
+    lvl = pipeline._accel_level(cfg)
+    pool, cache = pipeline.heal_for_march(state, cfg)
+    sync(cache.values)
+
+    # big arrays must be ARGUMENTS (a closure capture embeds the ~600 MB
+    # mips cache as a jit constant; the tunnel rejects the upload)
+    def march_at(s):
+        return jax.jit(lambda c, T: raycast.cone_trace_dense(
+            c, pool.center, pool.half_size, T,
+            cfg.focal_x / s, cfg.focal_y / s,
+            width=cfg.width // s, height=cfg.height // s,
+            max_depth=cfg.max_depth, dist_level=lvl,
+            max_iters=cfg.max_march_iters, max_range=cfg.max_range,
+            start_dist=cfg.start_dist, max_skip=cfg.dist_max_skip))
+
+    results = {}
+    ref_img = None
+    for s in (1, 2, 4):
+        fn = march_at(s)
+        fb = fn(cache, pose)
+        sync(fb)
+        fl = sync_floor()
+        n = 3
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fb = fn(cache, pose)
+        sync(fb)
+        dt = (time.perf_counter() - t0 - fl) / n
+        img = np.asarray(fb)
+        if s == 1:
+            ref_img = img
+            results["fps_scale1"] = round(1.0 / dt, 2)
+        else:
+            up = np.repeat(np.repeat(img, s, axis=0), s, axis=1)
+            up = up[:cfg.height, :cfg.width]
+            results[f"fps_scale{s}"] = round(1.0 / dt, 2)
+            results[f"psnr_scale{s}_db"] = round(
+                _psnr_db(ref_img, up), 2)
+
+    # full track+fuse+march step at scale 4 (the hybrid's production
+    # configuration: exact march semantics at 1/16 rays): the render-only
+    # figures above exclude fusion and the eager interior/dist refresh
+    # that cone_march frames pay
+    import dataclasses
+    cfg4 = dataclasses.replace(cfg, cone_scale=4)
+    step4 = jax.jit(lambda s, f: pipeline.step(s, f, cfg4,
+                                               render="cone_march"),
+                    donate_argnums=0)
+    scene4 = sources.default_scene()
+    st4 = pipeline.init_state(cfg4, initial_pose=sources.orbit_pose(0.0))
+    fr = []
+    for i in range(8):
+        gt = sources.orbit_pose(i * 0.01, radius=2.0)
+        f = sources.render_frame(scene4, gt, cfg4.focal_x, cfg4.focal_y,
+                                 width=cfg4.width, height=cfg4.height)
+        sync(f.depth)
+        fr.append(f)
+    for i in range(2):
+        st4, o4 = step4(st4, fr[i])
+    sync(o4.framebuffer)
+    fl = sync_floor()
+    t0 = time.perf_counter()
+    for i in range(2, 8):
+        st4, o4 = step4(st4, fr[i])
+    sync(o4.framebuffer)
+    dt = (time.perf_counter() - t0 - fl) / 6
+    results["track_fuse_march_fps_scale4"] = round(1.0 / dt, 2)
+
+    print(json.dumps({
+        "config": "exact_march_cone_scale", "metric": "cone_march_fps_s2",
+        "value": results["fps_scale2"], "unit": "fps",
+        **results, "map_nodes": int(out.map_nodes),
+    }))
+
+
+def config_rgbd_term(n_frames=10):
+    """ICP + photometric RGBD tracking A/B (round-2 verdict item #8): the
+    reference sketches the combined system at rgbd_camera.cpp:131-141 with
+    W_RGBD=0.1 (:20) but its kernel is an empty stub
+    (localization_kernels.cu:328-331); ours is implemented
+    (sensor/tracking.py:132-216). Records ATE + fps for w_rgbd in
+    {0.0, 0.1} on the same orbit stream."""
+    from octree_slam_tpu import pipeline
+    from octree_slam_tpu.utils import metrics
+    from octree_slam_tpu.sensor import sources
+
+    import dataclasses
+    scene = sources.default_scene()
+    base = SLAMConfig(width=640, height=480, max_depth=9,
+                      voxel_resolution=0.02, node_capacity=1 << 20,
+                      leaf_capacity=1 << 17)
+    frames, gts = [], []
+    for i in range(n_frames):
+        gt = sources.orbit_pose(i * 0.01, radius=2.0)
+        f = sources.render_frame(scene, gt, base.focal_x, base.focal_y,
+                                 width=base.width, height=base.height)
+        sync(f.depth)
+        frames.append(f)
+        gts.append(gt)
+
+    out_line = {"config": "rgbd_photometric_term", "metric":
+                "ate_rmse_m_wrgbd0.1", "unit": "m", "frames": n_frames - 2}
+    for w in (0.0, 0.1):
+        cfg = dataclasses.replace(base, w_rgbd=w)
+        state = pipeline.init_state(cfg, initial_pose=gts[0])
+        step = jax.jit(lambda s, f, _cfg=cfg: pipeline.step(
+            s, f, _cfg, render="cone"), donate_argnums=0)
+        poses = [None] * n_frames
+        for i in range(2):
+            state, out = step(state, frames[i])
+            poses[i] = out.pose
+        sync(out.framebuffer)
+        fl = sync_floor()
+        t0 = time.perf_counter()
+        for i in range(2, n_frames):
+            state, out = step(state, frames[i])
+            poses[i] = out.pose
+        sync(out.framebuffer)
+        dt = (time.perf_counter() - t0 - fl) / (n_frames - 2)
+        ate = metrics.ate_rmse(np.asarray(jnp.stack(poses)), np.stack(gts))
+        key = str(w).rstrip("0").rstrip(".") if w else "0"
+        out_line[f"ate_rmse_m_w{key}"] = round(float(ate), 5)
+        out_line[f"fps_w{key}"] = round(1.0 / dt, 2)
+    out_line["value"] = out_line["ate_rmse_m_w0.1"]
+    print(json.dumps(out_line))
+
+
 def config_tum(n_frames=30):
     from octree_slam_tpu import app
     from octree_slam_tpu.io import native
@@ -527,7 +720,7 @@ def main():
     p.add_argument("--config", default="all",
                    choices=["cube", "textured", "bunny", "cow", "sponza",
                             "cone1080p", "depth10", "slam1cm", "warmmarch",
-                            "tum", "all"])
+                            "conescale", "rgbdterm", "tum", "all"])
     args = p.parse_args()
     runs = {
         "cube": lambda: config_mesh_cone(
@@ -549,6 +742,8 @@ def main():
         "depth10": config_depth10,
         "slam1cm": config_slam1cm,
         "warmmarch": config_warm_march,
+        "conescale": config_cone_scale,
+        "rgbdterm": config_rgbd_term,
         "tum": config_tum,
     }
     for name, fn in runs.items():

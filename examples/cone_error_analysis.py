@@ -55,20 +55,16 @@ CFG = SLAMConfig(width=640, height=480, max_depth=9,
 VARIANTS = [
     ("min+dilate1/s4", dict(accumulate=False, bilinear=False,
                             dilate=1), 4),
-    ("blend.25+dilate1/s4", dict(accumulate=False, bilinear=False,
-                                 dilate=1, blend=0.25), 4),
-    ("blend.5+dilate1/s4", dict(accumulate=False, bilinear=False,
-                                dilate=1, blend=0.5), 4),
-    ("blend.75+dilate1/s4", dict(accumulate=False, bilinear=False,
-                                 dilate=1, blend=0.75), 4),
-    ("blend1.0+dilate1/s4", dict(accumulate=False, bilinear=False,
-                                 dilate=1, blend=1.0), 4),
-    ("blend.5+dilate1/s8", dict(accumulate=False, bilinear=False,
-                                dilate=1, blend=0.5), 8),
-    ("blend.5+dilate2/s4", dict(accumulate=False, bilinear=False,
-                                dilate=2, blend=0.5), 4),
-    ("blend.5+bilin+dilate1/s4", dict(accumulate=False, bilinear=True,
-                                      dilate=1, blend=0.5), 4),
+    ("min+spread/s4", dict(accumulate=False, bilinear=False,
+                           dilate=0, spread=True), 4),
+    ("min+spread+dilate1/s4", dict(accumulate=False, bilinear=False,
+                                   dilate=1, spread=True), 4),
+    ("min+spread/s8", dict(accumulate=False, bilinear=False,
+                           dilate=0, spread=True), 8),
+    ("min+spread/s2", dict(accumulate=False, bilinear=False,
+                           dilate=0, spread=True), 2),
+    ("min+spread+dilate1/s2", dict(accumulate=False, bilinear=False,
+                                   dilate=1, spread=True), 2),
 ]
 
 

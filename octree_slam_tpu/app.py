@@ -323,6 +323,16 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
                     state = state._replace(
                         pose=jnp.asarray(pose_new, jnp.float32),
                         diverged=jnp.bool_(False))
+                    if cfg.track_keyframe:
+                        # the anchor predates the tracking loss: re-seed
+                        # it at the recovered pose with the most recent
+                        # frame's maps, or the next step would ICP the
+                        # live frame against a pre-loss keyframe across
+                        # the recovery jump
+                        state = state._replace(
+                            key_pyramid=state.last_pyramid,
+                            key_pose=jnp.asarray(pose_new, jnp.float32),
+                            key_T_cam=jnp.eye(4, dtype=jnp.float32))
                     result.relocalizations += 1
                 print(json.dumps({
                     "frame": j,

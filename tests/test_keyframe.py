@@ -68,6 +68,44 @@ class TestKeyframeTracking:
         ef = np.linalg.norm(pf[-1][:3, 3] - gt[-1][:3, 3])
         assert ek < max(2.0 * ef, 0.03), (ek, ef)
 
+    def test_recovery_reseeds_anchor(self):
+        """After relocalization the keyframe anchor must be re-seeded at
+        the recovered pose (a pre-loss anchor across the recovery jump
+        would mistrack the next frame): run the relocalize scenario with
+        track_keyframe on and assert recovery happens and tracking
+        finishes clean."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from octree_slam_tpu import app
+        from octree_slam_tpu.core.types import Frame
+        cfg = dataclasses.replace(
+            CFG, relocalize=True, keypose_every=2, reloc_candidates=4,
+            max_march_iters=48)
+        scene = sources.default_scene()
+        n_before, n_after = 6, 4
+        frames, gts = [], []
+        for i in range(n_before + 1 + n_after):
+            gt = sources.orbit_pose(i * 0.02, radius=2.0)
+            gts.append(np.asarray(gt))
+            if i == n_before:
+                frames.append(Frame(
+                    depth=jnp.zeros((cfg.height, cfg.width), jnp.uint16),
+                    color=jnp.zeros((cfg.height, cfg.width, 3), jnp.uint8),
+                    timestamp=jnp.float32(i / 30.0)))
+            else:
+                frames.append(sources.render_frame(
+                    scene, gt, cfg.focal_x, cfg.focal_y, width=cfg.width,
+                    height=cfg.height))
+        res = app.run_slam(lambda i: frames[i], len(frames), cfg,
+                           initial_pose=gts[0], gt_fn=lambda i: gts[i],
+                           render_every=1, render_mode="splat")
+        assert res.relocalizations >= 1
+        assert not res.diverged
+        err = np.linalg.norm(res.poses[-1][:3, 3] - gts[-1][:3, 3])
+        assert err < 0.25, err
+
     def test_checkpoint_roundtrip_with_keyframe_state(self):
         import tempfile
 
