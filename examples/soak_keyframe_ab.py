@@ -40,9 +40,15 @@ def main():
 
     n = args.frames
     step_angle = 2.0 * np.pi / n  # full 360° sweep, like the round-2 soak
+    # Sized so the 200-frame 360° sweep NEVER grows (the full sweep's map
+    # reaches ~1.9M nodes — growth triggers at 3/4, so 1<<22 keeps clear):
+    # growth is out of scope for a tracking-drift A/B, and a mid-run
+    # synchronous growth recompile through the tunnel broke the device
+    # session on three attempts (INVALID_ARGUMENT on every later fetch;
+    # the production loop hides that stall with cfg.precompile_ahead).
     base = SLAMConfig(width=640, height=480, max_depth=9,
-                      voxel_resolution=0.02, node_capacity=1 << 20,
-                      leaf_capacity=1 << 18)
+                      voxel_resolution=0.02, node_capacity=1 << 22,
+                      leaf_capacity=1 << 20, precompile_ahead=False)
     scene = sources.default_scene()
     gt = [sources.orbit_pose(i * step_angle, radius=args.radius)
           for i in range(n)]
@@ -55,9 +61,11 @@ def main():
     results = {}
     for kf in (False, True):
         cfg = dataclasses.replace(base, track_keyframe=kf)
+        # render off: ATE needs only the tracked poses, and the 1M-lane
+        # leaf registry would make every cone render lane-bound
         res = app.run_slam(frame_fn, n, cfg, initial_pose=gt[0],
-                           gt_fn=lambda i: gt[i], render_every=1,
-                           render_mode="cone", log_every=50)
+                           gt_fn=lambda i: gt[i], render_every=0,
+                           render_mode="none", log_every=50)
         arm = "keyframe" if kf else "frame_to_frame"
         results[arm] = {"ate_rmse_m": round(res.ate_rmse, 4),
                         "steady_fps": round(res.steady_fps, 2),

@@ -28,6 +28,7 @@ by the host-side re-rooting in map/octree.py.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple, Tuple
 
 import jax
@@ -307,10 +308,9 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
         t_dist = jnp.linalg.norm(update_T[:3, 3])
         cos_ang = jnp.clip((jnp.trace(update_T[:3, :3]) - 1.0) * 0.5,
                            -1.0, 1.0)
-        import math as _math
         far = (t_dist > cfg.keyframe_max_dist) | (
-            cos_ang < _math.cos(
-                _math.radians(cfg.keyframe_max_angle_deg)))
+            cos_ang < math.cos(
+                math.radians(cfg.keyframe_max_angle_deg)))
         re_anchor = (~state.initialized) | (
             far & ~tstats.diverged)
         key_pyramid = jax.tree_util.tree_map(
