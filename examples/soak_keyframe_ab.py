@@ -32,6 +32,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=200)
     p.add_argument("--radius", type=float, default=2.0)
+    p.add_argument("--kf-dist", type=float, default=None,
+                   help="override keyframe_max_dist (anchor hop baseline)")
+    p.add_argument("--kf-angle", type=float, default=None,
+                   help="override keyframe_max_angle_deg")
+    p.add_argument("--skip-f2f", action="store_true",
+                   help="run only the keyframe arm (threshold sweeps)")
     args = p.parse_args()
 
     from octree_slam_tpu import app
@@ -59,8 +65,13 @@ def main():
                                     height=base.height)
 
     results = {}
-    for kf in (False, True):
-        cfg = dataclasses.replace(base, track_keyframe=kf)
+    for kf in ((True,) if args.skip_f2f else (False, True)):
+        over = {"track_keyframe": kf}
+        if kf and args.kf_dist is not None:
+            over["keyframe_max_dist"] = args.kf_dist
+        if kf and args.kf_angle is not None:
+            over["keyframe_max_angle_deg"] = args.kf_angle
+        cfg = dataclasses.replace(base, **over)
         # render off: ATE needs only the tracked poses, and the 1M-lane
         # leaf registry would make every cone render lane-bound
         res = app.run_slam(frame_fn, n, cfg, initial_pose=gt[0],
@@ -72,13 +83,15 @@ def main():
                         "diverged": res.diverged,
                         "map_nodes": res.map_nodes}
         print(json.dumps({"arm": arm, **results[arm]}), flush=True)
-    ratio = results["keyframe"]["ate_rmse_m"] / max(
-        results["frame_to_frame"]["ate_rmse_m"], 1e-9)
-    print(json.dumps({"config": "soak_keyframe_ab", "frames": n,
-                      "path_m": round(2 * np.pi * args.radius, 2),
-                      "ate_ratio_keyframe_over_f2f": round(ratio, 3),
-                      **{f"{k}_{m}": v for k, r in results.items()
-                         for m, v in r.items()}}), flush=True)
+    line = {"config": "soak_keyframe_ab", "frames": n,
+            "path_m": round(2 * np.pi * args.radius, 2),
+            **{f"{k}_{m}": v for k, r in results.items()
+               for m, v in r.items()}}
+    if "frame_to_frame" in results:
+        line["ate_ratio_keyframe_over_f2f"] = round(
+            results["keyframe"]["ate_rmse_m"] / max(
+                results["frame_to_frame"]["ate_rmse_m"], 1e-9), 3)
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":
