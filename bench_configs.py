@@ -23,6 +23,9 @@ bench.py; this file covers the rest of `BASELINE.json.configs`:
               pyramid level 1 (2-px ray spacing ~ 7.5 mm at 2 m < the
               1 cm leaf) with unique_cap == the point count so every
               frame fuses in one lossless pass
+  slam1cmfull — the same arm at fuse_level=0: every full-res pixel
+              fuses losslessly (~150-250k distinct 1 cm leaves/frame,
+              the insert directory cache's target regime)
   warmmarch — the EXACT cone marcher on an alpha-saturated map (its
               best case; the cold-map figure is bench.py cone_march_fps)
   conescale — the exact marcher at cone_scale 1/2/4 (quarter/sixteenth
@@ -402,7 +405,7 @@ def config_depth10(n_frames=8):
     }))
 
 
-def config_slam1cm(n_frames=10):
+def config_slam1cm(n_frames=10, fuse_level=1):
     """Track + fuse + cone at the reference's 1 cm SLAM voxel size
     (/root/reference/src/world/scene.cpp:94) — the strict resolution-parity
     arm (round-2 verdict item #1). Depth 9 puts 1 cm leaves over a 5.12 m
@@ -410,15 +413,20 @@ def config_slam1cm(n_frames=10):
     spacing 2z/fx ~ 7.5 mm at 2 m — below the leaf size, so surfaces
     within ~2.7 m still land >= 1 sample per leaf) and unique_cap equals
     the point count, so overflow is impossible and every frame fuses in
-    ONE pass. ATE is recorded against the orbit ground truth."""
+    ONE pass. ATE is recorded against the orbit ground truth.
+
+    fuse_level=0 is the strictest arm: every full-res pixel fuses
+    losslessly (~150-250k distinct 1 cm leaves/frame — the unique-count-
+    bound regime the insert directory cache exists for)."""
     from octree_slam_tpu import pipeline
     from octree_slam_tpu.sensor import sources
 
     cfg = SLAMConfig(width=640, height=480, max_depth=9,
                      voxel_resolution=0.01, use_dense_mips=False,
-                     fuse_level=1, node_capacity=1 << 21,
+                     fuse_level=fuse_level, node_capacity=1 << 21,
                      leaf_capacity=1 << 19,
-                     insert_unique_cap=(640 // 2) * (480 // 2))
+                     insert_unique_cap=((640 >> fuse_level)
+                                        * (480 >> fuse_level)))
     scene = sources.default_scene()
     frames, gts = [], []
     for i in range(n_frames):
@@ -446,10 +454,11 @@ def config_slam1cm(n_frames=10):
     from octree_slam_tpu.utils import metrics
     ate = metrics.ate_rmse(np.asarray(jnp.stack(poses)), np.stack(gts))
     print(json.dumps({
-        "config": "slam1cm_track_fuse_cone", "metric":
+        "config": ("slam1cm_track_fuse_cone" if fuse_level
+                   else "slam1cm_fullres_track_fuse_cone"), "metric":
         "track_fuse_cone_fps_1cm", "value": round(1.0 / dt, 2),
         "unit": "fps", "octree_depth": 9, "voxel_m": 0.01,
-        "fuse_level": 1, "frames": n_frames - 2,
+        "fuse_level": fuse_level, "frames": n_frames - 2,
         "ate_rmse_m": round(float(ate), 5),
         "map_nodes": int(out.map_nodes),
         "map_leaves": int(out.map_leaves),
@@ -617,13 +626,8 @@ def config_cone_scale():
     }))
 
 
-def config_rgbd_term(n_frames=10):
-    """ICP + photometric RGBD tracking A/B (round-2 verdict item #8): the
-    reference sketches the combined system at rgbd_camera.cpp:131-141 with
-    W_RGBD=0.1 (:20) but its kernel is an empty stub
-    (localization_kernels.cu:328-331); ours is implemented
-    (sensor/tracking.py:132-216). Records ATE + fps for w_rgbd in
-    {0.0, 0.1} on the same orbit stream."""
+def _rgbd_arm(w: float, n_frames=10):
+    """One w_rgbd arm of the photometric A/B (subprocess body)."""
     from octree_slam_tpu import pipeline
     from octree_slam_tpu.utils import metrics
     from octree_slam_tpu.sensor import sources
@@ -641,30 +645,58 @@ def config_rgbd_term(n_frames=10):
         sync(f.depth)
         frames.append(f)
         gts.append(gt)
+    cfg = dataclasses.replace(base, w_rgbd=w)
+    state = pipeline.init_state(cfg, initial_pose=gts[0])
+    step = jax.jit(lambda s, f, _cfg=cfg: pipeline.step(
+        s, f, _cfg, render="cone"), donate_argnums=0)
+    poses = [None] * n_frames
+    for i in range(2):
+        state, out = step(state, frames[i])
+        poses[i] = out.pose
+    sync(out.framebuffer)
+    fl = sync_floor()
+    t0 = time.perf_counter()
+    for i in range(2, n_frames):
+        state, out = step(state, frames[i])
+        poses[i] = out.pose
+    sync(out.framebuffer)
+    dt = (time.perf_counter() - t0 - fl) / (n_frames - 2)
+    ate = metrics.ate_rmse(np.asarray(jnp.stack(poses)), np.stack(gts))
+    print(json.dumps({"rgbd_arm": w, "frames": n_frames - 2,
+                      "ate_rmse_m": round(float(ate), 5),
+                      "fps": round(1.0 / dt, 2)}), flush=True)
+
+
+def config_rgbd_term(n_frames=10):
+    """ICP + photometric RGBD tracking A/B (round-2 verdict item #8): the
+    reference sketches the combined system at rgbd_camera.cpp:131-141 with
+    W_RGBD=0.1 (:20) but its kernel is an empty stub
+    (localization_kernels.cu:328-331); ours is implemented
+    (sensor/tracking.py:132-216). Records ATE + fps for w_rgbd in
+    {0.0, 0.1} on the same orbit stream.
+
+    Each arm runs in its OWN PROCESS (--rgbd-arm): a measured axon
+    platform defect makes the SECOND jitted step program in one process
+    die with INVALID_ARGUMENT at its first or second fetch — per-frame
+    pacing, gc, and jax.clear_caches() between arms were all tried and
+    none helped; only process isolation is reliable (the first program in
+    a process has never failed this way)."""
+    import subprocess
+    import sys
 
     out_line = {"config": "rgbd_photometric_term", "metric":
                 "ate_rmse_m_wrgbd0.1", "unit": "m", "frames": n_frames - 2}
     for w in (0.0, 0.1):
-        cfg = dataclasses.replace(base, w_rgbd=w)
-        state = pipeline.init_state(cfg, initial_pose=gts[0])
-        step = jax.jit(lambda s, f, _cfg=cfg: pipeline.step(
-            s, f, _cfg, render="cone"), donate_argnums=0)
-        poses = [None] * n_frames
-        for i in range(2):
-            state, out = step(state, frames[i])
-            poses[i] = out.pose
-        sync(out.framebuffer)
-        fl = sync_floor()
-        t0 = time.perf_counter()
-        for i in range(2, n_frames):
-            state, out = step(state, frames[i])
-            poses[i] = out.pose
-        sync(out.framebuffer)
-        dt = (time.perf_counter() - t0 - fl) / (n_frames - 2)
-        ate = metrics.ate_rmse(np.asarray(jnp.stack(poses)), np.stack(gts))
+        r = subprocess.run(
+            [sys.executable, __file__, "--config", "rgbdterm",
+             "--rgbd-arm", str(w)],
+            capture_output=True, text=True, timeout=1200)
+        line = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        arm = json.loads(line)
         key = str(w).rstrip("0").rstrip(".") if w else "0"
-        out_line[f"ate_rmse_m_w{key}"] = round(float(ate), 5)
-        out_line[f"fps_w{key}"] = round(1.0 / dt, 2)
+        out_line[f"ate_rmse_m_w{key}"] = arm["ate_rmse_m"]
+        out_line[f"fps_w{key}"] = arm["fps"]
     out_line["value"] = out_line["ate_rmse_m_w0.1"]
     print(json.dumps(out_line))
 
@@ -719,9 +751,16 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="all",
                    choices=["cube", "textured", "bunny", "cow", "sponza",
-                            "cone1080p", "depth10", "slam1cm", "warmmarch",
+                            "cone1080p", "depth10", "slam1cm",
+                            "slam1cmfull", "warmmarch",
                             "conescale", "rgbdterm", "tum", "all"])
+    p.add_argument("--rgbd-arm", type=float, default=None,
+                   help="internal: run ONE w_rgbd arm in this process "
+                        "(see config_rgbd_term's process-isolation note)")
     args = p.parse_args()
+    if args.rgbd_arm is not None:
+        _rgbd_arm(args.rgbd_arm)
+        return
     runs = {
         "cube": lambda: config_mesh_cone(
             "cube_voxelize_raycast_d6", f"{REF}/objs/cube.obj", None,
@@ -741,6 +780,7 @@ def main():
         "cone1080p": config_cone_1080p,
         "depth10": config_depth10,
         "slam1cm": config_slam1cm,
+        "slam1cmfull": lambda: config_slam1cm(fuse_level=0),
         "warmmarch": config_warm_march,
         "conescale": config_cone_scale,
         "rgbdterm": config_rgbd_term,

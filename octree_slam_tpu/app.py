@@ -523,6 +523,8 @@ def save_state(path: str, state: pipeline.SLAMState,
              "max_depth": cfg.max_depth,
              "use_dense_mips": int(cfg.use_dense_mips),
              "track_keyframe": int(cfg.track_keyframe),
+             "insert_dircache": int(cfg.insert_dircache),
+             "insert_unique_cap": cfg.insert_unique_cap,
              "voxel_resolution": cfg.voxel_resolution}
             if cfg else {})
     np.savez_compressed(path, n=len(flat), **caps,
@@ -548,6 +550,8 @@ def load_state(path: str, cfg: SLAMConfig
                       ("fuse_level", int), ("max_depth", int),
                       ("use_dense_mips", lambda v: bool(int(v))),
                       ("track_keyframe", lambda v: bool(int(v))),
+                      ("insert_dircache", lambda v: bool(int(v))),
+                      ("insert_unique_cap", int),
                       ("voxel_resolution", float)):
         if key in z:
             overrides[key] = cast(z[key])
@@ -576,14 +580,22 @@ def load_state(path: str, cfg: SLAMConfig
             f"writing build)")
     template = pipeline.init_state(cfg)
     flat, treedef = jax.tree_util.tree_flatten(template)
-    if int(z["n"]) != len(flat):
+    n_stored = int(z["n"])
+    # pre-dircache checkpoints lack the trailing (dir_keys, dir_nodes)
+    # pair; the SLAMState appends new fields LAST, so the stored arrays
+    # line up with the template's prefix and the cache starts cold
+    legacy_tail = (cfg.insert_dircache and n_stored == len(flat) - 2)
+    if n_stored != len(flat) and not legacy_tail:
         raise ValueError(
-            f"checkpoint {path!r} has {int(z['n'])} arrays but the current "
+            f"checkpoint {path!r} has {n_stored} arrays but the current "
             f"config expects {len(flat)} — it was written under a different "
             f"SLAMConfig (capacities / pyramid_depth / use_dense_mips)")
     paths = jax.tree_util.tree_flatten_with_path(template)[0]
     loaded = []
     for i, ((kp, t), _) in enumerate(zip(paths, flat)):
+        if i >= n_stored:  # legacy tail: keep the template's cold cache
+            loaded.append(t)
+            continue
         a = z[f"a{i}"]
         if tuple(a.shape) != tuple(t.shape) or a.dtype != t.dtype:
             name = jax.tree_util.keystr(kp)

@@ -90,6 +90,16 @@ class SLAMConfig:
     extract_capacity: int = 1 << 18     # static voxel-extraction buffer
     insert_unique_cap: int = 1 << 16    # distinct leaf voxels per insert
     leaf_capacity: int = 1 << 19        # persistent leaf registry (renderer)
+    insert_dircache: bool = True        # directory cache: last frame's
+                                        # (leaf key -> node) map lets repeat
+                                        # keys skip the insert descent — the
+                                        # dominant cost of full-res 1 cm
+                                        # fusion (lazy frames only; bit-
+                                        # identical, see svo.insert)
+    insert_miss_cap: int = 0            # descent lanes for first-seen keys
+                                        # (0 = unique_cap // 4); a frame
+                                        # with more misses falls back to
+                                        # the full-width descent in-step
 
     # --- Rendering (cone_tracing_kernels.cu:24-27) ---
     max_range: float = 10.0             # meters

@@ -156,11 +156,16 @@ class InsertStats(NamedTuple):
     last_key: jnp.ndarray         # i32[] largest unique key processed
     shallow_allocs: jnp.ndarray   # i32[] new tiles at levels <= 6 (entry-grid
                                   #       invalidation signal for the renderer)
+    dir_hits: jnp.ndarray         # i32[] directory-cache hits (-1 when the
+                                  #       cache was not consulted)
     new_leaf_keys: jnp.ndarray    # i32[U] morton keys of first-seen leaves, -1 pad
     new_leaf_nodes: jnp.ndarray   # i32[U] node indices of those leaves
     new_leaf_count: jnp.ndarray   # i32[]
     touched_leaf_nodes: jnp.ndarray  # i32[U] node idx of every leaf this
                                      #        insert blended (-1 pad)
+    touched_leaf_keys: jnp.ndarray   # i32[U] their morton keys (INVALID_KEY
+                                     #        pad) — with touched_leaf_nodes,
+                                     #        next frame's directory cache
     touched_leaf_vals: jnp.ndarray   # u32[U] their post-blend values
     # Dense-mip mirror updates (map/mips.py): every touched (cell, value) at
     # every level, ready for one scatter into RenderCache.values. Shape (1,)
@@ -357,17 +362,52 @@ def _descend_alloc(child: jnp.ndarray, n_nodes: jnp.ndarray,
                      shallow_allocs=shallow)
 
 
+def _dir_lookup(dkeys: jnp.ndarray, dnodes: jnp.ndarray,
+                qkeys: jnp.ndarray) -> jnp.ndarray:
+    """Directory-cache lookup: for each query key, the cached leaf-node
+    index, or -1 when absent.
+
+    The directory is last frame's (touched_leaf_keys, touched_leaf_nodes):
+    unique keys with INVALID_KEY/-1 on dead rows, any row order. One
+    variadic `lax.sort` over the concatenation (keys primary, a
+    directory-before-query tag secondary) lines each query up immediately
+    after its matching directory row — a merge in one fused sort instead of
+    a binary-search gather chain (log2(C) dependent gathers of the kind the
+    cache exists to delete)."""
+    C = dkeys.shape[0]
+    U = qkeys.shape[0]
+    keys = jnp.concatenate([dkeys, qkeys])
+    tag = jnp.concatenate([jnp.zeros((C,), jnp.int32),
+                           jnp.ones((U,), jnp.int32)])
+    val = jnp.concatenate([dnodes, jnp.full((U,), -1, jnp.int32)])
+    pos = jnp.concatenate([jnp.zeros((C,), jnp.int32),
+                           jnp.arange(U, dtype=jnp.int32)])
+    sk, st, sv, sp = jax.lax.sort((keys, tag, val, pos), num_keys=2)
+    prev_k = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sk[:-1]])
+    prev_v = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sv[:-1]])
+    # a query row hits iff the row before it is a live directory row with
+    # the same key (both sides' keys are unique, so the match — if any —
+    # is adjacent; dead directory rows carry node -1 and INVALID_KEY)
+    hit_v = jnp.where((st == 1) & (prev_k == sk)
+                      & (sk != morton.INVALID_KEY), prev_v, -1)
+    out = jnp.full((U,), -1, jnp.int32)
+    return out.at[jnp.where(st == 1, sp, U)].set(hit_v, mode="drop")
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("depth", "unique_cap", "emit_mips", "shallow_level",
-                     "update_interior"))
+                     "update_interior", "miss_cap"))
 def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
            valid: jnp.ndarray | None = None, *, depth: int,
            unique_cap: int = 1 << 16,
            emit_mips: bool = False,
            shallow_level: int = 6,
            min_key: jnp.ndarray | None = None,
-           update_interior: bool = True
+           update_interior: bool = True,
+           dir_keys: jnp.ndarray | None = None,
+           dir_nodes: jnp.ndarray | None = None,
+           miss_cap: int = 0,
            ) -> Tuple[SVONodePool, InsertStats]:
     """Fuse a colored point set into the octree at a static depth.
 
@@ -382,6 +422,16 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     Semantics follow svoFromPointCloud: allocate missing interior tiles
     along each key path, alpha-blend leaf colors, re-mipmap interior
     values along the touched paths.
+
+    dir_keys/dir_nodes + miss_cap > 0 enable the DIRECTORY CACHE fast
+    path (lazy frames only: update_interior=False, emit_mips=False):
+    last insert's (touched_leaf_keys, touched_leaf_nodes) resolve repeat
+    keys without the phase-1 descent; only first-seen keys descend, at
+    miss_cap lanes. Falls back to the full descent in one lax.cond when
+    a frame's misses exceed miss_cap. Bit-identical to the uncached
+    insert as long as the directory is CURRENT — callers must clear it
+    whenever keys or node indices change under the map (reroot, growth
+    across a prealloc boundary, tiering spill/restore).
     """
     cap = pool.capacity
     U = unique_cap
@@ -407,14 +457,70 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
 
     value = pool.value
 
-    out = _descend_alloc(pool.child, pool.n_nodes, ukeys, ulive,
-                         cap=cap, depth=depth, shallow_level=shallow_level)
-    child, n_nodes = out.child, out.n_nodes
-    total_new, shallow = out.n_new_tiles, out.shallow_allocs
-    paths = list(out.paths)
-    reached_per_level = list(out.reached)
-    cur = paths[-1]
-    reached = reached_per_level[-1]
+    use_cache = dir_keys is not None and miss_cap > 0
+    if use_cache and (update_interior or emit_mips):
+        raise ValueError(
+            "the directory cache serves only the lazy leaf path: the "
+            "interior mipmap / dense-mip emission need full per-level "
+            "paths, which cache hits skip (pass dir_keys=None on eager "
+            "frames)")
+
+    if use_cache:
+        # --- Directory fast path: last frame's (key -> leaf node) map
+        # answers most uniques without the phase-1 dependent-gather descent
+        # (the measured floor of full-res 1 cm fusion: ~3-4 chained
+        # 262k-lane gathers into the multi-MB child table). Only the MISSES
+        # — first-seen-this-frame keys, typically a few percent under
+        # frame-to-frame camera motion — descend, compacted to miss_cap
+        # lanes. The cache holds only keys whose leaf node EXISTED after
+        # last frame's insert, so a hit needs no allocation and its reached
+        # flag is True by construction; callers must invalidate on any
+        # structural change (growth across a prealloc boundary, reroot,
+        # tiering) — see pipeline.reset_dircache. ---
+        hit_nodes = _dir_lookup(dir_keys, dir_nodes, ukeys)
+        hit = ulive & (hit_nodes >= 0)
+        miss = ulive & ~hit
+        m_total = jnp.sum(miss.astype(jnp.int32))
+        mrow = jnp.arange(miss_cap, dtype=jnp.int32)
+        (mkeys, mpos), m_count = compaction.compact_multi(
+            [ukeys, jnp.arange(U, dtype=jnp.int32)], miss, miss_cap,
+            fill=0)
+        mkeys = jnp.where(mrow < m_count, mkeys, morton.INVALID_KEY)
+        mlive = mrow < m_count
+        m_over = m_total > miss_cap
+
+        def _slow(operand):
+            child0, n0 = operand
+            o = _descend_alloc(child0, n0, ukeys, ulive, cap=cap,
+                               depth=depth, shallow_level=shallow_level)
+            return (o.child, o.n_nodes, o.paths[-1], o.reached[-1],
+                    o.n_new_tiles, o.shallow_allocs)
+
+        def _fast(operand):
+            child0, n0 = operand
+            o = _descend_alloc(child0, n0, mkeys, mlive, cap=cap,
+                               depth=depth, shallow_level=shallow_level)
+            scat = jnp.where(mlive, mpos, U)
+            cur_f = jnp.where(hit, hit_nodes, 0)
+            cur_f = cur_f.at[scat].set(o.paths[-1], mode="drop")
+            reached_f = hit.at[scat].set(o.reached[-1], mode="drop")
+            return (o.child, o.n_nodes, cur_f, reached_f,
+                    o.n_new_tiles, o.shallow_allocs)
+
+        child, n_nodes, cur, reached, total_new, shallow = jax.lax.cond(
+            m_over, _slow, _fast, (pool.child, pool.n_nodes))
+        paths = None
+        reached_per_level = None
+    else:
+        out = _descend_alloc(pool.child, pool.n_nodes, ukeys, ulive,
+                             cap=cap, depth=depth,
+                             shallow_level=shallow_level)
+        child, n_nodes = out.child, out.n_nodes
+        total_new, shallow = out.n_new_tiles, out.shallow_allocs
+        paths = list(out.paths)
+        reached_per_level = list(out.reached)
+        cur = paths[-1]
+        reached = reached_per_level[-1]
 
     # --- Leaf blend (uniques are already deduplicated). ---
     leaf_ok = ulive & reached
@@ -519,10 +625,13 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
         unique_overflow=unique_overflow,
         last_key=last_key,
         shallow_allocs=shallow,
+        dir_hits=(jnp.sum(hit.astype(jnp.int32)) if use_cache
+                  else jnp.int32(-1)),
         new_leaf_keys=new_leaf_keys,
         new_leaf_nodes=new_leaf_nodes,
         new_leaf_count=jnp.minimum(nl_count, U),
         touched_leaf_nodes=jnp.where(leaf_ok, cur, -1),
+        touched_leaf_keys=jnp.where(leaf_ok, ukeys, morton.INVALID_KEY),
         touched_leaf_vals=blended,
         mip_idx=mip_idx,
         mip_val=mip_val,
@@ -611,10 +720,12 @@ def insert_exact(pool: SVONodePool, keys: jnp.ndarray, values: jnp.ndarray,
         unique_overflow=unique_overflow,
         last_key=last_key,
         shallow_allocs=out.shallow_allocs,
+        dir_hits=jnp.int32(-1),
         new_leaf_keys=new_leaf_keys,
         new_leaf_nodes=new_leaf_nodes,
         new_leaf_count=jnp.minimum(nl_count, U),
         touched_leaf_nodes=jnp.where(leaf_ok, cur, -1),
+        touched_leaf_keys=jnp.where(leaf_ok, ukeys, morton.INVALID_KEY),
         touched_leaf_vals=final_vals,
         mip_idx=jnp.full((1,), jnp.int32(2**31 - 1), jnp.int32),
         mip_val=jnp.zeros((1,), jnp.uint32),

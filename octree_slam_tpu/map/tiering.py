@@ -189,8 +189,12 @@ def _rebuild_derived(state, cfg: SLAMConfig, pool):
     import dataclasses
     new_cfg = cfg if cap == cfg.leaf_capacity else dataclasses.replace(
         cfg, leaf_capacity=cap)
-    return state._replace(pool=pool, leaves=leaves, accel=accel,
-                          interior_stale=jnp.bool_(False)), new_cfg
+    state = state._replace(pool=pool, leaves=leaves, accel=accel,
+                           interior_stale=jnp.bool_(False))
+    # node indices just changed: a stale insert-directory entry would
+    # blend into the wrong node (pipeline.reset_dircache contract)
+    from octree_slam_tpu import pipeline as _pipeline
+    return _pipeline.reset_dircache(state), new_cfg
 
 
 def spill_cold(state, cfg: SLAMConfig, archive: HostArchive, *,

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from octree_slam_tpu.config import SLAMConfig
 from octree_slam_tpu.core.types import Frame, PyramidLevel
 from octree_slam_tpu.map import mips as mips_mod
+from octree_slam_tpu.map import morton
 from octree_slam_tpu.map import svo
 from octree_slam_tpu.map.svo import SVONodePool
 from octree_slam_tpu.render import raycast
@@ -63,6 +64,12 @@ class SLAMState(NamedTuple):
     key_pose: jnp.ndarray      # f32[4,4] world_T_key ((0,) when disabled)
     key_T_cam: jnp.ndarray     # f32[4,4] key_T_cam of the PREVIOUS frame
                                # (the GN seed; (0,) when disabled)
+    # Insert directory cache (cfg.insert_dircache; (0,) arrays when off):
+    # last frame's (leaf key -> pool node) so repeat keys skip the insert
+    # descent (svo.insert dir_keys/dir_nodes). Cleared by reset_dircache
+    # whenever node indices change under the map (tiering._rebuild_derived).
+    dir_keys: jnp.ndarray      # i32[U] morton keys, INVALID_KEY = dead row
+    dir_nodes: jnp.ndarray     # i32[U] leaf node indices, -1 = dead row
 
 
 class StepOutput(NamedTuple):
@@ -81,6 +88,18 @@ class StepOutput(NamedTuple):
 
 def _accel_level(cfg: SLAMConfig) -> int:
     return max(1, min(cfg.accel_level, cfg.max_depth - 2))
+
+
+def _miss_cap(cfg: SLAMConfig) -> int:
+    """Static lane count for the directory fast path's miss descent.
+    Default: a quarter of the unique cap — frame-to-frame camera motion
+    first-sees a few percent of a frame's leaves, so 25% headroom keeps
+    the lax.cond fallback (full-width descent) rare while the miss
+    descent's gather chain runs 4x narrower."""
+    if cfg.insert_miss_cap > 0:
+        return min(cfg.insert_miss_cap, cfg.insert_unique_cap)
+    return min(max(1024, cfg.insert_unique_cap // 4),
+               cfg.insert_unique_cap)
 
 
 def heal_for_march(state: "SLAMState", cfg: SLAMConfig):
@@ -103,7 +122,7 @@ def heal_for_march(state: "SLAMState", cfg: SLAMConfig):
 
 def _fuse_once(pool, leaves, accel, world_pts, colors, valid,
                cfg: SLAMConfig, *, eager: bool,
-               min_key=None, with_dist: bool):
+               min_key=None, with_dist: bool, dircache=None):
     """One insert pass + registry append + accel maintenance — the single
     definition behind the step's primary insert, its in-device remainder
     pages, and the host-driven insert_remainder (they previously drifted:
@@ -118,12 +137,16 @@ def _fuse_once(pool, leaves, accel, world_pts, colors, valid,
     appearing), a traced 15.7 ms/frame spent on a renderer that was not
     in use (round-3 depth-9/1cm trace)."""
     lvl = _accel_level(cfg)
+    dk, dn = dircache if dircache is not None else (None, None)
     pool, st = svo.insert(pool, world_pts, colors, valid=valid,
                           depth=cfg.max_depth,
                           unique_cap=cfg.insert_unique_cap,
                           emit_mips=cfg.use_dense_mips and eager,
                           shallow_level=lvl, min_key=min_key,
-                          update_interior=eager)
+                          update_interior=eager,
+                          dir_keys=dk, dir_nodes=dn,
+                          miss_cap=(_miss_cap(cfg) if dircache is not None
+                                    else 0))
     leaves = append_new_leaves(leaves, st)
     if cfg.use_dense_mips and eager:
         # Dense-mip render cache (map/mips.py): mirror this insert's
@@ -195,7 +218,26 @@ def init_state(cfg: SLAMConfig, map_center=(0.0, 0.0, 0.0),
                   else jnp.zeros((0,), jnp.float32)),
         key_T_cam=(jnp.eye(4, dtype=jnp.float32) if cfg.track_keyframe
                    else jnp.zeros((0,), jnp.float32)),
+        dir_keys=(jnp.full((cfg.insert_unique_cap,), morton.INVALID_KEY,
+                           jnp.int32) if cfg.insert_dircache
+                  else jnp.zeros((0,), jnp.int32)),
+        dir_nodes=(jnp.full((cfg.insert_unique_cap,), -1, jnp.int32)
+                   if cfg.insert_dircache
+                   else jnp.zeros((0,), jnp.int32)),
     )
+
+
+def reset_dircache(state: SLAMState) -> SLAMState:
+    """Clear the insert directory cache — REQUIRED after any operation
+    that changes leaf keys or node indices out from under the map (pool
+    rebuilds: tiering spill, growth across a prealloc boundary, reroot).
+    A stale entry would silently blend a leaf into the wrong node; a
+    cleared cache merely costs one full-descent frame."""
+    if state.dir_keys.shape[0] == 0:
+        return state
+    return state._replace(
+        dir_keys=jnp.full_like(state.dir_keys, morton.INVALID_KEY),
+        dir_nodes=jnp.full_like(state.dir_nodes, -1))
 
 
 def grow_state(state: SLAMState, cfg: SLAMConfig, *,
@@ -363,9 +405,17 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     gate = diverged if cfg.recovery_enabled \
         else (state.initialized & tstats.diverged)
     fuse_ok = jnp.broadcast_to(~gate, (world_pts.shape[0],))
+    # Directory cache (cfg.insert_dircache): last frame's key->node map
+    # lets the PRIMARY insert skip its descent for repeat keys. Lazy
+    # frames only — the eager mipmap needs full per-level paths — and the
+    # remainder pages below run uncached (their key ranges barely overlap
+    # the primary page's directory).
+    dircache = ((state.dir_keys, state.dir_nodes)
+                if (not eager) and state.dir_keys.shape[0] > 0 else None)
     pool, leaves, accel, istats = _fuse_once(
         pool_in, state.leaves, accel_in, world_pts, colors, fuse_ok, cfg,
-        eager=eager, with_dist=(render == "cone_march"))
+        eager=eager, with_dist=(render == "cone_march"),
+        dircache=dircache)
 
     if cfg.device_remainder:
         # Unique-cap remainder ON DEVICE: while a frame still has distinct
@@ -462,6 +512,13 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
         key_pyramid=key_pyramid,
         key_pose=key_pose,
         key_T_cam=key_T_cam,
+        # next frame's directory = every leaf this PRIMARY insert blended
+        # (hits and misses alike; gated frames blend nothing, so a
+        # diverged frame naturally empties the cache)
+        dir_keys=(istats.touched_leaf_keys
+                  if state.dir_keys.shape[0] > 0 else state.dir_keys),
+        dir_nodes=(istats.touched_leaf_nodes
+                   if state.dir_nodes.shape[0] > 0 else state.dir_nodes),
     )
     out = StepOutput(
         framebuffer=fb,
