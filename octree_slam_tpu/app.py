@@ -581,10 +581,13 @@ def load_state(path: str, cfg: SLAMConfig
     template = pipeline.init_state(cfg)
     flat, treedef = jax.tree_util.tree_flatten(template)
     n_stored = int(z["n"])
-    # pre-dircache checkpoints lack the trailing (dir_keys, dir_nodes)
-    # pair; the SLAMState appends new fields LAST, so the stored arrays
-    # line up with the template's prefix and the cache starts cold
-    legacy_tail = (cfg.insert_dircache and n_stored == len(flat) - 2)
+    # pre-dircache checkpoints lack the trailing dir_* arrays (4 of them;
+    # 2 for the short-lived keys/nodes-only layout); the SLAMState appends
+    # new fields LAST, so the stored arrays line up with the template's
+    # prefix and the whole cache is reset cold below (a PARTIAL directory
+    # — keys without their value mirror — must never be used)
+    legacy_tail = (cfg.insert_dircache
+                   and n_stored in (len(flat) - 2, len(flat) - 4))
     if n_stored != len(flat) and not legacy_tail:
         raise ValueError(
             f"checkpoint {path!r} has {n_stored} arrays but the current "
@@ -605,7 +608,12 @@ def load_state(path: str, cfg: SLAMConfig
                 f"{t.dtype}{list(t.shape)} — config mismatch (likely "
                 f"node/leaf capacity, image size, or use_dense_mips)")
         loaded.append(jnp.asarray(a))
-    return jax.tree_util.tree_unflatten(treedef, loaded), cfg
+    state = jax.tree_util.tree_unflatten(treedef, loaded)
+    if legacy_tail:
+        # the v1 (keys/nodes-only) layout may have loaded live dir keys
+        # with no value mirror — a partial directory corrupts blends
+        state = pipeline.reset_dircache(state)
+    return state, cfg
 
 
 def main(argv=None):

@@ -90,16 +90,27 @@ class SLAMConfig:
     extract_capacity: int = 1 << 18     # static voxel-extraction buffer
     insert_unique_cap: int = 1 << 16    # distinct leaf voxels per insert
     leaf_capacity: int = 1 << 19        # persistent leaf registry (renderer)
-    insert_dircache: bool = True        # directory cache: last frame's
-                                        # (leaf key -> node) map lets repeat
-                                        # keys skip the insert descent — the
-                                        # dominant cost of full-res 1 cm
-                                        # fusion (lazy frames only; bit-
-                                        # identical, see svo.insert)
-    insert_miss_cap: int = 0            # descent lanes for first-seen keys
-                                        # (0 = unique_cap // 4); a frame
-                                        # with more misses falls back to
-                                        # the full-width descent in-step
+    insert_dircache: bool = False       # directory cache: last frame's
+                                        # leaf key -> (node, value, registry
+                                        # pos) map lets repeat keys skip the
+                                        # insert descent + value/node2pos
+                                        # gathers (svo.insert dir_* args).
+                                        # Default OFF: measured a WASH at
+                                        # depth-10/1cm full-res across three
+                                        # designs (22.0-22.9 vs 24.0 FPS
+                                        # uncached, same-day tunnel ~7%
+                                        # slower) — on this platform every
+                                        # U-wide op costs a flat ~0.5-1.3ms,
+                                        # so swapping ~6 gathers for a sort
+                                        # merge + payload gathers + merge
+                                        # scatters nets zero; kept (tested,
+                                        # content-identical) for regimes
+                                        # with deeper descents
+    insert_miss_cap: int = 0            # first-seen-key lanes per cached
+                                        # insert (0 = unique_cap // 4);
+                                        # frames with more misses defer the
+                                        # tail uniques to the in-step pager
+                                        # (exactly the unique-cap protocol)
 
     # --- Rendering (cone_tracing_kernels.cu:24-27) ---
     max_range: float = 10.0             # meters

@@ -158,6 +158,10 @@ class InsertStats(NamedTuple):
                                   #       invalidation signal for the renderer)
     dir_hits: jnp.ndarray         # i32[] directory-cache hits (-1 when the
                                   #       cache was not consulted)
+    hit_aux: jnp.ndarray          # i32[U] the dir_aux payload for hit rows
+                                  #        (-1 elsewhere / when uncached) —
+                                  #        the pipeline carries registry
+                                  #        positions here
     new_leaf_keys: jnp.ndarray    # i32[U] morton keys of first-seen leaves, -1 pad
     new_leaf_nodes: jnp.ndarray   # i32[U] node indices of those leaves
     new_leaf_count: jnp.ndarray   # i32[]
@@ -362,36 +366,39 @@ def _descend_alloc(child: jnp.ndarray, n_nodes: jnp.ndarray,
                      shallow_allocs=shallow)
 
 
-def _dir_lookup(dkeys: jnp.ndarray, dnodes: jnp.ndarray,
-                qkeys: jnp.ndarray) -> jnp.ndarray:
-    """Directory-cache lookup: for each query key, the cached leaf-node
-    index, or -1 when absent.
+def _dir_lookup(dkeys: jnp.ndarray, qkeys: jnp.ndarray) -> jnp.ndarray:
+    """Directory-cache lookup: for each query key, the DIRECTORY ROW index
+    holding that key, or -1 when absent (callers gather whatever per-row
+    payloads they carry — node index, cached value, registry position).
 
-    The directory is last frame's (touched_leaf_keys, touched_leaf_nodes):
-    unique keys with INVALID_KEY/-1 on dead rows, any row order. One
-    variadic `lax.sort` over the concatenation (keys primary, a
-    directory-before-query tag secondary) lines each query up immediately
-    after its matching directory row — a merge in one fused sort instead of
-    a binary-search gather chain (log2(C) dependent gathers of the kind the
-    cache exists to delete)."""
+    The directory is last frame's touched_leaf_keys: unique keys with
+    INVALID_KEY on dead rows, any row order. One variadic `lax.sort` over
+    the concatenation (keys primary, a directory-before-query tag
+    secondary) lines each query up immediately after its matching
+    directory row — a merge in one fused sort instead of a binary-search
+    gather chain (log2(C) dependent gathers of the kind the cache exists
+    to delete)."""
     C = dkeys.shape[0]
     U = qkeys.shape[0]
     keys = jnp.concatenate([dkeys, qkeys])
-    tag = jnp.concatenate([jnp.zeros((C,), jnp.int32),
-                           jnp.ones((U,), jnp.int32)])
-    val = jnp.concatenate([dnodes, jnp.full((U,), -1, jnp.int32)])
-    pos = jnp.concatenate([jnp.zeros((C,), jnp.int32),
-                           jnp.arange(U, dtype=jnp.int32)])
-    sk, st, sv, sp = jax.lax.sort((keys, tag, val, pos), num_keys=2)
+    # one payload column does double duty: directory rows carry their row
+    # index (>= 0), query rows carry -(pos+1) (< 0) — a 2-operand
+    # sort_key_val instead of a 4-operand variadic sort. The STABLE sort
+    # keeps directory rows (concatenated first) ahead of their equal-key
+    # query row.
+    payload = jnp.concatenate([jnp.arange(C, dtype=jnp.int32),
+                               -1 - jnp.arange(U, dtype=jnp.int32)])
+    sk, sp = jax.lax.sort_key_val(keys, payload, is_stable=True)
     prev_k = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sk[:-1]])
-    prev_v = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sv[:-1]])
-    # a query row hits iff the row before it is a live directory row with
-    # the same key (both sides' keys are unique, so the match — if any —
-    # is adjacent; dead directory rows carry node -1 and INVALID_KEY)
-    hit_v = jnp.where((st == 1) & (prev_k == sk)
-                      & (sk != morton.INVALID_KEY), prev_v, -1)
+    prev_p = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sp[:-1]])
+    # a query row hits iff the row before it is a directory row with the
+    # same key (both sides' keys are unique, so the match — if any — is
+    # adjacent; dead directory rows carry INVALID_KEY)
+    is_q = sp < 0
+    hit_r = jnp.where(is_q & (prev_k == sk) & (prev_p >= 0)
+                      & (sk != morton.INVALID_KEY), prev_p, -1)
     out = jnp.full((U,), -1, jnp.int32)
-    return out.at[jnp.where(st == 1, sp, U)].set(hit_v, mode="drop")
+    return out.at[jnp.where(is_q, -1 - sp, U)].set(hit_r, mode="drop")
 
 
 @functools.partial(
@@ -407,6 +414,8 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
            update_interior: bool = True,
            dir_keys: jnp.ndarray | None = None,
            dir_nodes: jnp.ndarray | None = None,
+           dir_vals: jnp.ndarray | None = None,
+           dir_aux: jnp.ndarray | None = None,
            miss_cap: int = 0,
            ) -> Tuple[SVONodePool, InsertStats]:
     """Fuse a colored point set into the octree at a static depth.
@@ -428,10 +437,16 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
     last insert's (touched_leaf_keys, touched_leaf_nodes) resolve repeat
     keys without the phase-1 descent; only first-seen keys descend, at
     miss_cap lanes. Falls back to the full descent in one lax.cond when
-    a frame's misses exceed miss_cap. Bit-identical to the uncached
-    insert as long as the directory is CURRENT — callers must clear it
-    whenever keys or node indices change under the map (reroot, growth
-    across a prealloc boundary, tiering spill/restore).
+    a frame's misses exceed miss_cap. dir_vals (the keys' post-blend
+    values = touched_leaf_vals) additionally skips the U-wide pool-value
+    gather for hits; dir_aux is an OPAQUE i32 per-row payload carried
+    back for hits as stats.hit_aux (the pipeline stores registry
+    positions there so the leaf-registry refresh skips its node2pos
+    gather too). Bit-identical to the uncached insert as long as the
+    directory is CURRENT — callers must clear it whenever keys, node
+    indices, registry positions, or leaf values change under the map
+    (reroot, growth across a prealloc boundary, tiering spill/restore,
+    registry rebuilds).
     """
     cap = pool.capacity
     U = unique_cap
@@ -466,49 +481,91 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
             "frames)")
 
     if use_cache:
-        # --- Directory fast path: last frame's (key -> leaf node) map
-        # answers most uniques without the phase-1 dependent-gather descent
-        # (the measured floor of full-res 1 cm fusion: ~3-4 chained
-        # 262k-lane gathers into the multi-MB child table). Only the MISSES
-        # — first-seen-this-frame keys, typically a few percent under
-        # frame-to-frame camera motion — descend, compacted to miss_cap
-        # lanes. The cache holds only keys whose leaf node EXISTED after
-        # last frame's insert, so a hit needs no allocation and its reached
-        # flag is True by construction; callers must invalidate on any
-        # structural change (growth across a prealloc boundary, reroot,
-        # tiering) — see pipeline.reset_dircache. ---
-        hit_nodes = _dir_lookup(dir_keys, dir_nodes, ukeys)
-        hit = ulive & (hit_nodes >= 0)
+        # --- Directory fast path: last frame's key -> (leaf node, value,
+        # registry position) map answers most uniques without the phase-1
+        # dependent-gather descent, the U-wide pool-value gather, and (via
+        # hit_aux) the registry's node2pos gather — the three biggest
+        # U-sized random-access terms of a full-res 1 cm frame. Only the
+        # MISSES — first-seen-this-frame keys, typically a few percent
+        # under frame-to-frame camera motion — descend and gather, at
+        # miss_cap lanes. The cache holds only keys whose leaf node
+        # EXISTED after last frame's insert, so a hit needs no allocation
+        # and its reached flag is True by construction; the cached value
+        # stays current because every other leaf writer either touches
+        # disjoint keys (remainder pages: keys > last_key; tiering restore:
+        # overwrite=False skips non-EMPTY leaves, and cached keys are
+        # never EMPTY) or resets the cache (pool rebuilds) — see
+        # pipeline.reset_dircache.
+        #
+        # Miss OVERFLOW defers instead of branching: when a frame has more
+        # than miss_cap first-seen keys (a cold or just-invalidated cache,
+        # a fast pan), every unique at or past the first DROPPED miss —
+        # uniques are processed in sorted key order — is deferred to the
+        # existing unique-cap paging machinery (unique_overflow +
+        # last_key), whose pages re-insert uncached. A lax.cond fallback
+        # was measured and REJECTED: the conditional walled off XLA fusion
+        # and its branch ran as ~38 unfused kernels = 19 ms at the ~0.5 ms
+        # flat kernel cost, erasing the cache's entire win. ---
+        j = _dir_lookup(dir_keys, ukeys)
+        js = jnp.clip(j, 0, dir_keys.shape[0] - 1)
+        hit = ulive & (j >= 0)
+        if dir_vals is not None and dir_aux is not None:
+            # one (C,3) row gather instead of three table gathers
+            dir_t = jnp.stack(
+                [dir_nodes,
+                 jax.lax.bitcast_convert_type(dir_vals, jnp.int32),
+                 dir_aux], axis=1)
+            rows_t = dir_t[js]
+            hit_nodes = jnp.where(hit, rows_t[:, 0], 0)
+            hit_vals = jax.lax.bitcast_convert_type(rows_t[:, 1],
+                                                    jnp.uint32)
+            hit_aux = jnp.where(hit, rows_t[:, 2], -1)
+        else:
+            hit_nodes = jnp.where(hit, dir_nodes[js], 0)
+            hit_vals = None
+            hit_aux = jnp.full((U,), -1, jnp.int32)
+
         miss = ulive & ~hit
-        m_total = jnp.sum(miss.astype(jnp.int32))
+        miss_ranks, m_total = compaction.exclusive_ranks(miss)
+        m_over = m_total > miss_cap
+        # first dropped miss's row: every unique from there on (hits
+        # included — key order must stay contiguous for the pager) defers
+        first_drop = jnp.min(jnp.where(miss & (miss_ranks >= miss_cap),
+                                       jnp.arange(U, dtype=jnp.int32), U))
+        keep = ulive & (jnp.arange(U) < first_drop)
+        hit = hit & keep
+        miss = miss & keep
+
         mrow = jnp.arange(miss_cap, dtype=jnp.int32)
         (mkeys, mpos), m_count = compaction.compact_multi(
             [ukeys, jnp.arange(U, dtype=jnp.int32)], miss, miss_cap,
             fill=0)
         mkeys = jnp.where(mrow < m_count, mkeys, morton.INVALID_KEY)
         mlive = mrow < m_count
-        m_over = m_total > miss_cap
 
-        def _slow(operand):
-            child0, n0 = operand
-            o = _descend_alloc(child0, n0, ukeys, ulive, cap=cap,
-                               depth=depth, shallow_level=shallow_level)
-            return (o.child, o.n_nodes, o.paths[-1], o.reached[-1],
-                    o.n_new_tiles, o.shallow_allocs)
-
-        def _fast(operand):
-            child0, n0 = operand
-            o = _descend_alloc(child0, n0, mkeys, mlive, cap=cap,
-                               depth=depth, shallow_level=shallow_level)
-            scat = jnp.where(mlive, mpos, U)
-            cur_f = jnp.where(hit, hit_nodes, 0)
-            cur_f = cur_f.at[scat].set(o.paths[-1], mode="drop")
-            reached_f = hit.at[scat].set(o.reached[-1], mode="drop")
-            return (o.child, o.n_nodes, cur_f, reached_f,
-                    o.n_new_tiles, o.shallow_allocs)
-
-        child, n_nodes, cur, reached, total_new, shallow = jax.lax.cond(
-            m_over, _slow, _fast, (pool.child, pool.n_nodes))
+        o = _descend_alloc(pool.child, pool.n_nodes, mkeys, mlive,
+                           cap=cap, depth=depth,
+                           shallow_level=shallow_level)
+        child, n_nodes = o.child, o.n_nodes
+        total_new, shallow = o.n_new_tiles, o.shallow_allocs
+        scat = jnp.where(mlive, mpos, U)
+        # -1 = unreached sentinel folds (cur, reached) into ONE scatter
+        mcur = jnp.where(o.reached[-1], o.paths[-1], -1)
+        cur = jnp.where(hit, hit_nodes, -1).at[scat].set(mcur, mode="drop")
+        reached = cur >= 0
+        cur = jnp.maximum(cur, 0)
+        if hit_vals is not None:
+            # hits read their old value from the directory; only the
+            # misses touch the pool-value table, at miss_cap lanes
+            om = value[jnp.clip(o.paths[-1], 0, cap - 1)]
+            old = jnp.where(hit, hit_vals,
+                            jnp.uint32(packing.EMPTY_VALUE))
+            old = old.at[scat].set(om, mode="drop")
+        else:
+            old = value[cur]
+        # ulive drives the blend/touched masks below: deferred rows must
+        # not blend this pass (the pager re-inserts them)
+        ulive = keep
         paths = None
         reached_per_level = None
     else:
@@ -521,10 +578,11 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
         reached_per_level = list(out.reached)
         cur = paths[-1]
         reached = reached_per_level[-1]
+        old = value[cur]
+        hit_aux = jnp.full((U,), -1, jnp.int32)
 
     # --- Leaf blend (uniques are already deduplicated). ---
     leaf_ok = ulive & reached
-    old = value[cur]
     blended = packing.blend_value(old, mean_rgb)
     leaf_idx = jnp.where(leaf_ok, cur, cap)
     value = value.at[leaf_idx].set(blended, mode="drop")
@@ -609,12 +667,19 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
         mip_val = jnp.zeros((1,), jnp.uint32)
 
     unique_overflow = u_count > U
+    last_idx = jnp.minimum(u_count, U) - 1
+    if use_cache:
+        # miss overflow defers uniques [first_drop:] to the pager: report
+        # it as a unique overflow whose resume cursor is the last KEPT key
+        # (first_drop >= miss_cap >= 1, so the cursor always advances)
+        unique_overflow = unique_overflow | m_over
+        last_idx = jnp.where(m_over, first_drop - 1, last_idx)
     # the pool flag records the irrecoverable condition (node capacity);
     # unique overflow is recoverable via the min_key remainder pass and
     # only reported in the stats
     pool_overflowed = pool.overflowed | (n_nodes + 8 > cap)
     overflowed = pool_overflowed | unique_overflow
-    last_key = ukeys[jnp.clip(jnp.minimum(u_count, U) - 1, 0, U - 1)]
+    last_key = ukeys[jnp.clip(last_idx, 0, U - 1)]
     new_pool = pool._replace(child=child, value=value, n_nodes=n_nodes,
                              overflowed=pool_overflowed)
     stats = InsertStats(
@@ -627,6 +692,7 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
         shallow_allocs=shallow,
         dir_hits=(jnp.sum(hit.astype(jnp.int32)) if use_cache
                   else jnp.int32(-1)),
+        hit_aux=hit_aux,
         new_leaf_keys=new_leaf_keys,
         new_leaf_nodes=new_leaf_nodes,
         new_leaf_count=jnp.minimum(nl_count, U),
@@ -721,6 +787,7 @@ def insert_exact(pool: SVONodePool, keys: jnp.ndarray, values: jnp.ndarray,
         last_key=last_key,
         shallow_allocs=out.shallow_allocs,
         dir_hits=jnp.int32(-1),
+        hit_aux=jnp.full((U,), -1, jnp.int32),
         new_leaf_keys=new_leaf_keys,
         new_leaf_nodes=new_leaf_nodes,
         new_leaf_count=jnp.minimum(nl_count, U),

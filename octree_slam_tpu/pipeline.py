@@ -42,7 +42,8 @@ from octree_slam_tpu.map import svo
 from octree_slam_tpu.map.svo import SVONodePool
 from octree_slam_tpu.render import raycast
 from octree_slam_tpu.render.splat import LeafList, append_new_leaves, \
-    create_leaf_list, leaf_list_from_extraction, render_splat
+    append_new_leaves_cached, create_leaf_list, \
+    leaf_list_from_extraction, render_splat
 from octree_slam_tpu.sensor import tracking
 
 
@@ -65,11 +66,16 @@ class SLAMState(NamedTuple):
     key_T_cam: jnp.ndarray     # f32[4,4] key_T_cam of the PREVIOUS frame
                                # (the GN seed; (0,) when disabled)
     # Insert directory cache (cfg.insert_dircache; (0,) arrays when off):
-    # last frame's (leaf key -> pool node) so repeat keys skip the insert
-    # descent (svo.insert dir_keys/dir_nodes). Cleared by reset_dircache
-    # whenever node indices change under the map (tiering._rebuild_derived).
+    # last frame's leaf key -> (pool node, post-blend value, registry
+    # position), so repeat keys skip the insert descent, the pool-value
+    # gather, and the registry's node2pos gather (svo.insert dir_* args +
+    # splat.append_new_leaves_cached). Cleared by reset_dircache whenever
+    # node indices, leaf values, or registry positions change under the
+    # map (tiering._rebuild_derived, registry rebuilds in grow_state).
     dir_keys: jnp.ndarray      # i32[U] morton keys, INVALID_KEY = dead row
     dir_nodes: jnp.ndarray     # i32[U] leaf node indices, -1 = dead row
+    dir_vals: jnp.ndarray      # u32[U] the keys' current packed values
+    dir_pos: jnp.ndarray       # i32[U] registry positions, -1 = unknown
 
 
 class StepOutput(NamedTuple):
@@ -122,7 +128,8 @@ def heal_for_march(state: "SLAMState", cfg: SLAMConfig):
 
 def _fuse_once(pool, leaves, accel, world_pts, colors, valid,
                cfg: SLAMConfig, *, eager: bool,
-               min_key=None, with_dist: bool, dircache=None):
+               min_key=None, with_dist: bool, dircache=None,
+               want_tpos: bool = False):
     """One insert pass + registry append + accel maintenance — the single
     definition behind the step's primary insert, its in-device remainder
     pages, and the host-driven insert_remainder (they previously drifted:
@@ -137,17 +144,28 @@ def _fuse_once(pool, leaves, accel, world_pts, colors, valid,
     appearing), a traced 15.7 ms/frame spent on a renderer that was not
     in use (round-3 depth-9/1cm trace)."""
     lvl = _accel_level(cfg)
-    dk, dn = dircache if dircache is not None else (None, None)
+    dk, dn, dv, dp = (dircache if dircache is not None
+                      else (None, None, None, None))
     pool, st = svo.insert(pool, world_pts, colors, valid=valid,
                           depth=cfg.max_depth,
                           unique_cap=cfg.insert_unique_cap,
                           emit_mips=cfg.use_dense_mips and eager,
                           shallow_level=lvl, min_key=min_key,
                           update_interior=eager,
-                          dir_keys=dk, dir_nodes=dn,
+                          dir_keys=dk, dir_nodes=dn, dir_vals=dv,
+                          dir_aux=dp,
                           miss_cap=(_miss_cap(cfg) if dircache is not None
                                     else 0))
-    leaves = append_new_leaves(leaves, st)
+    if want_tpos:
+        # cached registry refresh: hit rows carry their position through
+        # stats.hit_aux; only misses gather node2pos (miss_cap lanes).
+        # tpos (every touched row's position) becomes next frame's
+        # dir_pos payload.
+        leaves, tpos = append_new_leaves_cached(leaves, st,
+                                                _miss_cap(cfg))
+    else:
+        leaves = append_new_leaves(leaves, st)
+        tpos = None
     if cfg.use_dense_mips and eager:
         # Dense-mip render cache (map/mips.py): mirror this insert's
         # touched values and occupancy; refresh the empty-space distance
@@ -156,7 +174,7 @@ def _fuse_once(pool, leaves, accel, world_pts, colors, valid,
                                 max_depth=cfg.max_depth, dist_level=lvl,
                                 max_skip=cfg.dist_max_skip,
                                 with_dist=with_dist)
-    return pool, leaves, accel, st
+    return pool, leaves, accel, st, tpos
 
 
 def _fuse_colors(frame: Frame, cfg: SLAMConfig) -> jnp.ndarray:
@@ -224,6 +242,12 @@ def init_state(cfg: SLAMConfig, map_center=(0.0, 0.0, 0.0),
         dir_nodes=(jnp.full((cfg.insert_unique_cap,), -1, jnp.int32)
                    if cfg.insert_dircache
                    else jnp.zeros((0,), jnp.int32)),
+        dir_vals=(jnp.zeros((cfg.insert_unique_cap,), jnp.uint32)
+                  if cfg.insert_dircache
+                  else jnp.zeros((0,), jnp.uint32)),
+        dir_pos=(jnp.full((cfg.insert_unique_cap,), -1, jnp.int32)
+                 if cfg.insert_dircache
+                 else jnp.zeros((0,), jnp.int32)),
     )
 
 
@@ -237,7 +261,9 @@ def reset_dircache(state: SLAMState) -> SLAMState:
         return state
     return state._replace(
         dir_keys=jnp.full_like(state.dir_keys, morton.INVALID_KEY),
-        dir_nodes=jnp.full_like(state.dir_nodes, -1))
+        dir_nodes=jnp.full_like(state.dir_nodes, -1),
+        dir_vals=jnp.zeros_like(state.dir_vals),
+        dir_pos=jnp.full_like(state.dir_pos, -1))
 
 
 def grow_state(state: SLAMState, cfg: SLAMConfig, *,
@@ -291,6 +317,9 @@ def grow_state(state: SLAMState, cfg: SLAMConfig, *,
         new_cfg = dataclasses.replace(new_cfg, leaf_capacity=cap)
         leaves = leaf_list_from_extraction(
             ex, pool.value, node_capacity=new_cfg.node_capacity)
+        # registry positions just changed: cached dir_pos entries would
+        # point the vals mirror at the wrong rows
+        state = reset_dircache(state)
     else:
         lc_pad = new_cfg.leaf_capacity - leaves.keys.shape[0]
         nc_pad = new_cfg.node_capacity - leaves.node2pos.shape[0]
@@ -405,17 +434,21 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     gate = diverged if cfg.recovery_enabled \
         else (state.initialized & tstats.diverged)
     fuse_ok = jnp.broadcast_to(~gate, (world_pts.shape[0],))
-    # Directory cache (cfg.insert_dircache): last frame's key->node map
-    # lets the PRIMARY insert skip its descent for repeat keys. Lazy
+    # Directory cache (cfg.insert_dircache): last frame's key ->
+    # (node, value, registry position) map lets the PRIMARY insert skip
+    # its descent + value gather + node2pos gather for repeat keys. Lazy
     # frames only — the eager mipmap needs full per-level paths — and the
     # remainder pages below run uncached (their key ranges barely overlap
-    # the primary page's directory).
-    dircache = ((state.dir_keys, state.dir_nodes)
-                if (not eager) and state.dir_keys.shape[0] > 0 else None)
-    pool, leaves, accel, istats = _fuse_once(
+    # the primary page's directory). tpos (every touched row's registry
+    # position) is tracked whenever the cache EXISTS, eager frames
+    # included, so the next lazy frame starts with a warm position map.
+    have_dir = state.dir_keys.shape[0] > 0
+    dircache = ((state.dir_keys, state.dir_nodes, state.dir_vals,
+                 state.dir_pos) if (not eager) and have_dir else None)
+    pool, leaves, accel, istats, tpos = _fuse_once(
         pool_in, state.leaves, accel_in, world_pts, colors, fuse_ok, cfg,
         eager=eager, with_dist=(render == "cone_march"),
-        dircache=dircache)
+        dircache=dircache, want_tpos=have_dir)
 
     if cfg.device_remainder:
         # Unique-cap remainder ON DEVICE: while a frame still has distinct
@@ -430,7 +463,7 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
 
         def _page(c):
             _, last_key, pool_c, leaves_c, accel_c = c
-            pool_n, leaves_n, accel_n, st = _fuse_once(
+            pool_n, leaves_n, accel_n, st, _ = _fuse_once(
                 pool_c, leaves_c, accel_c, world_pts, colors, fuse_ok,
                 cfg, eager=eager, min_key=last_key, with_dist=False)
             return (st.unique_overflow, st.last_key, pool_n, leaves_n,
@@ -516,9 +549,12 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
         # (hits and misses alike; gated frames blend nothing, so a
         # diverged frame naturally empties the cache)
         dir_keys=(istats.touched_leaf_keys
-                  if state.dir_keys.shape[0] > 0 else state.dir_keys),
+                  if have_dir else state.dir_keys),
         dir_nodes=(istats.touched_leaf_nodes
-                   if state.dir_nodes.shape[0] > 0 else state.dir_nodes),
+                   if have_dir else state.dir_nodes),
+        dir_vals=(istats.touched_leaf_vals
+                  if have_dir else state.dir_vals),
+        dir_pos=(tpos if have_dir else state.dir_pos),
     )
     out = StepOutput(
         framebuffer=fb,
@@ -550,7 +586,7 @@ def insert_remainder(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     world_pts = v @ state.pose[:3, :3].T + state.pose[:3, 3]
     colors = _fuse_colors(frame, cfg)
     eager = not cfg.lazy_interior
-    pool, leaves, accel, istats = _fuse_once(
+    pool, leaves, accel, istats, _ = _fuse_once(
         state.pool, state.leaves, state.accel, world_pts, colors, None,
         cfg, eager=eager, min_key=min_key, with_dist=False)
     new_state = state._replace(

@@ -92,6 +92,24 @@ def leaf_list_from_extraction(ex, pool_value: jnp.ndarray, *,
 def append_new_leaves(leaves: LeafList, stats: InsertStats) -> LeafList:
     """Append this insert's first-seen leaves at the cursor and refresh the
     value mirror for every leaf this insert touched."""
+    return _append_new_leaves(leaves, stats, 0)[0]
+
+
+def append_new_leaves_cached(leaves: LeafList, stats: InsertStats,
+                             miss_cap: int):
+    """append_new_leaves + the directory-cache contract: rows whose
+    registry position is already known (stats.hit_aux, carried through
+    svo.insert's dir_aux) skip the U-wide node2pos gather — only the
+    misses (first-seen keys + keys absent from last frame's directory)
+    gather, at miss_cap lanes, with a lax.cond full-gather fallback when
+    they overflow. Returns (leaves, tpos) where tpos[U] is every touched
+    row's registry position (-1 when untouched or dropped) — the
+    pipeline stores it as next frame's dir position payload."""
+    return _append_new_leaves(leaves, stats, miss_cap)
+
+
+def _append_new_leaves(leaves: LeafList, stats: InsertStats,
+                       miss_cap: int):
     lc = leaves.keys.shape[0]
     nc = leaves.node2pos.shape[0]
     u = stats.new_leaf_keys.shape[0]
@@ -104,7 +122,28 @@ def append_new_leaves(leaves: LeafList, stats: InsertStats) -> LeafList:
         jnp.where(ok, stats.new_leaf_nodes, nc)].set(pos, mode="drop")
 
     tn = stats.touched_leaf_nodes
-    tpos = node2pos[jnp.clip(tn, 0, nc - 1)]
+    if miss_cap > 0:
+        known = stats.hit_aux
+        U = tn.shape[0]
+        need = (tn >= 0) & (known < 0)
+        n_need = jnp.sum(need.astype(jnp.int32))
+        ranks = jnp.cumsum(need.astype(jnp.int32)) - need.astype(jnp.int32)
+        rows = jnp.full((miss_cap,), U, jnp.int32).at[
+            jnp.where(need, ranks, miss_cap)].set(
+            jnp.arange(U, dtype=jnp.int32), mode="drop")
+
+        def _full(n2p):
+            return n2p[jnp.clip(tn, 0, nc - 1)]
+
+        def _sparse(n2p):
+            tn_m = tn[jnp.clip(rows, 0, U - 1)]
+            g = n2p[jnp.clip(tn_m, 0, nc - 1)]
+            tp = jnp.where(known >= 0, known, -1)
+            return tp.at[rows].set(g, mode="drop")
+
+        tpos = jax.lax.cond(n_need > miss_cap, _full, _sparse, node2pos)
+    else:
+        tpos = node2pos[jnp.clip(tn, 0, nc - 1)]
     t_ok = (tn >= 0) & (tn < nc) & (tpos >= 0)
     vals = leaves.vals.at[jnp.where(t_ok, tpos, lc)].set(
         stats.touched_leaf_vals, mode="drop")
@@ -113,7 +152,8 @@ def append_new_leaves(leaves: LeafList, stats: InsertStats) -> LeafList:
     overflowed = leaves.overflowed | (
         leaves.count + stats.new_leaf_count > lc)
     return LeafList(keys=keys, nodes=nodes, vals=vals, node2pos=node2pos,
-                    count=new_count, overflowed=overflowed)
+                    count=new_count, overflowed=overflowed), \
+        jnp.where(t_ok, tpos, -1)
 
 
 def splat_zbuffer(vals: jnp.ndarray, keys: jnp.ndarray,

@@ -33,6 +33,21 @@ def _insert(pool, pts, cols, **kw):
                       update_interior=False, **kw)
 
 
+def _leaf_content(pool, depth):
+    """Canonical (sorted keys, their values): allocation-order-independent
+    map content, for comparisons across paged vs single-pass inserts."""
+    pool = svo.refresh_interior(pool, depth=depth)  # heal lazy interiors:
+    # the BFS extraction reads interior occupancy (CLAUDE.md invariant)
+    ex, _ = svo.extract_all_leaves(pool, depth=depth,
+                                   start_capacity=1 << 15)
+    k = np.asarray(ex.keys)
+    n = np.asarray(ex.nodes)
+    live = n >= 0
+    order = np.argsort(k[live], kind="stable")
+    v = np.asarray(pool.value)[n[live]][order]
+    return k[live][order], v.astype(np.int64)
+
+
 def assert_same_insert(a, b):
     pa, sa = a
     pb, sb = b
@@ -49,21 +64,20 @@ def assert_same_insert(a, b):
 
 class TestDirLookup:
     def test_hits_and_misses(self):
+        # returns the matching DIRECTORY ROW index (payload gathers are
+        # the caller's), -1 on miss / dead rows
         dkeys = jnp.asarray([3, 9, 17, morton.INVALID_KEY,
                              morton.INVALID_KEY], jnp.int32)
-        dnodes = jnp.asarray([30, 90, 170, -1, -1], jnp.int32)
         q = jnp.asarray([1, 3, 9, 10, 17, morton.INVALID_KEY], jnp.int32)
-        out = np.asarray(svo._dir_lookup(dkeys, dnodes, q))
-        assert list(out) == [-1, 30, 90, -1, 170, -1]
+        out = np.asarray(svo._dir_lookup(dkeys, q))
+        assert list(out) == [-1, 0, 1, -1, 2, -1]
 
     def test_unsorted_directory(self):
         # touched_leaf rows are key-sorted, but the lookup must not rely
         # on it (dead rows intersperse INVALID_KEY)
         dkeys = jnp.asarray([17, morton.INVALID_KEY, 3], jnp.int32)
-        dnodes = jnp.asarray([170, -1, 30], jnp.int32)
         q = jnp.asarray([3, 17], jnp.int32)
-        assert list(np.asarray(svo._dir_lookup(dkeys, dnodes, q))) \
-            == [30, 170]
+        assert list(np.asarray(svo._dir_lookup(dkeys, q))) == [2, 0]
 
 
 class TestInsertCacheBitIdentity:
@@ -72,9 +86,15 @@ class TestInsertCacheBitIdentity:
         self.pts, self.cols = random_points(5000, seed=3)
         self.warm, self.s1 = _insert(self.pool, self.pts, self.cols)
 
-    def _dir(self):
-        return dict(dir_keys=self.s1.touched_leaf_keys,
-                    dir_nodes=self.s1.touched_leaf_nodes)
+    def _dir(self, with_vals=False, with_aux=False):
+        d = dict(dir_keys=self.s1.touched_leaf_keys,
+                 dir_nodes=self.s1.touched_leaf_nodes)
+        if with_vals:
+            d["dir_vals"] = self.s1.touched_leaf_vals
+        if with_aux:
+            d["dir_aux"] = jnp.arange(
+                self.s1.touched_leaf_keys.shape[0], dtype=jnp.int32) + 100
+        return d
 
     def test_all_hits(self):
         ref = _insert(self.warm, self.pts, self.cols)
@@ -92,14 +112,57 @@ class TestInsertCacheBitIdentity:
         assert_same_insert(ref, got)
         assert int(ref[1].new_leaf_count) > 0  # the misses were real
 
-    def test_miss_cap_overflow_falls_back(self):
+    def test_miss_cap_overflow_defers_to_pager(self):
+        # misses >> miss_cap: the insert processes uniques up to the first
+        # dropped miss and reports unique_overflow; the standard min_key
+        # paging loop (uncached, as the pipeline runs it) finishes the
+        # rest — the PAGED result must equal the single uncached pass
+        pts2 = np.asarray(self.pts).copy()
+        pts2[:2500] += 0.15
+        pts2 = jnp.asarray(pts2)
+        ref_pool, ref_st = _insert(self.warm, pts2, self.cols)
+        assert not bool(ref_st.unique_overflow)
+
+        pool, st = _insert(self.warm, pts2, self.cols, miss_cap=64,
+                           **self._dir(with_vals=True))
+        assert bool(st.unique_overflow)  # the deferral fired
+        n_pages = 0
+        while bool(st.unique_overflow):
+            pool, st = _insert(pool, pts2, self.cols,
+                               min_key=st.last_key)
+            n_pages += 1
+            assert n_pages < 100
+        # paging allocates tiles in a different ORDER than a single pass
+        # (page-local ranks), so raw arrays differ; the map CONTENT — the
+        # sorted (leaf key, value) set — must be identical
+        assert int(ref_pool.n_nodes) == int(pool.n_nodes)
+        np.testing.assert_array_equal(*[
+            np.stack(_leaf_content(p, 8)) for p in (ref_pool, pool)])
+
+    def test_value_cache_bit_identity(self):
+        # dir_vals: hits read their old value from the directory instead
+        # of the pool — must be indistinguishable, mixed hits + misses
         pts2 = np.asarray(self.pts).copy()
         pts2[:2500] += 0.15
         pts2 = jnp.asarray(pts2)
         ref = _insert(self.warm, pts2, self.cols)
-        got = _insert(self.warm, pts2, self.cols, miss_cap=64,
-                      **self._dir())  # misses >> 64: lax.cond slow branch
+        got = _insert(self.warm, pts2, self.cols, miss_cap=4096,
+                      **self._dir(with_vals=True))
         assert_same_insert(ref, got)
+
+    def test_aux_payload_carried_for_hits(self):
+        got_p, got_s = _insert(self.warm, self.pts, self.cols,
+                               miss_cap=512,
+                               **self._dir(with_vals=True, with_aux=True))
+        hit_aux = np.asarray(got_s.hit_aux)
+        touched = np.asarray(got_s.touched_leaf_keys) != morton.INVALID_KEY
+        # every touched row is a hit here (same cloud): aux = dir row + 100
+        dkeys = np.asarray(self.s1.touched_leaf_keys)
+        ukeys = np.asarray(got_s.touched_leaf_keys)
+        for i in np.nonzero(touched)[0][:50]:
+            j = np.nonzero(dkeys == ukeys[i])[0]
+            assert j.size == 1 and hit_aux[i] == j[0] + 100, i
+        assert np.all(hit_aux[~touched] == -1)
 
     def test_cold_directory_is_all_misses(self):
         cold_k = jnp.full_like(self.s1.touched_leaf_keys,
@@ -141,18 +204,44 @@ class TestPipelineDircache:
         return cfg, state, outs
 
     def test_pipeline_bit_identity(self):
-        _, s_off, o_off = self._run(False)
+        # Cold frames defer their miss overflow to the in-step pager,
+        # which allocates tiles in page-local order — raw child arrays
+        # legitimately differ from the uncached run. The map CONTENT,
+        # the registry's key/value columns, and every pose must match
+        # exactly.
+        cfg, s_off, o_off = self._run(False)
         _, s_on, o_on = self._run(True)
-        assert bool(jnp.all(s_off.pool.child == s_on.pool.child))
-        assert bool(jnp.all(s_off.pool.value == s_on.pool.value))
         assert int(s_off.pool.n_nodes) == int(s_on.pool.n_nodes)
+        np.testing.assert_array_equal(*[
+            np.stack(_leaf_content(s.pool, cfg.max_depth))
+            for s in (s_off, s_on)])
         assert bool(jnp.all(s_off.leaves.keys == s_on.leaves.keys))
         assert bool(jnp.all(s_off.leaves.vals == s_on.leaves.vals))
+        assert int(s_off.leaves.count) == int(s_on.leaves.count)
         for a, b in zip(o_off, o_on):
             np.testing.assert_array_equal(np.asarray(a.pose),
                                           np.asarray(b.pose))
         # the cache actually populated (not silently disabled)
         assert int(jnp.sum(s_on.dir_keys != morton.INVALID_KEY)) > 0
+
+    def test_dir_coherence(self):
+        # live directory rows must agree with BOTH the pool (value at the
+        # cached node) and the registry (key/value at the cached position)
+        _, s, _ = self._run(True)
+        dk = np.asarray(s.dir_keys)
+        dn = np.asarray(s.dir_nodes)
+        dv = np.asarray(s.dir_vals)
+        dp = np.asarray(s.dir_pos)
+        live = dk != morton.INVALID_KEY
+        assert live.sum() > 0
+        pool_vals = np.asarray(s.pool.value)
+        reg_keys = np.asarray(s.leaves.keys)
+        reg_vals = np.asarray(s.leaves.vals)
+        assert np.all(pool_vals[dn[live]] == dv[live])
+        known = live & (dp >= 0)
+        assert known.sum() > 0
+        assert np.all(reg_keys[dp[known]] == dk[known])
+        assert np.all(reg_vals[dp[known]] == dv[known])
 
     def test_reset_dircache(self):
         _, s_on, _ = self._run(True)
