@@ -288,16 +288,28 @@ def config_sponza_orbit(n_frames=12, width=640, height=480):
     # warm pass compiles the step jits; timed pass is steady-state
     app.run_slam(lambda i: frames[i], 2, scfg, initial_pose=gts[0],
                  render_every=1, render_mode="splat", map_center=center)
+    state_box = []
     res = app.run_slam(lambda i: frames[i], n_frames, scfg,
                        initial_pose=gts[0], gt_fn=lambda i: gts[i],
                        render_every=1, render_mode="splat",
-                       map_center=center)
+                       map_center=center, state_out=state_box)
+    # slab-vs-march PSNR on the run's final map (round-3 verdict item #8:
+    # every cone-rendering config row carries a fidelity figure)
+    from octree_slam_tpu import pipeline
+    st = state_box[0]
+    s1 = jax.tree_util.tree_map(jnp.copy, st)
+    s2 = jax.tree_util.tree_map(jnp.copy, st)
+    _, out_s = pipeline.step(s1, frames[-1], scfg, render="cone")
+    _, out_m = pipeline.step(s2, frames[-1], scfg, render="cone_march")
+    psnr = _psnr_db(np.asarray(out_s.framebuffer),
+                    np.asarray(out_m.framebuffer))
     print(json.dumps({
         "config": "sponza_orbit_icp_fusion", "metric": "slam_fps",
         "value": round(res.fps, 2), "unit": "fps",
         "ate_rmse_m": round(res.ate_rmse, 5) if res.ate_rmse else None,
         "frames": n_frames, "map_nodes": res.map_nodes,
         "diverged": res.diverged,
+        "cone_psnr_db": round(psnr, 2),
         "source_mesh": "crytek-sponza/banner.obj",
         "note": "sponza main geometry is .am.any (not OBJ; unreadable by "
                 "the reference objloader too) - banner.obj is the loadable "
@@ -347,12 +359,28 @@ def config_cone_1080p(n_frames=8):
     dt = (time.perf_counter() - t0 - fl) / (n_frames - 2)
     from octree_slam_tpu.utils import metrics
     ate = metrics.ate_rmse(np.asarray(jnp.stack(poses)), np.stack(gts))
+    # slab-vs-march PSNR on a clean single-pass map (round-3 verdict #8;
+    # bench.py's fidelity methodology: the timed state above re-fused
+    # donated replays, which ghost-dirties the comparison)
+    st = pipeline.init_state(cfg, initial_pose=gts[0])
+    stepn = jax.jit(lambda s, f: pipeline.step(s, f, cfg, render="none"),
+                    donate_argnums=0)
+    for i in range(n_frames - 1):
+        st, _ = stepn(st, frames[i])
+    sync(st.pose)
+    s1 = jax.tree_util.tree_map(jnp.copy, st)
+    s2 = jax.tree_util.tree_map(jnp.copy, st)
+    _, out_s = pipeline.step(s1, frames[-1], cfg, render="cone")
+    _, out_m = pipeline.step(s2, frames[-1], cfg, render="cone_march")
+    psnr = _psnr_db(np.asarray(out_s.framebuffer),
+                    np.asarray(out_m.framebuffer))
     print(json.dumps({
         "config": "cone_trace_1080p", "metric": "track_fuse_cone_fps_1080p",
         "value": round(1.0 / dt, 2), "unit": "fps",
         "resolution": "1920x1080", "frames": n_frames - 2,
         "ate_rmse_m": round(float(ate), 5),
         "track_fuse_level": 1,
+        "cone_psnr_db": round(psnr, 2),
         "map_nodes": int(out.map_nodes),
         "unique_overflow_last_frame": bool(out.unique_overflow),
     }))
@@ -747,13 +775,256 @@ def config_tum(n_frames=30):
     }))
 
 
+def config_hybrid(n_stream=14, band_cap=0, band_iters=24,
+                  compact_after=8, seed_halo=4, full_pipeline=True):
+    """Hybrid cone renderer (render/hybrid.py) on the HEADLINE bench
+    configuration: track+fuse+hybrid throughput plus clean-single-pass-map
+    PSNR vs the exact march (bench.py's fidelity methodology) — the
+    round-3 verdict item #1 numbers."""
+    from octree_slam_tpu import pipeline
+    from octree_slam_tpu.render import conesplat, hybrid
+    from octree_slam_tpu.sensor import sources
+    import dataclasses
+
+    cfg = SLAMConfig(width=640, height=480, max_depth=9,
+                     voxel_resolution=0.02, node_capacity=1 << 20,
+                     leaf_capacity=1 << 17,
+                     cone_band_cap=band_cap, cone_band_iters=band_iters,
+                     cone_band_compact_after=compact_after)
+    scene = sources.default_scene()
+    frames, gts = [], []
+    for i in range(n_stream):
+        gt = sources.orbit_pose(i * 0.01, radius=2.0)
+        f = sources.render_frame(scene, gt, cfg.focal_x, cfg.focal_y,
+                                 width=cfg.width, height=cfg.height)
+        sync(f.depth)
+        frames.append(f)
+        gts.append(gt)
+
+    results = {}
+    if full_pipeline:
+        state = pipeline.init_state(cfg, initial_pose=gts[0])
+        step = jax.jit(lambda s, f: pipeline.step(s, f, cfg,
+                                                  render="cone_hybrid"),
+                       donate_argnums=0)
+        for i in range(2):
+            state, out = step(state, frames[i])
+        sync(out.framebuffer)
+        fl = sync_floor()
+        t0 = time.perf_counter()
+        for i in range(2, n_stream):
+            state, out = step(state, frames[i])
+        sync(out.framebuffer)
+        dt = (time.perf_counter() - t0 - fl) / (n_stream - 2)
+        results["track_fuse_hybrid_fps"] = round(1.0 / dt, 2)
+
+    # fidelity on a clean single-pass map (bench.py methodology: replayed
+    # streams through donated state ghost-fuse the comparison map)
+    state = pipeline.init_state(cfg, initial_pose=gts[0])
+    stepn = jax.jit(lambda s, f: pipeline.step(s, f, cfg, render="splat"),
+                    donate_argnums=0)
+    for i in range(n_stream - 1):
+        state, _ = stepn(state, frames[i])
+    sync(state.pose)
+    s1 = jax.tree_util.tree_map(jnp.copy, state)
+    s2 = jax.tree_util.tree_map(jnp.copy, state)
+    s3 = jax.tree_util.tree_map(jnp.copy, state)
+    st_h, out_h = pipeline.step(s1, frames[-1], cfg, render="cone_hybrid")
+    _, out_m = pipeline.step(s2, frames[-1], cfg, render="cone_march")
+    _, out_s = pipeline.step(s3, frames[-1], cfg, render="cone")
+    h = np.asarray(out_h.framebuffer)
+    m = np.asarray(out_m.framebuffer)
+    sl = np.asarray(out_s.framebuffer)
+    results["hybrid_psnr_db"] = round(_psnr_db(h, m), 2)
+    results["slab_psnr_db"] = round(_psnr_db(sl, m), 2)
+
+    # --- band diagnostics on the clean map: where does the hybrid's
+    # error actually live vs the slab's? ---
+    lvl = pipeline._accel_level(cfg)
+    spec_d = conesplat.make_slab_spec(
+        width=cfg.width, height=cfg.height, fx=cfg.focal_x,
+        leaf_size=cfg.voxel_resolution, z_near=cfg.cone_znear,
+        z_far=cfg.max_range, n_slabs=cfg.cone_slabs,
+        max_scale=cfg.cone_max_scale)
+    fb_d, dbg = hybrid.render_cone_hybrid(
+        st_h.leaves, st_h.accel, st_h.pool.center, st_h.pool.half_size,
+        out_h.pose, cfg.focal_x, cfg.focal_y, spec=spec_d,
+        depth=cfg.max_depth, dist_level=lvl, band_cap=cfg.cone_band_cap,
+        band_iters=cfg.cone_band_iters,
+        compact_after=cfg.cone_band_compact_after, seed_halo=seed_halo,
+        debug_band=True)
+    sel = np.asarray(dbg["sel"])
+    usem = np.asarray(dbg["use_march"])
+    wl = np.asarray(dbg["w"])
+    hh = np.asarray(fb_d)[..., :3].reshape(-1, 3)
+    mm = m[..., :3].reshape(-1, 3)
+    ss = sl[..., :3].reshape(-1, 3)
+    nall = cfg.width * cfg.height
+    band = np.zeros(nall, bool)
+    band[sel] = True
+    mse = lambda a, b, msk: float(((a[msk] - b[msk]) ** 2).mean())
+    results["diag_use_march_frac"] = round(float(usem.mean()), 4)
+    results["diag_capped_frac"] = round(
+        float(np.asarray(dbg["capped"]).mean()), 4)
+    results["diag_trips"] = int(dbg["trips"])
+    results["diag_inband_mse_hybrid"] = round(mse(hh, mm, band), 6)
+    results["diag_inband_mse_slab"] = round(mse(ss, mm, band), 6)
+    results["diag_outband_mse_slab"] = round(mse(ss, mm, ~band), 6)
+    results["diag_band_share_of_slab_mse"] = round(
+        mse(ss, mm, band) * band.mean()
+        / max(mse(ss, mm, band) * band.mean()
+              + mse(ss, mm, ~band) * (~band).mean(), 1e-12), 4)
+
+    # render-only timing of the hybrid on the final map (A/B vs the slab)
+    spec = conesplat.make_slab_spec(
+        width=cfg.width, height=cfg.height, fx=cfg.focal_x,
+        leaf_size=cfg.voxel_resolution, z_near=cfg.cone_znear,
+        z_far=cfg.max_range, n_slabs=cfg.cone_slabs,
+        max_scale=cfg.cone_max_scale)
+
+    def rh(st, T):
+        return hybrid.render_cone_hybrid(
+            st.leaves, st.accel, st.pool.center, st.pool.half_size, T,
+            cfg.focal_x, cfg.focal_y, spec=spec, depth=cfg.max_depth,
+            dist_level=lvl, band_cap=cfg.cone_band_cap,
+            band_iters=cfg.cone_band_iters,
+            compact_after=cfg.cone_band_compact_after,
+            seed_halo=seed_halo)
+
+    fn = jax.jit(rh)
+    fb = fn(s1, s1.pose)
+    sync(fb)
+    fl = sync_floor()
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        fb = fn(s1, s1.pose)
+    sync(fb)
+    dt = (time.perf_counter() - t0 - fl) / n
+    results["hybrid_render_only_fps"] = round(1.0 / dt, 2)
+
+    print(json.dumps({
+        "config": "hybrid_cone", "metric": "track_fuse_hybrid_fps",
+        "value": results.get("track_fuse_hybrid_fps", 0.0), "unit": "fps",
+        "band_cap": band_cap or (cfg.width * cfg.height // 4),
+        "band_iters": band_iters, "compact_after": compact_after,
+        "seed_halo": seed_halo,
+        **results,
+    }))
+    return results
+
+
+def config_satgate(n_warm=72, n_timed=8):
+    """Saturation pre-gate at strict full-res 1 cm fusion parity
+    (round-3 verdict item #2): warm the map past alpha saturation
+    (64 observations), then time steady-state gated frames vs the
+    ungated control, and measure the map-content drift the gate trades
+    for the speed (truncation creep, see tests/test_satgate.py)."""
+    from octree_slam_tpu import pipeline
+    from octree_slam_tpu.sensor import sources
+    import dataclasses
+
+    base = SLAMConfig(width=640, height=480, max_depth=9,
+                      voxel_resolution=0.01, use_dense_mips=False,
+                      fuse_level=0, node_capacity=1 << 21,
+                      leaf_capacity=1 << 19,
+                      insert_unique_cap=640 * 480)
+    cfg_g = dataclasses.replace(base, saturation_gate=True,
+                                insert_unique_cap=1 << 16)
+    scene = sources.default_scene()
+    n = n_warm + n_timed
+    frames, gts = [], []
+    for i in range(n):
+        # tight arc: the camera keeps re-observing the same surfaces, the
+        # long-session steady state the gate targets
+        gt = sources.orbit_pose(i * 0.004, radius=2.0)
+        f = sources.render_frame(scene, gt, base.focal_x, base.focal_y,
+                                 width=base.width, height=base.height)
+        sync(f.depth)
+        frames.append(f)
+        gts.append(gt)
+
+    def run_arm(cfg, tag, results):
+        state = pipeline.init_state(cfg, initial_pose=gts[0])
+        step = jax.jit(lambda s, f: pipeline.step(s, f, cfg,
+                                                  render="cone"),
+                       donate_argnums=0)
+        t0 = time.perf_counter()
+        for i in range(n_warm):
+            state, out = step(state, frames[i])
+        sync(out.framebuffer)
+        warm_s = time.perf_counter() - t0
+        fl = sync_floor()
+        t0 = time.perf_counter()
+        for i in range(n_warm, n):
+            state, out = step(state, frames[i])
+        sync(out.framebuffer)
+        dt = (time.perf_counter() - t0 - fl) / n_timed
+        results[f"{tag}_steady_fps"] = round(1.0 / dt, 2)
+        results[f"{tag}_warm_fps"] = round(n_warm / warm_s, 2)
+        results[f"{tag}_map_leaves"] = int(out.map_leaves)
+        assert not bool(out.diverged)
+        return state
+
+    results = {}
+    st_g = run_arm(cfg_g, "gated", results)
+    st_c = run_arm(base, "lossless", results)
+
+    # map-content drift: same leaf SET and alphas required; channel creep
+    # (1 level/frame toward darker observations at weight 1/256) is the
+    # quantization-equivalence bound being bought
+    def union(st):
+        k = np.asarray(st.leaves.keys)
+        v = np.asarray(st.leaves.vals)
+        live = k >= 0
+        o = np.argsort(k[live], kind="stable")
+        return k[live][o], v[live][o]
+
+    kg, vg = union(st_g)
+    kc, vc = union(st_c)
+    same_keys = kg.size == kc.size and bool(np.all(kg == kc))
+    results["drift_same_leaf_set"] = same_keys
+    if same_keys:
+        diffs = []
+        for shift in (0, 8, 16):
+            diffs.append(np.abs(((vg >> shift) & 0xFF).astype(int)
+                                - ((vc >> shift) & 0xFF).astype(int)))
+        d = np.stack(diffs)
+        results["drift_max_channel_levels"] = int(d.max())
+        results["drift_mean_channel_levels"] = round(float(d.mean()), 4)
+        results["drift_leaves_changed_frac"] = round(
+            float((d.max(axis=0) > 0).mean()), 4)
+        ag = (vg >> 24) & 0xFF
+        ac = (vc >> 24) & 0xFF
+        results["drift_alpha_equal"] = bool(np.all(ag == ac))
+
+    print(json.dumps({
+        "config": "slam1cm_fullres_saturation_gate",
+        "metric": "track_fuse_cone_fps_1cm_fullres_steady",
+        "value": results.get("gated_steady_fps", 0.0), "unit": "fps",
+        "octree_depth": 9, "voxel_m": 0.01, "fuse_level": 0,
+        "unique_cap_gated": cfg_g.insert_unique_cap,
+        "n_warm": n_warm, "n_timed": n_timed,
+        **results,
+    }))
+    return results
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="all",
                    choices=["cube", "textured", "bunny", "cow", "sponza",
                             "cone1080p", "depth10", "slam1cm",
                             "slam1cmfull", "warmmarch",
-                            "conescale", "rgbdterm", "tum", "all"])
+                            "conescale", "rgbdterm", "tum", "hybrid",
+                            "satgate", "all"])
+    p.add_argument("--band-cap", type=int, default=0)
+    p.add_argument("--band-iters", type=int, default=24)
+    p.add_argument("--compact-after", type=int, default=8)
+    p.add_argument("--seed-halo", type=int, default=4)
+    p.add_argument("--render-only", action="store_true",
+                   help="hybrid config: skip the full-pipeline pass "
+                        "(cheaper knob sweeps)")
     p.add_argument("--rgbd-arm", type=float, default=None,
                    help="internal: run ONE w_rgbd arm in this process "
                         "(see config_rgbd_term's process-isolation note)")
@@ -785,6 +1056,11 @@ def main():
         "conescale": config_cone_scale,
         "rgbdterm": config_rgbd_term,
         "tum": config_tum,
+        "hybrid": lambda: config_hybrid(
+            band_cap=args.band_cap, band_iters=args.band_iters,
+            compact_after=args.compact_after, seed_halo=args.seed_halo,
+            full_pipeline=not args.render_only),
+        "satgate": config_satgate,
     }
     for name, fn in runs.items():
         if args.config in ("all", name):

@@ -214,6 +214,49 @@ class RunResult:
                                             # pass to save_state
 
 
+def _validate_dircache(pre: "pipeline.SLAMState", post: "pipeline.SLAMState",
+                       frame: Frame, cfg: SLAMConfig, j: int) -> None:
+    """Executable form of the dircache invariant contract (CLAUDE.md):
+    re-run frame j UNCACHED from the pre-step snapshot and assert the two
+    maps hold the identical leaf content. Raw tile/registry ORDER may
+    legitimately differ (miss overflow defers tail uniques to the pager),
+    so the comparison is the canonical sorted (key, value) union.
+    Raises RuntimeError on the first divergence — a pool-mutating feature
+    that skipped its pipeline.reset_dircache obligation fails loudly here
+    instead of silently blending into wrong nodes."""
+    pre_uc = pre._replace(
+        dir_keys=jnp.zeros((0,), jnp.int32),
+        dir_nodes=jnp.zeros((0,), jnp.int32),
+        dir_vals=jnp.zeros((0,), jnp.uint32),
+        dir_pos=jnp.zeros((0,), jnp.int32))
+    # "none" render: content comparison reads leaves only, and the lazy
+    # render modes share the same fusion path
+    ref, _ = pipeline.step(pre_uc, frame, cfg, render="none")
+
+    def canon(s):
+        k = np.asarray(s.leaves.keys)
+        v = np.asarray(s.leaves.vals)
+        live = k >= 0
+        o = np.argsort(k[live], kind="stable")
+        return k[live][o], v[live][o]
+
+    kc, vc = canon(post)
+    kr, vr = canon(ref)
+    if kc.shape != kr.shape or not (np.array_equal(kc, kr)
+                                    and np.array_equal(vc, vr)):
+        nk = int(min(kc.size, kr.size))
+        bad = (np.flatnonzero((kc[:nk] != kr[:nk])
+                              | (vc[:nk] != vr[:nk]))[:8].tolist()
+               if kc.size == kr.size else [])
+        raise RuntimeError(
+            f"dircache validation FAILED at frame {j}: cached map holds "
+            f"{kc.size} leaves vs {kr.size} uncached; first divergent "
+            f"sorted rows {bad}. A pool/registry/value mutation bypassed "
+            f"pipeline.reset_dircache (see CLAUDE.md invariant).")
+    print(json.dumps({"frame": j, "event": "dircache_validated",
+                      "leaves": int(kc.size)}), flush=True)
+
+
 def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
              cfg: SLAMConfig, initial_pose=None, gt_fn=None,
              render_every: int = 1, render_mode: str = "splat",
@@ -446,7 +489,14 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
         frame = frame_fn(i)
         render = (render_mode if render_every > 0 and (i % render_every == 0)
                   else "none")
+        check = (cfg.insert_dircache and cfg.debug_validate_dircache > 0
+                 and i > 0 and i % cfg.debug_validate_dircache == 0)
+        if check:
+            # pre-step snapshot: the hot step donates its input buffers
+            pre_state = jax.tree_util.tree_map(jnp.copy, state)
         state, out = _donated_step(cfg, render)(state, frame)
+        if check:
+            _validate_dircache(pre_state, state, frame, cfg, i)
         dev = _pack_signals(out)
         if lag:
             try:
@@ -524,6 +574,7 @@ def save_state(path: str, state: pipeline.SLAMState,
              "use_dense_mips": int(cfg.use_dense_mips),
              "track_keyframe": int(cfg.track_keyframe),
              "insert_dircache": int(cfg.insert_dircache),
+             "saturation_gate": int(cfg.saturation_gate),
              "insert_unique_cap": cfg.insert_unique_cap,
              "voxel_resolution": cfg.voxel_resolution}
             if cfg else {})
@@ -551,6 +602,7 @@ def load_state(path: str, cfg: SLAMConfig
                       ("use_dense_mips", lambda v: bool(int(v))),
                       ("track_keyframe", lambda v: bool(int(v))),
                       ("insert_dircache", lambda v: bool(int(v))),
+                      ("saturation_gate", lambda v: bool(int(v))),
                       ("insert_unique_cap", int),
                       ("voxel_resolution", float)):
         if key in z:
@@ -581,13 +633,16 @@ def load_state(path: str, cfg: SLAMConfig
     template = pipeline.init_state(cfg)
     flat, treedef = jax.tree_util.tree_flatten(template)
     n_stored = int(z["n"])
-    # pre-dircache checkpoints lack the trailing dir_* arrays (4 of them;
-    # 2 for the short-lived keys/nodes-only layout); the SLAMState appends
-    # new fields LAST, so the stored arrays line up with the template's
-    # prefix and the whole cache is reset cold below (a PARTIAL directory
-    # — keys without their value mirror — must never be used)
-    legacy_tail = (cfg.insert_dircache
-                   and n_stored in (len(flat) - 2, len(flat) - 4))
+    # SLAMState appends new fields LAST, so older checkpoints line up with
+    # the template's prefix and the missing tail is filled cold from the
+    # template: pre-saturation-gate builds lack sat_mask (1 array);
+    # pre-dircache builds additionally lack the dir_* arrays (4; 2 for the
+    # short-lived keys/nodes-only layout). A PARTIAL directory — keys
+    # without their value mirror — must never be used, so any legacy tail
+    # resets the whole cache below.
+    missing = len(flat) - n_stored
+    legacy_tail = missing in (1, 2) or (
+        cfg.insert_dircache and missing in (3, 4, 5, 6))
     if n_stored != len(flat) and not legacy_tail:
         raise ValueError(
             f"checkpoint {path!r} has {n_stored} arrays but the current "
@@ -613,6 +668,9 @@ def load_state(path: str, cfg: SLAMConfig
         # the v1 (keys/nodes-only) layout may have loaded live dir keys
         # with no value mirror — a partial directory corrupts blends
         state = pipeline.reset_dircache(state)
+        # a cold saturation mask is CORRECT (gating resumes as leaves
+        # re-saturate) but slow; warm it from the registry in one scatter
+        state = pipeline.rebuild_sat_mask(state, cfg)
     return state, cfg
 
 

@@ -64,6 +64,22 @@ class SLAMConfig:
                                  # round-2 verdict item #7 drift fix.
     keyframe_max_dist: float = 0.12     # m: re-anchor beyond this baseline
     keyframe_max_angle_deg: float = 8.0  # deg: ... or this rotation
+    icp_symmetric: bool = False  # symmetric point-to-plane residual
+                                 # r = (n1 + n2').(v1 - v2') instead of the
+                                 # reference's one-sided n1 term
+                                 # (localization_kernels.cu:207-226):
+                                 # first-order-cancels the surface-normal
+                                 # bias a one-sided linearization leaves in
+                                 # every solve (Rusinkiewicz 2019) — the
+                                 # round-3 soak diagnosis named exactly
+                                 # such a motion-proportional per-solve
+                                 # bias. A/B'd on the 200-frame soak
+                                 # (examples/soak_estimator_ab.py)
+    icp_huber_k: float = 0.0     # > 0: IRLS Huber weight w = min(1, k/|r|)
+                                 # (meters) on the point-to-plane residual
+                                 # — robustness to the depth-quantization
+                                 # tail without the reference's hard 0.1 m
+                                 # gate cliff; 0 = off (reference behavior)
     icp_dist_thresh: float = 0.1        # meters
     icp_norm_thresh: float = 0.87       # cos(30 deg)
     icp_z_min: float = 0.1              # meters (localization_kernels.cu:189)
@@ -106,6 +122,36 @@ class SLAMConfig:
                                         # scatters nets zero; kept (tested,
                                         # content-identical) for regimes
                                         # with deeper descents
+    saturation_gate: bool = False       # drop fused points whose leaf is
+                                        # already alpha-saturated BEFORE
+                                        # the key sort, via one probe of a
+                                        # dense per-leaf bitmask at
+                                        # max_depth (SLAMState.sat_mask,
+                                        # 2^(3*depth)/8 bytes: 16.8 MB at
+                                        # depth 9, 134 MB at depth 10).
+                                        # At alpha 255 the fillNodes blend
+                                        # (svo.cu:326-332) moves a color
+                                        # channel only when |new - old| >=
+                                        # 128 (weight 1/256 rounds to 0
+                                        # otherwise), so steady-state
+                                        # re-observation frames shrink to
+                                        # their genuinely-new uniques —
+                                        # pair with a smaller
+                                        # insert_unique_cap and the
+                                        # device_remainder pager for the
+                                        # full-res 1 cm win (round-3
+                                        # verdict item #2)
+    debug_validate_dircache: int = 0    # 0 = off; N > 0: every N frames
+                                        # run_slam re-runs the frame
+                                        # UNCACHED on a pre-step copy and
+                                        # asserts leaf-content identity —
+                                        # the CLAUDE.md dircache
+                                        # invariant contract as an
+                                        # executable check (app.
+                                        # _validate_dircache; a violated
+                                        # reset obligation fails loudly
+                                        # instead of silently blending
+                                        # into wrong nodes)
     insert_miss_cap: int = 0            # first-seen-key lanes per cached
                                         # insert (0 = unique_cap // 4);
                                         # frames with more misses defer the
@@ -133,6 +179,24 @@ class SLAMConfig:
                                         # 0.7 dB — the 4 px cell matches
                                         # the march's own ~5 px leaf
                                         # quantization at SLAM depths)
+    # --- hybrid cone renderer (render/hybrid.py): slab composite + seeded
+    #     exact march of the edge band (render="cone_hybrid") ---
+    cone_band_cap: int = 0              # marched band lanes (0 = pixels//4)
+    cone_band_iters: int = 12           # march trip cap for band rays;
+                                        # capped rays composite their
+                                        # partial front onto the slab
+                                        # pixel, so a low cap degrades
+                                        # gracefully (trips are the
+                                        # hybrid's whole marginal cost:
+                                        # ~2 gathers + flat while-loop
+                                        # overhead per trip)
+    cone_band_compact_after: int = 999  # >= band_iters DISABLES mid-march
+                                        # compaction (the fixed-trip fast
+                                        # path): grazers keep the live
+                                        # count above any useful width
+                                        # until the cap, and the per-trip
+                                        # liveness reduce costs as much as
+                                        # the gathers it hoped to save
     fov: float = 45.0                   # degrees (vertical), for pix footprint
 
     # --- Relocalization (relocalize.py; beyond-parity — the reference

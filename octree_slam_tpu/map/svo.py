@@ -171,6 +171,13 @@ class InsertStats(NamedTuple):
                                      #        pad) — with touched_leaf_nodes,
                                      #        next frame's directory cache
     touched_leaf_vals: jnp.ndarray   # u32[U] their post-blend values
+    sat_transition: jnp.ndarray      # bool[U] rows whose alpha crossed INTO
+                                     #         saturation (old < 255, new ==
+                                     #         255) THIS insert — exactly
+                                     #         once per leaf lifetime, so the
+                                     #         saturation-gate bitmask can
+                                     #         scatter-ADD each leaf's bit
+                                     #         (pipeline.SLAMState.sat_mask)
     # Dense-mip mirror updates (map/mips.py): every touched (cell, value) at
     # every level, ready for one scatter into RenderCache.values. Shape (1,)
     # dummies when emit_mips=False.
@@ -699,6 +706,9 @@ def insert(pool: SVONodePool, points: jnp.ndarray, colors: jnp.ndarray,
         touched_leaf_nodes=jnp.where(leaf_ok, cur, -1),
         touched_leaf_keys=jnp.where(leaf_ok, ukeys, morton.INVALID_KEY),
         touched_leaf_vals=blended,
+        sat_transition=(leaf_ok
+                        & (packing.alpha_of(old) < 255)
+                        & (packing.alpha_of(blended) == 255)),
         mip_idx=mip_idx,
         mip_val=mip_val,
     )
@@ -794,6 +804,11 @@ def insert_exact(pool: SVONodePool, keys: jnp.ndarray, values: jnp.ndarray,
         touched_leaf_nodes=jnp.where(leaf_ok, cur, -1),
         touched_leaf_keys=jnp.where(leaf_ok, ukeys, morton.INVALID_KEY),
         touched_leaf_vals=final_vals,
+        # bulk verbatim writes (tiering restore, rebuilds) don't maintain
+        # the gate mask incrementally: pool rebuilds go through
+        # tiering._rebuild_derived, which reconstructs it from the
+        # registry (pipeline.rebuild_sat_mask)
+        sat_transition=jnp.zeros((U,), bool),
         mip_idx=jnp.full((1,), jnp.int32(2**31 - 1), jnp.int32),
         mip_val=jnp.zeros((1,), jnp.uint32),
     )

@@ -190,11 +190,16 @@ def _rebuild_derived(state, cfg: SLAMConfig, pool):
     new_cfg = cfg if cap == cfg.leaf_capacity else dataclasses.replace(
         cfg, leaf_capacity=cap)
     state = state._replace(pool=pool, leaves=leaves, accel=accel,
-                           interior_stale=jnp.bool_(False))
+                           interior_stale=jnp.bool_(False),
+                           mirror_stale=jnp.bool_(False))
     # node indices just changed: a stale insert-directory entry would
-    # blend into the wrong node (pipeline.reset_dircache contract)
+    # blend into the wrong node (pipeline.reset_dircache contract);
+    # the saturation-gate bitmask is rebuilt from the LIVE registry so
+    # spilled leaves stop gating until restored
     from octree_slam_tpu import pipeline as _pipeline
-    return _pipeline.reset_dircache(state), new_cfg
+    state = _pipeline.reset_dircache(state)
+    state = _pipeline.rebuild_sat_mask(state, new_cfg)
+    return state, new_cfg
 
 
 def spill_cold(state, cfg: SLAMConfig, archive: HostArchive, *,
@@ -269,7 +274,8 @@ def restore_due(state, cfg: SLAMConfig, archive: HostArchive, *,
     # leaves written in an earlier round are non-EMPTY and skipped, only
     # the dropped ones get written. Registry appends dropped by an
     # overflowed round are recovered by grow_state's full rebuild.
-    state = state._replace(interior_stale=jnp.bool_(True))
+    state = state._replace(interior_stale=jnp.bool_(True),
+                           mirror_stale=jnp.bool_(cfg.use_dense_mips))
     while True:
         pool, stats_list = _insert_all_exact(state.pool, keys, vals, cfg,
                                              overwrite=False)
@@ -297,7 +303,9 @@ def restore_due(state, cfg: SLAMConfig, archive: HostArchive, *,
         pool = svo.refresh_interior(state.pool, depth=cfg.max_depth)
         state = state._replace(pool=pool, interior_stale=jnp.bool_(False))
         if cfg.use_dense_mips:
-            state = state._replace(accel=mips_mod.rebuild_from_pool(
-                pool, max_depth=cfg.max_depth, dist_level=lvl,
-                max_skip=cfg.dist_max_skip))
+            state = state._replace(
+                accel=mips_mod.rebuild_from_pool(
+                    pool, max_depth=cfg.max_depth, dist_level=lvl,
+                    max_skip=cfg.dist_max_skip),
+                mirror_stale=jnp.bool_(False))
     return state, cfg, int(keys.size)

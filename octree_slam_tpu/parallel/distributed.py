@@ -482,6 +482,56 @@ def render_sharded_map(smap: ShardedMap, world_T_cam, fx, fy,
         world_T_cam, fx, fy, cfg, mesh, axis_name=axis_name)
 
 
+def render_sharded_cone(smap: ShardedMap, world_T_cam, fx, fy,
+                        cfg: SLAMConfig, mesh: Mesh,
+                        axis_name: str = "map") -> jnp.ndarray:
+    """Cone-composite the Morton-sharded map: the single-chip production
+    cone renderer (render/conesplat.py slab compositor) distributed the
+    same way splat_sharded distributes the z-buffer.
+
+    Each device projects + scatter-mins ONLY its own leaf shard into the
+    slab-cell word buffer (conesplat.slab_scatter_min), ONE `pmin` of the
+    packed (prio9 | inv_alpha7 | rgb555) words over ICI composites —
+    min-per-shard then min-across-shards is bit-identical to the global
+    scatter-min — and the shared front-to-back composite tail runs
+    replicated. Traffic: total_cells words/frame (~1.6 MB at 640x480 with
+    the default 16-slab spec), same order as splat_sharded's z-buffer.
+    Parity vs the single-chip render="cone" image is proven on the CPU
+    mesh (tests/test_run2d.py): the packed WORD buffer is bit-identical;
+    the f32 composite tail of those words compiles to a slightly
+    different fusion order under shard_map, so the images agree to 1 ULP
+    rather than bitwise."""
+    from jax import shard_map
+    from octree_slam_tpu.render import conesplat
+
+    spec = conesplat.make_slab_spec(
+        width=cfg.width, height=cfg.height, fx=cfg.focal_x,
+        leaf_size=cfg.voxel_resolution, z_near=cfg.cone_znear,
+        z_far=cfg.max_range, n_slabs=cfg.cone_slabs,
+        max_scale=cfg.cone_max_scale)
+
+    def words(vals_s, keys_s, c_s, h_s, T_s):
+        vals = vals_s.reshape(-1)
+        keys = keys_s.reshape(-1)
+        live = keys >= 0
+        buf = conesplat.slab_scatter_min(
+            vals, keys, live, c_s, h_s, T_s, fx, fy, spec=spec,
+            depth=cfg.max_depth)
+        return jax.lax.pmin(buf, axis_name)
+
+    # only the leaf-sharded scatter + word pmin need shard_map; the
+    # composite tail is plain pixel-parallel math on the replicated word
+    # buffer, left to the SPMD partitioner (it can split it over a "px"
+    # axis on a 2-D mesh)
+    buf = shard_map(
+        words, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P(), P()),
+        out_specs=P(),
+    )(smap.leaves.vals, smap.leaves.keys,
+      smap.pool.center[0], smap.pool.half_size[0], world_T_cam)
+    return conesplat.composite_min_words(buf, spec=spec)
+
+
 def make_mesh2(n_px: int, n_map: int) -> Mesh:
     """2-D device mesh ("px", "map"): tracking parallelism on one axis,
     Morton-range map parallelism on the other — the DP x TP-style
@@ -493,7 +543,8 @@ def make_mesh2(n_px: int, n_map: int) -> Mesh:
                 ("px", "map"))
 
 
-def slam_step_2d(cfg: SLAMConfig, mesh: Mesh):
+def slam_step_2d(cfg: SLAMConfig, mesh: Mesh, render: str = "splat",
+                 sticky_gate: bool = False):
     """The FULL distributed SLAM frame over a 2-D ("px", "map") mesh, one
     jitted program:
 
@@ -504,12 +555,19 @@ def slam_step_2d(cfg: SLAMConfig, mesh: Mesh):
         map shards ("map": shard-local key filter, per-shard batched
         insert + in-device unique-cap paging, one psum for the global
         unique count);
-      * rendering z-buffers each map shard and composites with one pmin
-        over the "map" axis.
+      * rendering: "splat" z-buffers each map shard and composites with
+        one pmin over the "map" axis; "cone" runs the production slab
+        cone compositor the same way (render_sharded_cone); "none"
+        returns a zero framebuffer (tracking+fusion only).
 
-    State = (last_pyramid, pose, initialized, ShardedMap). Tracking is
-    identical math to pipeline.step (frame-to-frame ICP, divergence
-    gates fusion per-frame); the map lives only in the shards.
+    State = (last_pyramid, pose, initialized, ShardedMap, diverged).
+    Tracking is identical math to pipeline.step (frame-to-frame ICP).
+    sticky_gate mirrors pipeline.step's recovery contract: with it, the
+    diverged flag LATCHES and gates fusion until the host loop's
+    relocalization clears it (run2d.run_slam_2d); without it the gate is
+    per-frame only — a transient bad frame is skipped, fusion resumes
+    when tracking re-locks (the reference's per-frame abort,
+    rgbd_camera.cpp:148-151).
 
     Returns step(state, frame) -> (state', (framebuffer, pose, signals))
     where signals is a packed f32[8] health vector
@@ -521,26 +579,31 @@ def slam_step_2d(cfg: SLAMConfig, mesh: Mesh):
     from octree_slam_tpu.sensor import tracking as tr
 
     def fn(state, frame):
-        last_pyramid, pose, initialized, smap = state
+        last_pyramid, pose, initialized, smap, diverged = state
         pyramid = tr.build_pyramid(frame.depth, frame.color, cfg)
         update_T, tstats = tr.track(list(last_pyramid), list(pyramid), cfg)
         eye = jnp.eye(4, dtype=jnp.float32)
         update_T = jnp.where(initialized, update_T, eye)
         new_pose = pose @ update_T
+        new_div = diverged | (initialized & tstats.diverged)
 
         v = pyramid[cfg.fuse_level].vertex.reshape(-1, 3)
         world_pts = v @ new_pose[:3, :3].T + new_pose[:3, 3]
         colors = pipeline._fuse_colors(frame, cfg)
-        # per-frame divergence gate (pipeline.step semantics without the
-        # sticky-recovery machinery: a bad frame is skipped, fusion
-        # resumes when tracking re-locks)
-        ok = ~(initialized & tstats.diverged)
-        world_pts = jnp.where(ok, world_pts, jnp.inf)
+        gate = new_div if sticky_gate else (initialized & tstats.diverged)
+        world_pts = jnp.where(~gate, world_pts, jnp.inf)
 
         smap, total = insert_sharded(smap, world_pts, colors, cfg, mesh)
-        fb = render_sharded_map(smap, new_pose, cfg.focal_x, cfg.focal_y,
-                                cfg, mesh)
-        new_state = (tuple(pyramid), new_pose, jnp.bool_(True), smap)
+        if render == "cone":
+            fb = render_sharded_cone(smap, new_pose, cfg.focal_x,
+                                     cfg.focal_y, cfg, mesh)
+        elif render == "splat":
+            fb = render_sharded_map(smap, new_pose, cfg.focal_x,
+                                    cfg.focal_y, cfg, mesh)
+        else:
+            fb = jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
+        new_state = (tuple(pyramid), new_pose, jnp.bool_(True), smap,
+                     new_div)
         # Packed health/growth signals — ONE small fetch serves the host
         # loop (run2d), which reads it TRAILING one frame so a frame costs
         # max(step, RTT), the pipeline.run_slam fetch protocol. Plain array
@@ -552,7 +615,7 @@ def slam_step_2d(cfg: SLAMConfig, mesh: Mesh):
             jnp.max(smap.leaves.count).astype(jnp.float32),
             jnp.any(smap.pool.overflowed).astype(jnp.float32),
             jnp.any(smap.leaves.overflowed).astype(jnp.float32),
-            (initialized & tstats.diverged).astype(jnp.float32),
+            new_div.astype(jnp.float32),
             # inliers/residual are per-pyramid-level vectors; report the
             # finest tracked level (index 0, the last GN iterations)
             tstats.residual.ravel()[0].astype(jnp.float32),
@@ -560,22 +623,81 @@ def slam_step_2d(cfg: SLAMConfig, mesh: Mesh):
         ])
         return new_state, (fb, new_pose, signals)
 
-    # No in_shardings pins: the initial state is placed by slam_init_2d
-    # (ShardedMap device_put over "map"; pose/flags replicated), frames by
-    # the caller's device_put over "px", and the carried pyramid loops
-    # back however the previous step's partitioner left it. Committed
-    # argument shardings drive the SPMD partitioner directly.
-    return jax.jit(fn)
+    # PINNED state shardings: the map P("map")-stacked, everything else
+    # replicated, frames row-sharded over "px". Early builds left these
+    # unpinned ("committed argument shardings drive the partitioner"),
+    # which worked until the host loop REBUILT the step mid-run (growth):
+    # the carried pyramid then arrived laid out by the old executable and
+    # the fresh compile of the cone path mis-bound its runtime buffers
+    # (INVALID_ARGUMENT "expected parameter 0 of size 4"). Explicit pins
+    # make the state placement a stable contract across step rebuilds —
+    # jit re-shards any differently-placed input to match.
+    from octree_slam_tpu.core.types import PyramidLevel
+    rep = NamedSharding(mesh, P())
+    ms = NamedSharding(mesh, P(axis_name_of(mesh)))
+    pyr_spec = tuple(
+        PyramidLevel(vertex=rep, normal=rep, intensity=rep)
+        for _ in range(cfg.pyramid_depth))
+    smap_spec = ShardedMap(
+        pool=SVONodePool(child=ms, value=ms, n_nodes=ms, center=ms,
+                         half_size=ms, overflowed=ms),
+        leaves=LeafList(keys=ms, nodes=ms, vals=ms, node2pos=ms,
+                        count=ms, overflowed=ms),
+        bounds=ms)
+    state_spec = (pyr_spec, rep, rep, smap_spec, rep)
+    out_spec = (state_spec, (rep, rep, rep))
+    return jax.jit(fn,
+                   in_shardings=(state_spec, frame_sharding(mesh, "px")),
+                   out_shardings=out_spec)
+
+
+def axis_name_of(mesh: Mesh, preferred: str = "map") -> str:
+    """The map axis name on this mesh ("map" when present, else the sole
+    axis — make_mesh(axis_name="map") and make_mesh2 both qualify)."""
+    names = list(mesh.shape.keys())
+    return preferred if preferred in names else names[-1]
 
 
 def slam_init_2d(cfg: SLAMConfig, mesh: Mesh, map_center=(0.0, 0.0, 0.0),
                  initial_pose=None):
-    """Initial (pyramid, pose, initialized, ShardedMap) for slam_step_2d."""
+    """Initial (pyramid, pose, initialized, ShardedMap, diverged) for
+    slam_step_2d."""
     from octree_slam_tpu import pipeline
     pose = (jnp.eye(4, dtype=jnp.float32) if initial_pose is None
             else jnp.asarray(initial_pose, jnp.float32))
     return (tuple(pipeline._empty_pyramid(cfg)), pose, jnp.bool_(False),
-            make_sharded_map(cfg, mesh, map_center=map_center))
+            make_sharded_map(cfg, mesh, map_center=map_center),
+            jnp.bool_(False))
+
+
+def model_zbuffer_sharded(smap: ShardedMap, pose, cfg: SLAMConfig,
+                          mesh: Mesh, axis_name: str = "map"
+                          ) -> jnp.ndarray:
+    """Packed splat z-buffer of the SHARDED map as seen from `pose` — the
+    model view relocalization renders candidates against
+    (relocalize.model_pyramid's z-buffer, with the per-shard scatter +
+    one pmin composite of splat_sharded). Returns the replicated
+    i32[H*W] packed (depth<<16 | rgb565) buffer; the caller finishes with
+    relocalize.pyramid_from_zbuffer."""
+    from jax import shard_map
+    from octree_slam_tpu.render import splat as sp
+
+    def local(vals_s, keys_s, c_s, h_s, T_s):
+        vals = vals_s.reshape(-1)
+        keys = keys_s.reshape(-1)
+        live = keys >= 0
+        buf = sp.splat_zbuffer(vals, keys, live, c_s, h_s, T_s,
+                               cfg.focal_x, cfg.focal_y, width=cfg.width,
+                               height=cfg.height, depth=cfg.max_depth,
+                               max_range=cfg.max_range)
+        return jax.lax.pmin(buf, axis_name)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P(), P()),
+        out_specs=P(),
+    )(smap.leaves.vals, smap.leaves.keys,
+      smap.pool.center[0], smap.pool.half_size[0], pose)
 
 
 def icp_psum(v1, n1, v2, n2, cfg: SLAMConfig, mesh: Mesh,

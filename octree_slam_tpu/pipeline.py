@@ -76,6 +76,31 @@ class SLAMState(NamedTuple):
     dir_nodes: jnp.ndarray     # i32[U] leaf node indices, -1 = dead row
     dir_vals: jnp.ndarray      # u32[U] the keys' current packed values
     dir_pos: jnp.ndarray       # i32[U] registry positions, -1 = unknown
+    # Saturation-gate bitmask (cfg.saturation_gate; (0,) when off):
+    # bit (key & 31) of word (key >> 5) is 1 iff the leaf at that morton
+    # key reached alpha == 255. Points landing in a set-bit leaf are
+    # dropped BEFORE the insert's key sort — at alpha 255 the blend moves
+    # a channel only for |new - old| >= 128, so re-observation is a
+    # quantization no-op (fillNodes weight a/256, svo.cu:326-332). Bits
+    # are set by scatter-ADD on the once-per-leaf-lifetime saturation
+    # transition (InsertStats.sat_transition); any pool REBUILD that
+    # changes the key space (reroot) or drops leaves (tiering spill) must
+    # rebuild it from the live registry (rebuild_sat_mask, wired into
+    # tiering._rebuild_derived). Capacity growth by plain pad keeps keys
+    # and the mask valid.
+    sat_mask: jnp.ndarray      # u32[2^(3*max_depth) / 32]
+    # Dense-mirror staleness for the HYBRID renderer (use_dense_mips
+    # runs; scalar False otherwise): True when some lazy frame since the
+    # last full rebuild did NOT maintain the mirror's leaf level +
+    # occupancy (splat/cone/none frames skip even the cheap leaf_mirror
+    # scatters). The cone_hybrid branch heals it in one lax.cond
+    # (refresh_interior + rebuild_from_pool) before fusing — without
+    # this, switching render modes mid-run (or run_slam's
+    # render_every > 1 "none" frames) would hand the band march a stale
+    # leaf mip and it would march through geometry. Distinct from
+    # interior_stale: eager frames update the mirror INCREMENTALLY, which
+    # cannot heal staleness accumulated before them.
+    mirror_stale: jnp.ndarray  # bool[]
 
 
 class StepOutput(NamedTuple):
@@ -129,7 +154,8 @@ def heal_for_march(state: "SLAMState", cfg: SLAMConfig):
 def _fuse_once(pool, leaves, accel, world_pts, colors, valid,
                cfg: SLAMConfig, *, eager: bool,
                min_key=None, with_dist: bool, dircache=None,
-               want_tpos: bool = False):
+               want_tpos: bool = False, leaf_mirror: bool = False,
+               sat_mask=None):
     """One insert pass + registry append + accel maintenance — the single
     definition behind the step's primary insert, its in-device remainder
     pages, and the host-driven insert_remainder (they previously drifted:
@@ -174,7 +200,44 @@ def _fuse_once(pool, leaves, accel, world_pts, colors, valid,
                                 max_depth=cfg.max_depth, dist_level=lvl,
                                 max_skip=cfg.dist_max_skip,
                                 with_dist=with_dist)
-    return pool, leaves, accel, st, tpos
+    elif leaf_mirror and cfg.use_dense_mips:
+        # Hybrid-renderer lazy maintenance: the band march samples ONLY
+        # the leaf level + the dist field's occupancy, so lazy frames can
+        # keep it current with one leaf-value scatter + one occupancy
+        # scatter (new leaves are the only events that newly occupy a
+        # dist cell) instead of the eager interior mipmap. The distance
+        # transform itself is refreshed once per hybrid frame by step's
+        # lax.cond on new-leaf activity; interior mip levels STAY STALE
+        # (interior_stale protocol unchanged).
+        total = mips_mod.total_cells(cfg.max_depth)
+        tkeys = st.touched_leaf_keys
+        tval = tkeys != morton.INVALID_KEY
+        flat = jnp.where(
+            tval, mips_mod.flat_index(tkeys, cfg.max_depth, cfg.max_depth),
+            total)
+        values = accel.values.at[flat].set(st.touched_leaf_vals,
+                                           mode="drop")
+        g = 1 << lvl
+        nk = st.new_leaf_keys
+        nval = nk >= 0
+        lx, ly, lz = mips_mod.deinterleave3(
+            jnp.where(nval, nk >> (3 * (cfg.max_depth - lvl)), 0), lvl)
+        xyz = (lz << (2 * lvl)) | (ly << lvl) | lx
+        occ = accel.occ.at[jnp.where(nval, xyz, g * g * g)].set(
+            True, mode="drop")
+        accel = accel._replace(values=values, occ=occ)
+    if sat_mask is not None and sat_mask.shape[0] > 0:
+        # Saturation-gate maintenance: set each NEWLY saturated leaf's
+        # bit. sat_transition fires exactly once per leaf lifetime (and
+        # gated leaves are never re-blended), so scatter-ADD of the
+        # per-row bit is an exact OR even when several rows share a word.
+        tr = st.sat_transition
+        tk = jnp.where(tr, st.touched_leaf_keys, 0)
+        widx = jnp.where(tr, tk >> 5, sat_mask.shape[0])
+        bits = jnp.where(tr, jnp.uint32(1) << (tk & 31).astype(jnp.uint32),
+                         jnp.uint32(0))
+        sat_mask = sat_mask.at[widx].add(bits, mode="drop")
+    return pool, leaves, accel, sat_mask, st, tpos
 
 
 def _fuse_colors(frame: Frame, cfg: SLAMConfig) -> jnp.ndarray:
@@ -248,7 +311,32 @@ def init_state(cfg: SLAMConfig, map_center=(0.0, 0.0, 0.0),
         dir_pos=(jnp.full((cfg.insert_unique_cap,), -1, jnp.int32)
                  if cfg.insert_dircache
                  else jnp.zeros((0,), jnp.int32)),
+        sat_mask=(jnp.zeros(((1 << (3 * cfg.max_depth)) // 32,), jnp.uint32)
+                  if cfg.saturation_gate
+                  else jnp.zeros((0,), jnp.uint32)),
+        mirror_stale=jnp.bool_(False),
     )
+
+
+def rebuild_sat_mask(state: SLAMState, cfg: SLAMConfig) -> SLAMState:
+    """Reconstruct the saturation-gate bitmask from the LIVE leaf registry
+    (alpha == 255 leaves only) — REQUIRED after any operation that changes
+    the key space (reroot) or removes leaves from the pool (tiering
+    spill): a stale set bit for a live unsaturated key would silently
+    drop its observations, and spilled leaves should re-gate only once
+    restored. Registry keys are unique, so one scatter-ADD of each key's
+    bit is an exact OR."""
+    if state.sat_mask.shape[0] == 0:
+        return state
+    lv = state.leaves
+    from octree_slam_tpu.core import packing
+    sat = (lv.keys >= 0) & (packing.alpha_of(lv.vals) == 255)
+    k = jnp.where(sat, lv.keys, 0)
+    widx = jnp.where(sat, k >> 5, state.sat_mask.shape[0])
+    bits = jnp.where(sat, jnp.uint32(1) << (k & 31).astype(jnp.uint32),
+                     jnp.uint32(0))
+    mask = jnp.zeros_like(state.sat_mask).at[widx].add(bits, mode="drop")
+    return state._replace(sat_mask=mask)
 
 
 def reset_dircache(state: SLAMState) -> SLAMState:
@@ -408,18 +496,31 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     eager = (not cfg.lazy_interior) or (render == "cone_march")
     lvl = _accel_level(cfg)
     pool_in, accel_in = state.pool, state.accel
-    if eager and cfg.lazy_interior:
-        def _heal(operand):
-            p, a = operand
-            p = svo.refresh_interior(p, depth=cfg.max_depth)
-            if cfg.use_dense_mips:
-                a = mips_mod.rebuild_from_pool(
-                    p, max_depth=cfg.max_depth, dist_level=lvl,
-                    max_skip=cfg.dist_max_skip)
-            return p, a
 
+    def _heal(operand):
+        p, a = operand
+        p = svo.refresh_interior(p, depth=cfg.max_depth)
+        if cfg.use_dense_mips:
+            a = mips_mod.rebuild_from_pool(
+                p, max_depth=cfg.max_depth, dist_level=lvl,
+                max_skip=cfg.dist_max_skip)
+        return p, a
+
+    if eager and cfg.lazy_interior:
+        # eager frames update the mirror INCREMENTALLY, so staleness
+        # accumulated by earlier lazy frames (interior values OR a
+        # mirror left behind by non-mirror-maintaining renders) must be
+        # healed first
         pool_in, accel_in = jax.lax.cond(
-            state.interior_stale, _heal, lambda o: o, (pool_in, accel_in))
+            state.interior_stale | state.mirror_stale, _heal,
+            lambda o: o, (pool_in, accel_in))
+    elif render == "cone_hybrid" and cfg.use_dense_mips \
+            and cfg.lazy_interior:
+        # hybrid frames maintain the leaf level + occupancy themselves
+        # (leaf_mirror scatters below), but only on top of a CURRENT
+        # mirror: heal once after any splat/cone/none lazy frames
+        pool_in, accel_in = jax.lax.cond(
+            state.mirror_stale, _heal, lambda o: o, (pool_in, accel_in))
 
     v = pyramid[cfg.fuse_level].vertex.reshape(-1, 3)
     world_pts = v @ pose[:3, :3].T + pose[:3, 3]
@@ -434,6 +535,19 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     gate = diverged if cfg.recovery_enabled \
         else (state.initialized & tstats.diverged)
     fuse_ok = jnp.broadcast_to(~gate, (world_pts.shape[0],))
+    if cfg.saturation_gate:
+        # Saturation pre-gate (round-3 verdict #2): points whose leaf is
+        # already alpha-saturated are a quantization no-op to blend —
+        # drop them BEFORE the sort via one bitmask gather, so the
+        # frame's genuinely-new uniques (not its full re-observation
+        # load) size the per-unique work. Early frames overflow the
+        # (smaller) unique_cap and page via device_remainder; steady
+        # state fits one pass.
+        gkeys, gvalid = morton.encode(world_pts, pool_in.center,
+                                      pool_in.half_size, cfg.max_depth)
+        word = state.sat_mask[jnp.where(gvalid, gkeys >> 5, 0)]
+        satbit = (word >> (gkeys & 31).astype(jnp.uint32)) & jnp.uint32(1)
+        fuse_ok = fuse_ok & ~(gvalid & (satbit == 1))
     # Directory cache (cfg.insert_dircache): last frame's key ->
     # (node, value, registry position) map lets the PRIMARY insert skip
     # its descent + value gather + node2pos gather for repeat keys. Lazy
@@ -445,10 +559,14 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     have_dir = state.dir_keys.shape[0] > 0
     dircache = ((state.dir_keys, state.dir_nodes, state.dir_vals,
                  state.dir_pos) if (not eager) and have_dir else None)
-    pool, leaves, accel, istats, tpos = _fuse_once(
+    needs_mirror = (render == "cone_hybrid") and cfg.use_dense_mips \
+        and not eager
+    pool, leaves, accel, sat_mask, istats, tpos = _fuse_once(
         pool_in, state.leaves, accel_in, world_pts, colors, fuse_ok, cfg,
-        eager=eager, with_dist=(render == "cone_march"),
-        dircache=dircache, want_tpos=have_dir)
+        eager=eager,
+        with_dist=(render in ("cone_march", "cone_hybrid")),
+        dircache=dircache, want_tpos=have_dir, leaf_mirror=needs_mirror,
+        sat_mask=state.sat_mask)
 
     if cfg.device_remainder:
         # Unique-cap remainder ON DEVICE: while a frame still has distinct
@@ -462,17 +580,20 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
             return c[0]
 
         def _page(c):
-            _, last_key, pool_c, leaves_c, accel_c = c
-            pool_n, leaves_n, accel_n, st, _ = _fuse_once(
+            _, last_key, pool_c, leaves_c, accel_c, sat_c = c
+            pool_n, leaves_n, accel_n, sat_n, st, _ = _fuse_once(
                 pool_c, leaves_c, accel_c, world_pts, colors, fuse_ok,
-                cfg, eager=eager, min_key=last_key, with_dist=False)
+                cfg, eager=eager, min_key=last_key, with_dist=False,
+                leaf_mirror=needs_mirror, sat_mask=sat_c)
             return (st.unique_overflow, st.last_key, pool_n, leaves_n,
-                    accel_n)
+                    accel_n, sat_n)
 
-        uo_out, lk_out, pool, leaves, accel = jax.lax.while_loop(
+        uo_out, lk_out, pool, leaves, accel, sat_mask = jax.lax.while_loop(
             _more, _page,
-            (istats.unique_overflow, istats.last_key, pool, leaves, accel))
-        if cfg.use_dense_mips and eager and render == "cone_march":
+            (istats.unique_overflow, istats.last_key, pool, leaves, accel,
+             sat_mask))
+        if cfg.use_dense_mips and eager and render in ("cone_march",
+                                                       "cone_hybrid"):
             # pages update occupancy with with_dist=False; if any ran,
             # re-run the distance transform so THIS frame's march does not
             # empty-space-skip through the just-inserted tail geometry
@@ -498,6 +619,37 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
         fb = conesplat.render_cone_splat(
             leaves, pool.center, pool.half_size, pose,
             cfg.focal_x, cfg.focal_y, spec=spec, depth=cfg.max_depth)
+    elif render == "cone_hybrid":
+        # Production cone mode: slab composite + seeded exact march of the
+        # edge band (render/hybrid.py). Stays on LAZY frames: the band
+        # march reads only the leaf mip level + the dist field, which
+        # _fuse_once's leaf_mirror scatters keep current; the distance
+        # transform re-runs only when this frame created leaves (steady
+        # state skips it). Requires cfg.use_dense_mips.
+        from octree_slam_tpu.render import hybrid as hybrid_mod
+        assert cfg.use_dense_mips, \
+            "render='cone_hybrid' needs cfg.use_dense_mips (the band " \
+            "march samples the dense leaf mip)"
+        if needs_mirror:
+            had_new = (istats.new_leaf_count > 0) | istats.unique_overflow
+            accel = jax.lax.cond(
+                had_new,
+                lambda a: mips_mod.refresh_dist(
+                    a, dist_level=lvl, max_skip=cfg.dist_max_skip),
+                lambda a: a, accel)
+        from octree_slam_tpu.render import conesplat
+        spec = conesplat.make_slab_spec(
+            width=cfg.width, height=cfg.height, fx=cfg.focal_x,
+            leaf_size=cfg.voxel_resolution, z_near=cfg.cone_znear,
+            z_far=cfg.max_range, n_slabs=cfg.cone_slabs,
+            max_scale=cfg.cone_max_scale)
+        fb = hybrid_mod.render_cone_hybrid(
+            leaves, accel, pool.center, pool.half_size, pose,
+            cfg.focal_x, cfg.focal_y, spec=spec, depth=cfg.max_depth,
+            dist_level=lvl, max_range=cfg.max_range,
+            start_dist=cfg.start_dist, band_cap=cfg.cone_band_cap,
+            band_iters=cfg.cone_band_iters,
+            compact_after=cfg.cone_band_compact_after)
     elif render == "cone_march":
         if cfg.use_dense_mips:
             s = max(1, cfg.cone_scale)
@@ -555,6 +707,12 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
         dir_vals=(istats.touched_leaf_vals
                   if have_dir else state.dir_vals),
         dir_pos=(tpos if have_dir else state.dir_pos),
+        sat_mask=sat_mask,
+        # eager frames healed + updated the mirror; hybrid lazy frames
+        # healed + maintained its leaf level; every other lazy frame
+        # leaves it behind (see SLAMState.mirror_stale)
+        mirror_stale=(jnp.bool_(not (eager or needs_mirror))
+                      if cfg.use_dense_mips else state.mirror_stale),
     )
     out = StepOutput(
         framebuffer=fb,
@@ -585,14 +743,27 @@ def insert_remainder(state: SLAMState, frame: Frame, cfg: SLAMConfig,
     v = state.last_pyramid[cfg.fuse_level].vertex.reshape(-1, 3)
     world_pts = v @ state.pose[:3, :3].T + state.pose[:3, 3]
     colors = _fuse_colors(frame, cfg)
+    valid = None
+    if cfg.saturation_gate:
+        # same pre-gate as step: remainder keys (> min_key) were not
+        # touched by earlier passes, so their bits are unchanged and the
+        # probe is exact
+        gkeys, gvalid = morton.encode(world_pts, state.pool.center,
+                                      state.pool.half_size, cfg.max_depth)
+        word = state.sat_mask[jnp.where(gvalid, gkeys >> 5, 0)]
+        satbit = (word >> (gkeys & 31).astype(jnp.uint32)) & jnp.uint32(1)
+        valid = ~(gvalid & (satbit == 1))
     eager = not cfg.lazy_interior
-    pool, leaves, accel, istats, _ = _fuse_once(
-        state.pool, state.leaves, state.accel, world_pts, colors, None,
-        cfg, eager=eager, min_key=min_key, with_dist=False)
+    pool, leaves, accel, sat_mask, istats, _ = _fuse_once(
+        state.pool, state.leaves, state.accel, world_pts, colors, valid,
+        cfg, eager=eager, min_key=min_key, with_dist=False,
+        sat_mask=state.sat_mask)
     new_state = state._replace(
-        pool=pool, leaves=leaves, accel=accel,
+        pool=pool, leaves=leaves, accel=accel, sat_mask=sat_mask,
         # a lazy remainder skips the interior mipmap + mirror updates: the
         # flag must record that even if the step that consumed this frame
         # was eager (cone_march) and had cleared it
-        interior_stale=state.interior_stale | jnp.bool_(not eager))
+        interior_stale=state.interior_stale | jnp.bool_(not eager),
+        mirror_stale=state.mirror_stale
+        | jnp.bool_(cfg.use_dense_mips and not eager))
     return new_state, (istats.unique_overflow, istats.last_key)

@@ -41,21 +41,13 @@ from octree_slam_tpu.render.splat import EMPTY, LeafList, \
 from octree_slam_tpu.sensor import tracking
 
 
-def model_pyramid(leaves: LeafList, center: jnp.ndarray, half_size,
-                  pose: jnp.ndarray, cfg: SLAMConfig):
-    """Synthetic vertex/normal pyramid of the MAP as seen from `pose`:
-    splat the leaf registry into a packed z-buffer, unpack quantized depth
-    (0.3 mm steps at 10 m — well under the leaf size), and run the standard
-    sensor preprocessing. Good for COARSE alignment only: occupancy leaves
-    render blocky and the nearest-fill dilation biases depth toward the
-    camera (per-frame hot-path model tracking was measured to degrade ATE
-    0.22 -> 0.90 m and rejected; recovery needs only cm-scale accuracy)."""
-    live = (jnp.arange(leaves.keys.shape[0]) < leaves.count) \
-        & (leaves.keys >= 0)
-    buf = splat_zbuffer(leaves.vals, leaves.keys, live, center, half_size,
-                        pose, cfg.focal_x, cfg.focal_y,
-                        width=cfg.width, height=cfg.height,
-                        depth=cfg.max_depth, max_range=cfg.max_range)
+def pyramid_from_zbuffer(buf: jnp.ndarray, cfg: SLAMConfig):
+    """Packed splat z-buffer (i32[H*W], depth<<16 | rgb565) -> synthetic
+    vertex/normal pyramid: unpack quantized depth (0.3 mm steps at 10 m —
+    well under the leaf size) and run the standard sensor preprocessing.
+    Shared by the single-chip model_pyramid and the sharded recovery path
+    (distributed.model_zbuffer_sharded produces the same buffer with a
+    per-shard scatter + pmin)."""
     # leaf centers splat one point each: close sub-footprint holes before
     # differencing normals, or the model view is unusably sparse
     buf = dilate_zbuffer(buf, width=cfg.width, height=cfg.height,
@@ -70,13 +62,28 @@ def model_pyramid(leaves: LeafList, center: jnp.ndarray, half_size,
     return tracking.build_pyramid(depth_mm, color, cfg, allow_pallas=False)
 
 
-def _score_one(leaves: LeafList, center: jnp.ndarray, half_size,
-               candidate: jnp.ndarray, live_pyramid, cfg: SLAMConfig
-               ) -> jnp.ndarray:
-    """Render the map at `candidate`, ICP the live pyramid against it.
-    Returns one packed f32[19] row: pose.ravel() ++ [inliers, residual, ok]
-    where pose = candidate @ update."""
-    model_pyr = model_pyramid(leaves, center, half_size, candidate, cfg)
+def model_pyramid(leaves: LeafList, center: jnp.ndarray, half_size,
+                  pose: jnp.ndarray, cfg: SLAMConfig):
+    """Synthetic vertex/normal pyramid of the MAP as seen from `pose`:
+    splat the leaf registry into a packed z-buffer, then
+    pyramid_from_zbuffer. Good for COARSE alignment only: occupancy leaves
+    render blocky and the nearest-fill dilation biases depth toward the
+    camera (per-frame hot-path model tracking was measured to degrade ATE
+    0.22 -> 0.90 m and rejected; recovery needs only cm-scale accuracy)."""
+    live = (jnp.arange(leaves.keys.shape[0]) < leaves.count) \
+        & (leaves.keys >= 0)
+    buf = splat_zbuffer(leaves.vals, leaves.keys, live, center, half_size,
+                        pose, cfg.focal_x, cfg.focal_y,
+                        width=cfg.width, height=cfg.height,
+                        depth=cfg.max_depth, max_range=cfg.max_range)
+    return pyramid_from_zbuffer(buf, cfg)
+
+
+def _score_pyramid(model_pyr, candidate: jnp.ndarray, live_pyramid,
+                   cfg: SLAMConfig) -> jnp.ndarray:
+    """ICP the live pyramid against a rendered model pyramid. Returns one
+    packed f32[19] row: pose.ravel() ++ [inliers, residual, ok] where
+    pose = candidate @ update."""
     update_T, stats = tracking.track(list(model_pyr), list(live_pyramid),
                                      cfg)
     pose = candidate @ update_T
@@ -94,6 +101,25 @@ def _score_one(leaves: LeafList, center: jnp.ndarray, half_size,
         pose.ravel(),
         jnp.stack([inliers.astype(jnp.float32), residual,
                    ok.astype(jnp.float32)])])
+
+
+def _score_one(leaves: LeafList, center: jnp.ndarray, half_size,
+               candidate: jnp.ndarray, live_pyramid, cfg: SLAMConfig
+               ) -> jnp.ndarray:
+    """Render the map at `candidate`, ICP the live pyramid against it."""
+    model_pyr = model_pyramid(leaves, center, half_size, candidate, cfg)
+    return _score_pyramid(model_pyr, candidate, live_pyramid, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def score_zbuffer(buf: jnp.ndarray, candidate: jnp.ndarray, live_pyramid,
+                  cfg: SLAMConfig) -> jnp.ndarray:
+    """Score ONE candidate from a pre-rendered packed z-buffer (the
+    sharded recovery path: distributed.model_zbuffer_sharded renders the
+    Morton-sharded map, this scores it replicated). Same f32[19] row as
+    score_candidates."""
+    model_pyr = pyramid_from_zbuffer(buf, cfg)
+    return _score_pyramid(model_pyr, candidate, live_pyramid, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

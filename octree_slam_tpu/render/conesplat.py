@@ -85,7 +85,15 @@ from octree_slam_tpu.core import packing
 from octree_slam_tpu.map import morton
 from octree_slam_tpu.render.splat import LeafList
 
-EMPTY = jnp.int32(0x7FFFFFFF)
+# A host scalar, NOT jnp.int32: a module-level device array would be a
+# COMMITTED device-0 constant baked into every program that captures it —
+# on a multi-device mesh the second executable built around it dies with
+# INVALID_ARGUMENT parameter-binding errors (measured: rebuilding the
+# sharded cone step with an identical config failed until this changed;
+# core/packing.py documents the same rule for EMPTY_VALUE).
+import numpy as _np
+
+EMPTY = _np.int32(0x7FFFFFFF)
 
 
 class SlabSpec(NamedTuple):
@@ -207,27 +215,68 @@ def _upsample(img: jnp.ndarray, scale: int, bilinear: bool) -> jnp.ndarray:
     return img
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "depth", "accumulate",
-                                             "bilinear", "dilate", "blend"))
-def render_cone_splat(leaves: LeafList, center: jnp.ndarray, half_size,
-                      world_T_cam: jnp.ndarray, fx, fy, *,
-                      spec: SlabSpec, depth: int, accumulate: bool = False,
-                      bilinear: bool = False, dilate: int = 1,
-                      blend: float = 0.0) -> jnp.ndarray:
-    """Cone-composite the occupied leaf set to f32[H, W, 4].
+def slab_scatter_min(vals: jnp.ndarray, keys: jnp.ndarray,
+                     live: jnp.ndarray, center: jnp.ndarray, half_size,
+                     world_T_cam: jnp.ndarray, fx, fy, *,
+                     spec: SlabSpec, depth: int) -> jnp.ndarray:
+    """The scatter half of the min-mode slab render, over RAW leaf arrays:
+    project every live leaf, bin it into its depth slab, scatter-MIN the
+    packed (prio9 | inv_alpha7 | rgb555) word. Returns the i32[total_cells]
+    word buffer (EMPTY where nothing landed).
 
-    Output convention matches raycast.cone_trace: rgb in [0, 1] accumulated
-    front-to-back in (alpha/127)*rgb8 units then /255, alpha = 1 for
-    finished rays (every ray finishes: saturation or range exit).
-    """
+    Exposed separately so the MULTI-CHIP renderer can run it per map shard
+    and composite with ONE `pmin` of the word buffers over ICI
+    (parallel/distributed.render_sharded_cone): min-per-shard then
+    min-across-shards is bit-identical to the global scatter-min, the same
+    associativity `splat_sharded` exploits for the z-buffer words."""
+    _, _, buf = _slab_bins_and_words(vals, keys, live, center, half_size,
+                                     world_T_cam, fx, fy, spec=spec,
+                                     depth=depth)
+    return buf
+
+
+def composite_min_words(buf: jnp.ndarray, *, spec: SlabSpec,
+                        bilinear: bool = False, dilate: int = 1,
+                        want_aux: bool = False):
+    """The composite half of the min-mode slab render: decode a packed
+    word buffer (slab_scatter_min) into per-slab premultiplied fields and
+    composite front-to-back. Shared by the single-chip render_cone_splat
+    (blend == 0 path) and the multi-chip compositor."""
+    def field_of_slab(o, hh, ww):
+        return _decode_min_field(buf, o, hh, ww)
+
+    return _composite_fields(field_of_slab, spec, bilinear, dilate,
+                             want_aux=want_aux)
+
+
+def _decode_min_field(buf, o, hh, ww):
+    """Packed word -> premultiplied [alpha, alpha*r, alpha*g, alpha*b]
+    (empty cells all-zero); weight = alpha - 127 = (127 - inv_a7) + 1."""
+    w = jax.lax.dynamic_slice(buf, (o,), (hh * ww,)).reshape(hh, ww)
+    occ = (w != EMPTY).astype(jnp.float32)
+    alpha = occ * (128 - ((w >> 15) & 0x7F)).astype(jnp.float32)
+    # expand 5-bit channels to 8-bit (replicate top bits into the low 3)
+    rr = ((w >> 10) & 0x1F)
+    gg = ((w >> 5) & 0x1F)
+    bb = (w & 0x1F)
+    rgb_s = jnp.stack([(rr << 3) | (rr >> 2), (gg << 3) | (gg >> 2),
+                       (bb << 3) | (bb >> 2)],
+                      axis=-1).astype(jnp.float32)
+    return jnp.concatenate([alpha[..., None], alpha[..., None] * rgb_s],
+                           axis=-1)
+
+
+def _slab_bins_and_words(vals, keys, live, center, half_size, world_T_cam,
+                         fx, fy, *, spec: SlabSpec, depth: int):
+    """Shared projection + binning + packed-word scatter-min. Returns
+    (bins, unpacked, buf) where bins = (idx, ok, k, z) and unpacked =
+    (r8, g8, b8, a8, w_leaf) serve the accumulate/blend scatter."""
     W, H = spec.width, spec.height
     K = spec.n_slabs
-    lc = leaves.keys.shape[0]
 
-    live = (jnp.arange(lc) < leaves.count) & (leaves.keys >= 0)
-    keys = jnp.where(live, leaves.keys, 0)
+    keys = jnp.where(live, keys, 0)
     centers = morton.decode_centers(keys, center, half_size, depth)
-    r8, g8, b8, a8 = packing.unpack_rgba8(leaves.vals)
+    r8, g8, b8, a8 = packing.unpack_rgba8(vals)
     w_leaf = jnp.maximum(a8.astype(jnp.int32) - 127, 0)
 
     R = world_T_cam[:3, :3]
@@ -252,6 +301,72 @@ def render_cone_splat(leaves: LeafList, center: jnp.ndarray, half_size,
 
     cell = off + (py // s) * sw + (px // s)
     idx = jnp.where(ok, cell, spec.total_cells)
+
+    # Nearest-leaf-per-cell resolve in ONE packed scatter-min word (the two
+    # scatter kernels were 95% of the render's device time — a profiler
+    # trace showed 9.0 of 9.5 ms):
+    #   bit 22..30  prio9 — z quantized RELATIVE TO THE LEAF'S SLAB (each
+    #               slab spans a ~1.2x depth ratio, so 9 bits resolve
+    #               ~0.05% of depth — ordering within a slab cell is all
+    #               the min needs), biased by the alpha deficit: a freshly
+    #               observed speck (alpha ~129, color still half-blended)
+    #               must not shadow the mature surface just behind it (the
+    #               march composites both; a min keeps one — keep the
+    #               confident one). Bias ~1.2 mm per deficit step, as the
+    #               old absolute-z key used.
+    #   bit 15..21  127 - (alpha - 128): INVERTED so prio ties (the clip at
+    #               510 saturates for near slabs, where the deficit bias
+    #               can exceed the slab width) resolve toward the HIGHEST
+    #               alpha — storing alpha directly would make the min pick
+    #               the least-confident leaf, the exact inversion of the
+    #               keep-the-confident-one rule above
+    #   bit  0..14  rgb555 (5-6-5 -> 5-5-5 costs one green bit, ~0.4% of
+    #               the channel — invisible next to the 23 dB slab-vs-march
+    #               PSNR)
+    # prio9 caps at 510 so the max word stays below EMPTY (0x7FFFFFFF).
+    z0k = spec.z_near * jnp.exp(k.astype(jnp.float32) * log_r)
+    slab_w = z0k * (spec.ratio - 1.0)
+    zrel = jnp.clip((z - z0k) / jnp.maximum(slab_w, 1e-6), 0.0, 1.0)
+    deficit_m = (255 - a8.astype(jnp.float32)) * (4.0 * spec.z_far / 32766.0)
+    prio = jnp.clip((zrel * 511.0 + deficit_m * 512.0 /
+                     jnp.maximum(slab_w, 1e-6)).astype(jnp.int32), 0, 510)
+    inv_a7 = 127 - jnp.clip(a8.astype(jnp.int32) - 128, 0, 127)
+    rgb555 = ((r8.astype(jnp.int32) >> 3) << 10) | \
+        ((g8.astype(jnp.int32) >> 3) << 5) | (b8.astype(jnp.int32) >> 3)
+    word = (prio << 22) | (inv_a7 << 15) | rgb555
+    buf = jnp.full((spec.total_cells,), EMPTY, jnp.int32).at[idx].min(
+        jnp.where(ok, word, EMPTY), mode="drop")
+    return (idx, ok, k, z), (r8, g8, b8, a8, w_leaf), buf
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "depth", "accumulate",
+                                             "bilinear", "dilate", "blend",
+                                             "want_aux"))
+def render_cone_splat(leaves: LeafList, center: jnp.ndarray, half_size,
+                      world_T_cam: jnp.ndarray, fx, fy, *,
+                      spec: SlabSpec, depth: int, accumulate: bool = False,
+                      bilinear: bool = False, dilate: int = 1,
+                      blend: float = 0.0, want_aux: bool = False):
+    """Cone-composite the occupied leaf set to f32[H, W, 4].
+
+    Output convention matches raycast.cone_trace: rgb in [0, 1] accumulated
+    front-to-back in (alpha/127)*rgb8 units then /255, alpha = 1 for
+    finished rays (every ray finishes: saturation or range exit).
+
+    want_aux=True additionally returns (w_acc, z_first): the per-pixel
+    accumulated march weight BEFORE the image-space hole repair, and the
+    NEAR boundary (camera-space z, meters) of the first slab that
+    contributed — inf where nothing did. The hybrid renderer
+    (render/hybrid.py) uses these to seed its exact-march refinement of
+    the edge band at a conservative depth: z_first is the slab's lower
+    bound, so the contributing leaf's center lies at z >= z_first by
+    construction.
+    """
+    lc = leaves.keys.shape[0]
+    live = (jnp.arange(lc) < leaves.count) & (leaves.keys >= 0)
+    (idx, ok, k, z), (r8, g8, b8, a8, w_leaf), buf = _slab_bins_and_words(
+        leaves.vals, leaves.keys, live, center, half_size, world_T_cam,
+        fx, fy, spec=spec, depth=depth)
 
     if accumulate or blend > 0.0:
         # ONE f32 scatter-ADD of [w, w*r, w*g, w*b] (contiguous 4-window):
@@ -279,7 +394,8 @@ def render_cone_splat(leaves: LeafList, center: jnp.ndarray, half_size,
             return sl * cap
 
     if accumulate:
-        return _composite_fields(add_field, spec, bilinear, dilate)
+        return _composite_fields(add_field, spec, bilinear, dilate,
+                                 want_aux=want_aux)
 
     # Nearest-leaf-per-cell resolve in ONE packed scatter-min word (the two
     # scatter kernels were 95% of the render's device time — a profiler
@@ -342,11 +458,12 @@ def render_cone_splat(leaves: LeafList, center: jnp.ndarray, half_size,
             sl = (1.0 - blend) * sl + blend * add_field(o, hh, ww)
         return sl
 
-    return _composite_fields(field_of_slab, spec, bilinear, dilate)
+    return _composite_fields(field_of_slab, spec, bilinear, dilate,
+                             want_aux=want_aux)
 
 
 def _composite_fields(field_of_slab, spec: SlabSpec,
-                      bilinear: bool, dilate: int) -> jnp.ndarray:
+                      bilinear: bool, dilate: int, want_aux: bool = False):
     """Front-to-back composite of per-slab premultiplied fields.
 
     field_of_slab(offset, hh, ww) -> f32[hh, ww, 4] of
@@ -366,6 +483,8 @@ def _composite_fields(field_of_slab, spec: SlabSpec,
     H, W = spec.height, spec.width
     w_acc = jnp.zeros((H, W), jnp.float32)
     rgb_acc = jnp.zeros((H, W, 3), jnp.float32)
+    if want_aux:
+        z_first = jnp.full((H, W), jnp.inf, jnp.float32)
     for kk in range(spec.n_slabs):
         sc = spec.scales[kk]
         o = spec.offsets[kk]
@@ -382,8 +501,18 @@ def _composite_fields(field_of_slab, spec: SlabSpec,
         w = sl[..., 0]
         wrgb = sl[..., 1:]
         gate = jnp.where((w > 0.0) & (w_acc < 127.0), 1.0, 0.0)
+        if want_aux:
+            # near boundary of this pixel's FIRST contributing slab:
+            # a conservative lower bound on the depth of everything the
+            # slab image shows here (leaf centers in slab k have
+            # z >= z_near * ratio^k)
+            z0k = spec.z_near * (spec.ratio ** kk)
+            z_first = jnp.where((w_acc == 0.0) & (w > 0.0),
+                                jnp.float32(z0k), z_first)
         rgb_acc = rgb_acc + gate[..., None] * wrgb
         w_acc = w_acc + gate * w
+    if want_aux:
+        return _finish(w_acc, rgb_acc, H, W), w_acc, z_first
     return _finish(w_acc, rgb_acc, H, W)
 
 

@@ -113,9 +113,28 @@ def icp_normal_equations(v1: jnp.ndarray, n1: jnp.ndarray,
     norm_ok = jnp.sum(n2c * n1c, axis=-1) >= cfg.icp_norm_thresh
     mask = finite & z_ok & dist_ok & norm_ok
 
-    J = jnp.concatenate([jnp.cross(v2c, n1c), n1c], axis=-1)  # [N, 6]
-    r = jnp.sum(n1c * (v1c - v2c), axis=-1)                   # [N]
+    if cfg.icp_symmetric:
+        # symmetric point-to-plane: project the residual on BOTH surface
+        # normals (n2 is already in the last frame here — the caller
+        # transforms the current maps each iteration). The one-sided
+        # linearization leaves a first-order bias along n1 wherever the
+        # two normal estimates disagree (quantized depth makes them
+        # disagree systematically on oblique surfaces); the symmetric
+        # form cancels it (Rusinkiewicz, "A symmetric objective function
+        # for ICP", 2019). Gates are unchanged.
+        ns = n1c + n2c
+        J = jnp.concatenate([jnp.cross(v2c, ns), ns], axis=-1)
+        r = jnp.sum(ns * (v1c - v2c), axis=-1)
+    else:
+        J = jnp.concatenate([jnp.cross(v2c, n1c), n1c], axis=-1)  # [N, 6]
+        r = jnp.sum(n1c * (v1c - v2c), axis=-1)                   # [N]
     w = mask.astype(jnp.float32)
+    if cfg.icp_huber_k > 0.0:
+        # IRLS: one Huber reweight per Gauss-Newton iteration (the
+        # residuals are recomputed each iteration, so this IS iteratively
+        # reweighted least squares across the scan)
+        w = w * jnp.minimum(1.0, cfg.icp_huber_k / jnp.maximum(
+            jnp.abs(r), 1e-9))
     Jw = J * w[:, None]
     # f32 accumulation on the MXU: force highest precision for the 6x6.
     A = jax.lax.dot_general(

@@ -1,0 +1,179 @@
+"""Hybrid cone renderer (render/hybrid.py): slab + seeded edge-band march.
+
+Checks (a) that band pixels reproduce the exact dense march on a saturated
+map, (b) that the hybrid improves slab-vs-march PSNR on a real SLAM map,
+and (c) that the lazy leaf-mirror maintenance (pipeline._fuse_once
+leaf_mirror) keeps the dense cache's leaf level, occupancy and distance
+field bit-identical to a from-scratch rebuild.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from octree_slam_tpu import pipeline
+from octree_slam_tpu.config import SLAMConfig
+from octree_slam_tpu.map import mips, svo
+from octree_slam_tpu.render import conesplat, hybrid, raycast
+from octree_slam_tpu.render.splat import append_new_leaves, create_leaf_list
+from octree_slam_tpu.sensor import sources
+
+from test_render import look_at_pose
+from test_conesplat import wall_points
+
+
+def _psnr(a, b):
+    mse = float(np.mean((np.asarray(a)[..., :3]
+                         - np.asarray(b)[..., :3]) ** 2))
+    return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def saturated_wall(depth=6, n_insert=70):
+    pool = svo.create(1 << 16, jnp.zeros(3), 2.0)
+    pts, cols = wall_points()
+    leaves = create_leaf_list(1 << 13, pool.capacity)
+    for _ in range(n_insert):
+        pool, stats = svo.insert(pool, jnp.asarray(pts), jnp.asarray(cols),
+                                 depth=depth)
+        leaves = append_new_leaves(leaves, stats)
+    cache = mips.rebuild_from_pool(pool, max_depth=depth, dist_level=3,
+                                   max_skip=7)
+    return pool, leaves, cache
+
+
+class TestHybrid:
+    def test_band_matches_march_on_saturated_wall(self):
+        """Saturated wall: one sample saturates a ray, so the seeded band
+        march must agree with cone_trace_dense wherever it marched."""
+        depth = 6
+        pool, leaves, cache = saturated_wall(depth)
+        pose = look_at_pose([0, 0, 1.0], [0, 0, -1.0])
+        spec = conesplat.make_slab_spec(width=64, height=48, fx=60.0,
+                                        leaf_size=4.0 / (1 << depth))
+        fb_h, dbg = hybrid.render_cone_hybrid(
+            leaves, cache, pool.center, pool.half_size, pose, 60.0, 60.0,
+            spec=spec, depth=depth, dist_level=3,
+            band_iters=32, debug_band=True)
+        fb_m = raycast.cone_trace_dense(
+            cache, pool.center, pool.half_size, pose, 60.0, 60.0,
+            width=64, height=48, max_depth=depth, dist_level=3,
+            max_iters=64, max_skip=7)
+        fb_h = np.asarray(fb_h)
+        fb_m = np.asarray(fb_m)
+        sel = np.asarray(dbg["sel"])
+        use = np.asarray(dbg["use_march"])
+        hm = fb_m.reshape(-1, 4)[sel[use]]
+        hh = fb_h.reshape(-1, 4)[sel[use]]
+        # marched band pixels: same sample (leaf LOD) once saturated —
+        # colors must agree tightly where the march registered a hit
+        hit = hm[:, 3] > 0.9
+        assert hit.mean() > 0.3
+        assert np.abs(hm[hit, :3] - hh[hit, :3]).mean() < 0.05
+
+    def test_hybrid_beats_slab_on_orbit_map(self):
+        """Full pipeline on the synthetic orbit: PSNR(hybrid, march) must
+        exceed PSNR(slab, march) — the edge band is where slab error
+        lives, and the hybrid re-renders exactly that."""
+        cfg = SLAMConfig(width=80, height=60, focal_x=70.0, focal_y=70.0,
+                         pyramid_depth=2, pyramid_iters=(4, 4),
+                         voxel_resolution=0.04, max_depth=7,
+                         node_capacity=1 << 17, leaf_capacity=1 << 15,
+                         max_march_iters=64, cone_band_iters=32)
+        scene = sources.default_scene()
+        state = pipeline.init_state(cfg,
+                                    initial_pose=sources.orbit_pose(0.0))
+        for i in range(6):
+            gt = sources.orbit_pose(i * 0.015, radius=2.0)
+            frame = sources.render_frame(scene, gt, cfg.focal_x,
+                                         cfg.focal_y, width=cfg.width,
+                                         height=cfg.height)
+            state, out_h = pipeline.step(state, frame, cfg,
+                                         render="cone_hybrid")
+        # hybrid / march / slab images of the SAME final state (each
+        # re-steps the last frame once from an identical copy)
+        import jax
+        st1 = jax.tree_util.tree_map(jnp.copy, state)
+        st2 = jax.tree_util.tree_map(jnp.copy, state)
+        st3 = jax.tree_util.tree_map(jnp.copy, state)
+        _, out_h = pipeline.step(st1, frame, cfg, render="cone_hybrid")
+        _, out_m = pipeline.step(st2, frame, cfg, render="cone_march")
+        _, out_s = pipeline.step(st3, frame, cfg, render="cone")
+        psnr_h = _psnr(out_h.framebuffer, out_m.framebuffer)
+        psnr_s = _psnr(out_s.framebuffer, out_m.framebuffer)
+        # whole-image gain is scene-dependent (on this tiny blocky scene
+        # the error is nearly uniform, so the band carries only ~25% of
+        # MSE; the 640x480 bench scene concentrates ~55% there) — assert
+        # the hybrid never loses, then check the mechanism where it acts
+        assert psnr_h > psnr_s, (psnr_h, psnr_s)
+
+        # in-band the marched pixels must cut the slab's error hard
+        lvl = pipeline._accel_level(cfg)
+        spec = conesplat.make_slab_spec(
+            width=cfg.width, height=cfg.height, fx=cfg.focal_x,
+            leaf_size=cfg.voxel_resolution, z_near=cfg.cone_znear,
+            z_far=cfg.max_range, n_slabs=cfg.cone_slabs,
+            max_scale=cfg.cone_max_scale)
+        _, dbg = hybrid.render_cone_hybrid(
+            st1.leaves, st1.accel, st1.pool.center, st1.pool.half_size,
+            out_h.pose, cfg.focal_x, cfg.focal_y, spec=spec,
+            depth=cfg.max_depth, dist_level=lvl,
+            band_iters=cfg.cone_band_iters, debug_band=True)
+        sel = np.asarray(dbg["sel"])
+        h = np.asarray(out_h.framebuffer)[..., :3].reshape(-1, 3)
+        m = np.asarray(out_m.framebuffer)[..., :3].reshape(-1, 3)
+        s = np.asarray(out_s.framebuffer)[..., :3].reshape(-1, 3)
+        mse_h = ((h[sel] - m[sel]) ** 2).mean()
+        mse_s = ((s[sel] - m[sel]) ** 2).mean()
+        assert mse_h < 0.75 * mse_s, (mse_h, mse_s)
+
+    def test_lazy_leaf_mirror_matches_rebuild(self):
+        """After N lazy cone_hybrid frames the maintained cache must equal
+        a from-scratch rebuild on everything the band march reads: leaf
+        mip level, occupancy, distance field."""
+        cfg = SLAMConfig(width=80, height=60, focal_x=70.0, focal_y=70.0,
+                         pyramid_depth=2, pyramid_iters=(4, 4),
+                         voxel_resolution=0.04, max_depth=7,
+                         node_capacity=1 << 17, leaf_capacity=1 << 15)
+        scene = sources.default_scene()
+        state = pipeline.init_state(cfg,
+                                    initial_pose=sources.orbit_pose(0.0))
+        for i in range(4):
+            gt = sources.orbit_pose(i * 0.015, radius=2.0)
+            frame = sources.render_frame(scene, gt, cfg.focal_x,
+                                         cfg.focal_y, width=cfg.width,
+                                         height=cfg.height)
+            state, _ = pipeline.step(state, frame, cfg,
+                                     render="cone_hybrid")
+        assert bool(state.interior_stale)
+        assert not bool(state.mirror_stale)
+        lvl = pipeline._accel_level(cfg)
+        # the reference rebuild must see FRESH interiors: occupancy at
+        # dist_level reads interior alpha maxes, which lazy frames leave
+        # stale in the pool (the maintained occ tracks new leaves
+        # directly, which is the correct set)
+        pool_fresh = svo.refresh_interior(state.pool, depth=cfg.max_depth)
+        ref = mips.rebuild_from_pool(pool_fresh, max_depth=cfg.max_depth,
+                                     dist_level=lvl,
+                                     max_skip=cfg.dist_max_skip)
+        lo = mips.level_offset(cfg.max_depth)
+        hi = mips.level_offset(cfg.max_depth + 1)
+        got = np.asarray(state.accel.values[lo:hi])
+        want = np.asarray(ref.values[lo:hi])
+        assert np.array_equal(got, want)
+        assert np.array_equal(np.asarray(state.accel.occ),
+                              np.asarray(ref.occ))
+        assert np.array_equal(np.asarray(state.accel.dist),
+                              np.asarray(ref.dist))
+
+    def test_empty_map_black(self):
+        depth = 6
+        pool = svo.create(1 << 12, jnp.zeros(3), 2.0)
+        leaves = create_leaf_list(1 << 10, pool.capacity)
+        cache = mips.rebuild_from_pool(pool, max_depth=depth, dist_level=3,
+                                       max_skip=7)
+        pose = look_at_pose([0, 0, 1.0], [0, 0, -1.0])
+        spec = conesplat.make_slab_spec(width=32, height=24, fx=30.0,
+                                        leaf_size=0.0625)
+        fb = np.asarray(hybrid.render_cone_hybrid(
+            leaves, cache, pool.center, pool.half_size, pose, 30.0, 30.0,
+            spec=spec, depth=depth, dist_level=3))
+        assert fb[..., :3].max() == 0.0

@@ -195,3 +195,163 @@ class TestRunSlam2D:
         err = np.linalg.norm(info["poses"][-1][:3, 3]
                              - np.asarray(gt[-1])[:3, 3])
         assert err < 0.08, err
+
+
+class TestShardedCone:
+    """render_sharded_cone: per-shard scatter-min + one pmin of packed
+    words must be BIT-IDENTICAL to the single-chip slab compositor
+    (round-3 verdict item #3a)."""
+
+    CFG = SLAMConfig(width=64, height=48, focal_x=60.0, focal_y=60.0,
+                     max_depth=6, voxel_resolution=2 * 1.28 / (1 << 6),
+                     node_capacity=1 << 16, leaf_capacity=1 << 12,
+                     insert_unique_cap=1 << 12, map_split_level=2)
+
+    def test_cone_bit_parity_vs_single_chip(self):
+        from octree_slam_tpu.map import svo as svo_mod
+        from octree_slam_tpu.render import conesplat
+        from octree_slam_tpu.render.splat import append_new_leaves, \
+            create_leaf_list
+        from test_render import look_at_pose
+
+        cfg = self.CFG
+        mesh = distributed.make_mesh(8, axis_name="map")
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-1.0, 1.0, (4000, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (4000, 3)).astype(np.float32)
+
+        smap = distributed.make_sharded_map(cfg, mesh)
+        for _ in range(2):
+            smap, _ = distributed.insert_sharded(
+                smap, jnp.asarray(pts), jnp.asarray(cols), cfg, mesh)
+
+        half = cfg.voxel_resolution * (2 ** (cfg.max_depth - 1))
+        pool = svo_mod.create(cfg.node_capacity, jnp.zeros(3),
+                              jnp.float32(half))
+        leaves = create_leaf_list(cfg.leaf_capacity, cfg.node_capacity)
+        for _ in range(2):
+            pool, st = svo_mod.insert(pool, jnp.asarray(pts),
+                                      jnp.asarray(cols),
+                                      depth=cfg.max_depth,
+                                      unique_cap=cfg.insert_unique_cap)
+            leaves = append_new_leaves(leaves, st)
+
+        pose = look_at_pose([0, 0, 2.2], [0, 0, 0.0])
+        fb_sh = np.asarray(distributed.render_sharded_cone(
+            smap, jnp.asarray(pose), cfg.focal_x, cfg.focal_y, cfg, mesh))
+        spec = conesplat.make_slab_spec(
+            width=cfg.width, height=cfg.height, fx=cfg.focal_x,
+            leaf_size=cfg.voxel_resolution, z_near=cfg.cone_znear,
+            z_far=cfg.max_range, n_slabs=cfg.cone_slabs,
+            max_scale=cfg.cone_max_scale)
+        fb_1 = np.asarray(conesplat.render_cone_splat(
+            leaves, pool.center, pool.half_size, jnp.asarray(pose),
+            cfg.focal_x, cfg.focal_y, spec=spec, depth=cfg.max_depth))
+        assert fb_1[..., :3].max() > 0.1  # scene actually visible
+
+        # the packed word buffer — the whole scatter-resolve — must be
+        # BIT-identical: per-shard min + pmin == global scatter-min
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def words(vals_s, keys_s, c, h, T):
+            v = vals_s.reshape(-1)
+            k = keys_s.reshape(-1)
+            buf = conesplat.slab_scatter_min(
+                v, k, k >= 0, c, h, T, cfg.focal_x, cfg.focal_y,
+                spec=spec, depth=cfg.max_depth)
+            return jax.lax.pmin(buf, "map")
+
+        buf_sh = np.asarray(shard_map(
+            words, mesh=mesh,
+            in_specs=(P("map"), P("map"), P(), P(), P()),
+            out_specs=P(),
+        )(smap.leaves.vals, smap.leaves.keys, smap.pool.center[0],
+          smap.pool.half_size[0], jnp.asarray(pose)))
+        lc = leaves.keys.shape[0]
+        live1 = (np.arange(lc) < int(leaves.count)) \
+            & (np.asarray(leaves.keys) >= 0)
+        buf_1 = np.asarray(conesplat.slab_scatter_min(
+            leaves.vals, leaves.keys, jnp.asarray(live1), pool.center,
+            pool.half_size, jnp.asarray(pose), cfg.focal_x, cfg.focal_y,
+            spec=spec, depth=cfg.max_depth))
+        np.testing.assert_array_equal(buf_sh, buf_1)
+        # the f32 composite tail of the same words compiles to a slightly
+        # different fusion order under shard_map: 1-ULP agreement
+        np.testing.assert_allclose(fb_sh, fb_1, atol=2e-7)
+
+
+class TestRecovery2D:
+    """Sticky divergence + relocalization on the 2-D mesh (round-3 verdict
+    item #3b): a garbage frame diverges tracking, fusion gates off via
+    the latched flag, and the host loop re-anchors against splat renders
+    of the SHARDED map."""
+
+    CFG = SLAMConfig(width=64, height=48, focal_x=55.0, focal_y=55.0,
+                     pyramid_depth=2, pyramid_iters=(3, 3),
+                     voxel_resolution=0.05, max_depth=6,
+                     node_capacity=1 << 16, leaf_capacity=1 << 12,
+                     insert_unique_cap=1 << 11, map_split_level=2,
+                     relocalize=True, keypose_every=2,
+                     reloc_candidates=2, reloc_min_inlier_frac=0.02)
+
+    def test_divergence_gates_then_recovers(self):
+        from octree_slam_tpu.core.types import Frame
+        from octree_slam_tpu.sensor import sources
+
+        cfg = self.CFG
+        mesh = distributed.make_mesh2(2, 4)
+        scene = sources.default_scene()
+        gt = [sources.orbit_pose(i * 0.015) for i in range(8)]
+        frames = [sources.render_frame(scene, g, cfg.focal_x, cfg.focal_y,
+                                       width=cfg.width, height=cfg.height)
+                  for g in gt]
+        # frame 4 is garbage: all-zero depth diverges the GN solve
+        bad = Frame(depth=jnp.zeros((cfg.height, cfg.width), jnp.uint16),
+                    color=jnp.zeros((cfg.height, cfg.width, 3), jnp.uint8),
+                    timestamp=jnp.float32(4.0))
+        stream = frames[:4] + [bad] + frames[4:]
+
+        state, _, info = run2d.run_slam_2d(stream, cfg, mesh,
+                                           initial_pose=gt[0])
+        evs = [e["event"] for e in info["events"]]
+        assert "relocalize" in evs, evs
+        # after recovery the final sticky flag is clear and the last
+        # frames fused again (pose back near ground truth)
+        assert not bool(np.asarray(state[4]))
+        err = np.linalg.norm(info["poses"][-1][:3, 3]
+                             - np.asarray(gt[-1])[:3, 3])
+        assert err < 0.15, err
+
+    def test_save_load_roundtrip(self, tmp_path):
+        from octree_slam_tpu.sensor import sources
+
+        cfg = self.CFG
+        mesh = distributed.make_mesh2(2, 4)
+        scene = sources.default_scene()
+        gt = [sources.orbit_pose(i * 0.015) for i in range(5)]
+        frames = [sources.render_frame(scene, g, cfg.focal_x, cfg.focal_y,
+                                       width=cfg.width, height=cfg.height)
+                  for g in gt]
+        state, cfg2, _ = run2d.run_slam_2d(frames[:4], cfg, mesh,
+                                           initial_pose=gt[0])
+        p = str(tmp_path / "smap.npz")
+        run2d.save_sharded(p, state, cfg2)
+        state2, cfg3 = run2d.load_sharded(p, cfg, mesh)
+        assert cfg3.node_capacity == cfg2.node_capacity
+        k0, v0 = run2d.union_leaves(state[3])
+        k1, v1 = run2d.union_leaves(state2[3])
+        np.testing.assert_array_equal(k0, k1)
+        np.testing.assert_array_equal(v0, v1)
+
+        # continuing one frame from the restored state matches continuing
+        # from the live state bit-for-bit
+        step = distributed.slam_step_2d(cfg2, mesh)
+        sa, _ = step(state, jax.device_put(
+            frames[4], distributed.frame_sharding(mesh, "px")))
+        sb, _ = step(state2, jax.device_put(
+            frames[4], distributed.frame_sharding(mesh, "px")))
+        ka, va = run2d.union_leaves(sa[3])
+        kb, vb = run2d.union_leaves(sb[3])
+        np.testing.assert_array_equal(ka, kb)
+        np.testing.assert_array_equal(va, vb)

@@ -129,3 +129,42 @@ class TestTrack:
         # no inliers anywhere: update stays identity, divergence flagged
         np.testing.assert_allclose(np.asarray(T), np.eye(4), atol=1e-6)
         assert bool(stats.diverged)
+
+
+class TestEstimatorVariants:
+    """Symmetric point-to-plane + Huber IRLS (round-3 verdict item #5 —
+    bias-side drift mitigations; defaults stay off, reference behavior)."""
+
+    def _recover(self, cfg):
+        pose_a = sources.orbit_pose(0.0, radius=2.0)
+        pose_b = sources.orbit_pose(0.02, radius=2.0)
+        pa, pb = synth_pyramids(cfg, pose_a, pose_b)
+        T, stats = tracking.track(pa, pb, cfg)
+        gt = np.asarray(se3.inverse(pose_a) @ pose_b)
+        est = np.asarray(T)
+        t_err = np.linalg.norm(est[:3, 3] - gt[:3, 3])
+        motion = np.linalg.norm(gt[:3, 3])
+        assert not bool(stats.diverged)
+        assert t_err < 0.25 * motion + 2e-3, (t_err, motion)
+
+    def test_symmetric_recovers_motion(self):
+        import dataclasses
+        self._recover(dataclasses.replace(CFG_SMALL, icp_symmetric=True))
+
+    def test_huber_recovers_motion(self):
+        import dataclasses
+        self._recover(dataclasses.replace(CFG_SMALL, icp_huber_k=0.02))
+
+    def test_symmetric_huber_recovers_motion(self):
+        import dataclasses
+        self._recover(dataclasses.replace(
+            CFG_SMALL, icp_symmetric=True, icp_huber_k=0.02))
+
+    def test_identity_fixed_point_symmetric(self):
+        import dataclasses
+        cfg = dataclasses.replace(CFG_SMALL, icp_symmetric=True)
+        pose = sources.orbit_pose(0.0)
+        pa, pb = synth_pyramids(cfg, pose, pose)
+        T, stats = tracking.track(pa, pb, cfg)
+        np.testing.assert_allclose(np.asarray(T), np.eye(4), atol=5e-4)
+        assert not bool(stats.diverged)
