@@ -775,8 +775,9 @@ def config_tum(n_frames=30):
     }))
 
 
-def config_hybrid(n_stream=14, band_cap=0, band_iters=24,
-                  compact_after=8, seed_halo=4, full_pipeline=True):
+def config_hybrid(n_stream=14, n_fresh=32, band_cap=0, band_iters=24,
+                  compact_after=999, seed_halo=4, accel_level=6,
+                  full_pipeline=True):
     """Hybrid cone renderer (render/hybrid.py) on the HEADLINE bench
     configuration: track+fuse+hybrid throughput plus clean-single-pass-map
     PSNR vs the exact march (bench.py's fidelity methodology) — the
@@ -788,7 +789,7 @@ def config_hybrid(n_stream=14, band_cap=0, band_iters=24,
 
     cfg = SLAMConfig(width=640, height=480, max_depth=9,
                      voxel_resolution=0.02, node_capacity=1 << 20,
-                     leaf_capacity=1 << 17,
+                     leaf_capacity=1 << 17, accel_level=accel_level,
                      cone_band_cap=band_cap, cone_band_iters=band_iters,
                      cone_band_compact_after=compact_after)
     scene = sources.default_scene()
@@ -803,6 +804,17 @@ def config_hybrid(n_stream=14, band_cap=0, band_iters=24,
 
     results = {}
     if full_pipeline:
+        # FRESH-stream throughput (the production case): a replayed
+        # 14-frame loop re-tracks from drifted poses and ghost-fuses new
+        # leaves every frame, charging the hybrid dist-refresh + pager
+        # work a real stream at steady state never pays
+        fresh = []
+        for i in range(n_fresh):
+            gt = sources.orbit_pose(0.14 + i * 0.01, radius=2.0)
+            f = sources.render_frame(scene, gt, cfg.focal_x, cfg.focal_y,
+                                     width=cfg.width, height=cfg.height)
+            sync(f.depth)
+            fresh.append(f)
         state = pipeline.init_state(cfg, initial_pose=gts[0])
         step = jax.jit(lambda s, f: pipeline.step(s, f, cfg,
                                                   render="cone_hybrid"),
@@ -816,6 +828,12 @@ def config_hybrid(n_stream=14, band_cap=0, band_iters=24,
             state, out = step(state, frames[i])
         sync(out.framebuffer)
         dt = (time.perf_counter() - t0 - fl) / (n_stream - 2)
+        results["track_fuse_hybrid_fps_replay"] = round(1.0 / dt, 2)
+        t0 = time.perf_counter()
+        for f in fresh:
+            state, out = step(state, f)
+        sync(out.framebuffer)
+        dt = (time.perf_counter() - t0 - fl) / n_fresh
         results["track_fuse_hybrid_fps"] = round(1.0 / dt, 2)
 
     # fidelity on a clean single-pass map (bench.py methodology: replayed
@@ -1020,7 +1038,8 @@ def main():
                             "satgate", "all"])
     p.add_argument("--band-cap", type=int, default=0)
     p.add_argument("--band-iters", type=int, default=24)
-    p.add_argument("--compact-after", type=int, default=8)
+    p.add_argument("--compact-after", type=int, default=999)
+    p.add_argument("--accel-level", type=int, default=6)
     p.add_argument("--seed-halo", type=int, default=4)
     p.add_argument("--render-only", action="store_true",
                    help="hybrid config: skip the full-pipeline pass "
@@ -1059,6 +1078,7 @@ def main():
         "hybrid": lambda: config_hybrid(
             band_cap=args.band_cap, band_iters=args.band_iters,
             compact_after=args.compact_after, seed_halo=args.seed_halo,
+            accel_level=args.accel_level,
             full_pipeline=not args.render_only),
         "satgate": config_satgate,
     }
