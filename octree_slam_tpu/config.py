@@ -190,6 +190,30 @@ class SLAMConfig:
                                         # hybrid's whole marginal cost:
                                         # ~2 gathers + flat while-loop
                                         # overhead per trip)
+    cone_band_crawl: int = 1            # leaf samples per march trip (>1:
+                                        # one (lanes, crawl) value gather
+                                        # covers crawl DDA samples — the
+                                        # march is flat-kernel-cost bound,
+                                        # so this divides the per-sample
+                                        # price; band_iters then counts
+                                        # TRIPS of up to crawl samples)
+    cone_band_depth_prio: float = 0.0   # >0 adds a z_first-discontinuity
+                                        # term to the band priority (slab
+                                        # assignment fails hardest at
+                                        # occlusion boundaries, which can
+                                        # carry no luminance edge); value
+                                        # scales it against the luminance
+                                        # gradient
+    cone_band_fused_dist: bool = True   # single-gather band trips: free
+                                        # leaf cells of the dense mirror
+                                        # carry their covering dist cell's
+                                        # skip distance in the low byte
+                                        # (mips.encode_free_dist — the
+                                        # value sample doubles as the
+                                        # empty-space lookup; the encode
+                                        # re-runs only on frames that
+                                        # changed occupancy). Bit-identical
+                                        # framebuffers (tests/test_hybrid)
     cone_band_compact_after: int = 999  # >= band_iters DISABLES mid-march
                                         # compaction (the fixed-trip fast
                                         # path): grazers keep the live

@@ -156,6 +156,56 @@ def _dist_from_occ(occ3d: jnp.ndarray, max_skip: int) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=4)
+def _xyz_of_morton_perm(level: int) -> np.ndarray:
+    """Permutation q with morton_ordered[m] = xyz_linear[q[m]] for a
+    2^level grid. Host-side constant (embedded in the jit program)."""
+    g = 1 << level
+    m = np.arange(g * g * g, dtype=np.int64)
+    x = np.zeros_like(m)
+    y = np.zeros_like(m)
+    z = np.zeros_like(m)
+    for b in range(level):
+        x |= ((m >> (3 * b)) & 1) << b
+        y |= ((m >> (3 * b + 1)) & 1) << b
+        z |= ((m >> (3 * b + 2)) & 1) << b
+    return (z * g * g + y * g + x).astype(np.int32)
+
+
+def encode_free_dist(cache: RenderCache, *, max_depth: int,
+                     dist_level: int) -> RenderCache:
+    """Stamp each FREE leaf cell of the dense mirror with the Chebyshev
+    distance of its covering dist cell — the single-gather band-march
+    contract (render/hybrid.py fused_dist).
+
+    A free cell's word becomes the plain u32 distance (<= max_skip < 256,
+    so it lives in the low byte and the alpha byte is 0): every
+    alpha/occupancy reader still sees the cell as unoccupied (alpha 0 vs
+    EMPTY_VALUE's 127 — both <= OCCUPIED_ALPHA, svo.cu:528), and a
+    renderer's color contribution is alpha-weighted so the payload bits
+    are never displayed. Occupied cells keep their RGBA8 value verbatim.
+
+    Each dist cell's 8^(D-dist_level) leaf children are CONTIGUOUS in the
+    morton-ordered leaf level, so the stamp is one reshape-broadcast
+    select over the leaf region — no scatter, no per-cell gather. Re-run
+    whenever `dist` is recomputed (pipeline.step's cone_hybrid branch);
+    between refreshes leaf-value scatters only touch occupied cells, so
+    the stamps stay current. Interior mip levels are never stamped.
+    """
+    g = 1 << dist_level
+    lo = level_offset(max_depth)
+    n_leaf_cells = 1 << (3 * max_depth)
+    per_cell = 1 << (3 * (max_depth - dist_level))
+    leaf_vals = jax.lax.dynamic_slice(cache.values, (lo,), (n_leaf_cells,))
+    ip = jnp.asarray(_xyz_of_morton_perm(dist_level))
+    dist_m = cache.dist[ip].astype(jnp.uint32)  # morton-ordered dist
+    lv = leaf_vals.reshape(g * g * g, per_cell)
+    enc = jnp.where(packing.is_occupied(lv), lv, dist_m[:, None])
+    values = jax.lax.dynamic_update_slice(cache.values, enc.reshape(-1),
+                                          (lo,))
+    return cache._replace(values=values)
+
+
+@functools.lru_cache(maxsize=4)
 def _morton_to_xyz_perm(level: int) -> np.ndarray:
     """Permutation p with xyz_linear[i] = morton[p[i]] for a 2^level grid.
     Host-side constant (embedded in the jit program)."""

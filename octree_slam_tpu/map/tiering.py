@@ -186,6 +186,13 @@ def _rebuild_derived(state, cfg: SLAMConfig, pool):
                                         max_skip=cfg.dist_max_skip)
              if cfg.use_dense_mips
              else raycast.build_accel(pool, level=lvl))
+    if cfg.use_dense_mips and cfg.cone_band_fused_dist:
+        # this rebuild CLEARS mirror_stale, so the in-step stamp trigger
+        # (had_new | mirror_stale) won't fire on a quiet next frame —
+        # re-stamp the free-cell skip distances here or the fused band
+        # march would leaf-crawl (correct image, no empty-space skips)
+        accel = mips_mod.encode_free_dist(accel, max_depth=cfg.max_depth,
+                                          dist_level=lvl)
     import dataclasses
     new_cfg = cfg if cap == cfg.leaf_capacity else dataclasses.replace(
         cfg, leaf_capacity=cap)

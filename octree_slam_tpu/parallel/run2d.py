@@ -270,7 +270,7 @@ def run_slam_2d(frames: Iterable, cfg: SLAMConfig, mesh,
         # imbalance check only at growth events or every K frames: the
         # per-shard counts are an EXTRA host fetch, so keep it off the
         # per-frame path (the packed signals are the only per-frame read)
-        if rebalance_factor is not None and not grew and (
+        if rebalance_factor is not None and not grew and frame_idx > 0 and (
                 frame_idx % rebalance_check_every == 0):
             maybe_rebalance(frame_idx, "periodic")
         # tracking-loss recovery (round-3 verdict #3b): the sticky flag

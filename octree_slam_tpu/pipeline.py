@@ -212,11 +212,17 @@ def _fuse_once(pool, leaves, accel, world_pts, colors, valid,
         total = mips_mod.total_cells(cfg.max_depth)
         tkeys = st.touched_leaf_keys
         tval = tkeys != morton.INVALID_KEY
+        # indices are provably unique: valid rows are distinct registry
+        # rows (distinct leaf keys -> distinct cells) and each invalid row
+        # gets its OWN out-of-bounds slot (total + lane) so mode="drop"
+        # discards it — unique_indices=True then lets XLA skip the
+        # scatter's duplicate-combine machinery on this 512^3 table
         flat = jnp.where(
             tval, mips_mod.flat_index(tkeys, cfg.max_depth, cfg.max_depth),
-            total)
+            total + jnp.arange(tkeys.shape[0], dtype=jnp.int32))
         values = accel.values.at[flat].set(st.touched_leaf_vals,
-                                           mode="drop")
+                                           mode="drop",
+                                           unique_indices=True)
         g = 1 << lvl
         nk = st.new_leaf_keys
         nval = nk >= 0
@@ -632,11 +638,32 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
             "march samples the dense leaf mip)"
         if needs_mirror:
             had_new = (istats.new_leaf_count > 0) | istats.unique_overflow
-            accel = jax.lax.cond(
-                had_new,
-                lambda a: mips_mod.refresh_dist(
-                    a, dist_level=lvl, max_skip=cfg.dist_max_skip),
-                lambda a: a, accel)
+
+            def _redist(a):
+                a = mips_mod.refresh_dist(a, dist_level=lvl,
+                                          max_skip=cfg.dist_max_skip)
+                if cfg.cone_band_fused_dist:
+                    # single-gather band-march contract: free leaf cells
+                    # carry the covering dist cell's skip distance; the
+                    # stamps go stale exactly when `dist` does, so they
+                    # ride the same trigger. state.mirror_stale joins it
+                    # because a _heal this frame rebuilt the mirror
+                    # WITHOUT stamps (rebuild_from_pool leaves free cells
+                    # EMPTY — correct but skip-less for the fused body).
+                    a = mips_mod.encode_free_dist(a, max_depth=cfg.max_depth,
+                                                  dist_level=lvl)
+                return a
+
+            trigger = (had_new | state.mirror_stale) \
+                if cfg.cone_band_fused_dist else had_new
+            accel = jax.lax.cond(trigger, _redist, lambda a: a, accel)
+        if not needs_mirror and cfg.cone_band_fused_dist:
+            # eager hybrid frames recompute `dist` inside mips.update every
+            # frame (with_dist=True), so the free-cell stamps re-run
+            # unconditionally here (the lazy path gates them on occupancy
+            # changes instead)
+            accel = mips_mod.encode_free_dist(accel, max_depth=cfg.max_depth,
+                                              dist_level=lvl)
         from octree_slam_tpu.render import conesplat
         spec = conesplat.make_slab_spec(
             width=cfg.width, height=cfg.height, fx=cfg.focal_x,
@@ -648,7 +675,9 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
             cfg.focal_x, cfg.focal_y, spec=spec, depth=cfg.max_depth,
             dist_level=lvl, max_range=cfg.max_range,
             start_dist=cfg.start_dist, band_cap=cfg.cone_band_cap,
-            band_iters=cfg.cone_band_iters,
+            band_iters=cfg.cone_band_iters, crawl=cfg.cone_band_crawl,
+            fused_dist=cfg.cone_band_fused_dist,
+            depth_prio=cfg.cone_band_depth_prio,
             compact_after=cfg.cone_band_compact_after)
     elif render == "cone_march":
         if cfg.use_dense_mips:

@@ -71,14 +71,16 @@ from octree_slam_tpu.render.splat import LeafList
     jax.jit,
     static_argnames=("spec", "depth", "dist_level", "band_cap",
                      "band_iters", "compact_after", "grad_dilate",
-                     "seed_halo", "dilate", "debug_band"))
+                     "seed_halo", "crawl", "fused_dist", "depth_prio",
+                     "dilate", "debug_band"))
 def render_cone_hybrid(leaves: LeafList, cache, center: jnp.ndarray,
                        half_size, world_T_cam: jnp.ndarray, fx, fy, *,
                        spec: SlabSpec, depth: int, dist_level: int,
                        max_range: float = 10.0, start_dist: float = 0.002,
                        band_cap: int = 0, band_iters: int = 12,
                        compact_after: int = 999, grad_dilate: int = 2,
-                       seed_halo: int = 4,
+                       seed_halo: int = 4, crawl: int = 1,
+                       fused_dist: bool = False, depth_prio: float = 0.0,
                        dilate: int = 1, debug_band: bool = False):
     """Slab image with the edge band re-rendered by the seeded exact march.
 
@@ -105,10 +107,31 @@ def render_cone_hybrid(leaves: LeafList, cache, center: jnp.ndarray,
     gx = jnp.abs(lum - jnp.concatenate([lum[:, :1], lum[:, :-1]], axis=1))
     gy = jnp.abs(lum - jnp.concatenate([lum[:1, :], lum[:-1, :]], axis=0))
     grad = jnp.maximum(gx, gy)
+    if depth_prio > 0.0:
+        # depth-discontinuity term: slab assignment fails hardest where
+        # z_first jumps (occlusion boundaries between similar-colored
+        # surfaces leave no luminance edge for the term above). Relative
+        # jump, saturating at 30% of the nearer depth — one slab of the
+        # geometric ladder — scaled into the luminance-gradient range.
+        zf = jnp.where(jnp.isfinite(z_first), z_first,
+                       jnp.float32(spec.z_far * 4.0))
+        zx = jnp.abs(zf - jnp.concatenate([zf[:, :1], zf[:, :-1]], axis=1))
+        zy = jnp.abs(zf - jnp.concatenate([zf[:1, :], zf[:-1, :]], axis=0))
+        znear2 = jnp.minimum(
+            zf, jnp.minimum(
+                jnp.concatenate([zf[:, :1], zf[:, :-1]], axis=1),
+                jnp.concatenate([zf[:1, :], zf[:-1, :]], axis=0)))
+        gz = jnp.maximum(zx, zy) / jnp.maximum(znear2 * 0.3, 1e-3)
+        grad = jnp.maximum(grad, depth_prio * jnp.clip(gz, 0.0, 1.0))
     k = 2 * grad_dilate + 1
     prio = jax.lax.reduce_window(grad, jnp.float32(0.0), jax.lax.max,
                                  (k, k), (1, 1), "SAME")
-    sel = jnp.argsort(-prio.reshape(-1))[:C].astype(jnp.int32)
+    # raster-order the selected lanes: the set is identical (top-C by
+    # priority) but adjacent lanes become adjacent PIXELS, so the march's
+    # per-trip leaf-value gathers hit Morton-adjacent addresses of the
+    # dense mip instead of priority-random ones (gather locality on the
+    # ~600 MB table is the band march's whole cost at production widths)
+    sel = jnp.sort(jnp.argsort(-prio.reshape(-1))[:C]).astype(jnp.int32)
 
     # --- Seeds: conservative march start from the slab's own depth. ---
     # z_first is the near boundary of the pixel's first contributing slab
@@ -170,16 +193,29 @@ def render_cone_hybrid(leaves: LeafList, cache, center: jnp.ndarray,
             pos = origin + dirs_ * t[:, None]
             q = quantize(pos)
 
-            cx = q[:, 0] >> shift_l
-            cy = q[:, 1] >> shift_l
-            cz = q[:, 2] >> shift_l
-            d = cache.dist[(cz << (2 * dist_level)) | (cy << dist_level)
-                           | cx]
-            free = d > 0
-
             m = mips_mod.interleave3(q[:, 0], q[:, 1], q[:, 2], depth)
             value = cache.values[leaf_off + m]
             r, gg, b, a = packing.unpack_rgba8(value)
+            if fused_dist:
+                # SINGLE-GATHER trip: free leaf cells carry their covering
+                # dist cell's Chebyshev distance in the low byte
+                # (mips.encode_free_dist), so the value sample doubles as
+                # the empty-space-skip lookup. Occupied leaves (alpha >
+                # 127) necessarily sit in distance-0 cells, so d = 0 for
+                # them reproduces the two-gather body's cell classification
+                # exactly; the trip cost drops from two HBM gathers to one
+                # (the ~600 MB leaf-mip gather is the band march's whole
+                # marginal cost at production widths, BASELINE.md).
+                d = jnp.where(a > packing.OCCUPIED_ALPHA, 0, r)
+            else:
+                cx = q[:, 0] >> shift_l
+                cy = q[:, 1] >> shift_l
+                cz = q[:, 2] >> shift_l
+                d = cache.dist[(cz << (2 * dist_level)) | (cy << dist_level)
+                               | cx]
+            free = d > 0
+            # free cells read alpha 0 either way: EMPTY_VALUE's byte is
+            # exactly 127 and an encoded free cell's is 0
             alpha = jnp.where(free, 0.0,
                               jnp.maximum(a - 127, 0).astype(jnp.float32))
             contrib = (alpha / 127.0)[:, None] * jnp.stack(
@@ -243,8 +279,97 @@ def render_cone_hybrid(leaves: LeafList, cache, center: jnp.ndarray,
         # liveness reduce + bookkeeping cost ~1.8 ms/trip of pure
         # while-loop overhead against two gathers totalling ~1.8 ms.
         # Capped rays take the slab-continuation blend below.
-        body_lean = make_body(dirs, inv_dirs, linf, limit,
-                              with_count=False)
+        if crawl > 1:
+            # K-CRAWL trip: the single-sample body pays two flat-cost HBM
+            # gathers (dist + leaf value) per SAMPLE — on this platform
+            # every unfused kernel is ~0.5 ms regardless of width, so the
+            # march is kernel-count-bound, not bandwidth-bound. This body
+            # takes K leaf samples per while-loop trip with ONE (C, K)
+            # value gather: the K DDA positions are pure ray geometry
+            # (successive leaf-cell exits), so they fuse into the
+            # elementwise prologue, and the per-sample accumulate/
+            # terminate rules run sequentially in-register. Semantics are
+            # those of the single-sample march: sampling a leaf inside a
+            # free dist cell reads 0 (the mirror stores 0 for unoccupied
+            # leaves) and contributes nothing, and the trip's final t is
+            # max(crawled extent, dist-skip bound) — both are safe
+            # advance bounds (sampled space vs guaranteed-free space), so
+            # their max never jumps unsampled occupied leaves. band_iters
+            # counts TRIPS here (up to K samples each).
+            K = crawl
+
+            def body_lean(s):
+                t_in = s["t"]
+                pos0 = origin + dirs * t_in[:, None]
+                q0 = quantize(pos0)
+                cx = q0[:, 0] >> shift_l
+                cy = q0[:, 1] >> shift_l
+                cz = q0[:, 2] >> shift_l
+                d = cache.dist[(cz << (2 * dist_level))
+                               | (cy << dist_level) | cx]
+                free = d > 0
+                # guaranteed-free advance: exit of the dist cell plus
+                # (d - 1) free cells (free lanes only — an occupied
+                # lane's bound is whatever the crawl sampled)
+                corner_l = bbox0 + (q0 >> shift_l).astype(jnp.float32) \
+                    * cell_l
+                t_axis_l = jnp.where(
+                    jnp.abs(dirs) > 1e-9,
+                    jnp.where(dirs > 0, (corner_l + cell_l - pos0),
+                              (corner_l - pos0)) * inv_dirs,
+                    jnp.inf)
+                exit_l = jnp.maximum(jnp.min(t_axis_l, axis=-1), 0.0)
+                skip = (d - 1).astype(jnp.float32) * cell_l \
+                    / jnp.maximum(linf, 1e-6)
+                t_skip = jnp.where(
+                    free,
+                    t_in + jnp.maximum(exit_l + skip + eps,
+                                       0.25 * leaf_cell),
+                    0.0)
+                # K-step leaf DDA: gather-free geometry
+                tts = []
+                ms = []
+                tt = t_in
+                for _ in range(K):
+                    ppos = origin + dirs * tt[:, None]
+                    qq = quantize(ppos)
+                    ms.append(mips_mod.interleave3(
+                        qq[:, 0], qq[:, 1], qq[:, 2], depth))
+                    corner = bbox0 + qq.astype(jnp.float32) * leaf_cell
+                    t_axis = jnp.where(
+                        jnp.abs(dirs) > 1e-9,
+                        jnp.where(dirs > 0, (corner + leaf_cell - ppos),
+                                  (corner - ppos)) * inv_dirs,
+                        jnp.inf)
+                    t_exit = jnp.maximum(jnp.min(t_axis, axis=-1), 0.0)
+                    tt = tt + jnp.maximum(t_exit + eps, 0.25 * leaf_cell)
+                    tts.append(tt)
+                vals = cache.values[leaf_off + jnp.stack(ms, axis=-1)]
+                r, gg, b, a = packing.unpack_rgba8(vals)
+                alpha_k = jnp.maximum(a - 127, 0).astype(jnp.float32)
+                rgb_k = jnp.stack([r, gg, b], axis=-1).astype(jnp.float32)
+                rgb, w, act, t_out = s["rgb"], s["w"], s["active"], s["t"]
+                for i in range(K):
+                    a_i = jnp.where(act, alpha_k[:, i], 0.0)
+                    rgb = rgb + (a_i / 127.0)[:, None] * rgb_k[:, i]
+                    w_new = w + a_i
+                    saturated = act & (w_new >= 127.0)
+                    w = jnp.where(saturated, 255.0, w_new)
+                    t_i = tts[i]
+                    if i == K - 1:
+                        t_i = jnp.maximum(t_i, t_skip)
+                    t_out = jnp.where(act, t_i, t_out)
+                    oor = act & ~saturated & (t_i > limit)
+                    scale = 127.0 / jnp.maximum(w, 1.0)
+                    rgb = jnp.where(oor[:, None], rgb * scale[:, None],
+                                    rgb)
+                    w = jnp.where(oor, 255.0, w)
+                    act = act & ~saturated & ~oor
+                return dict(t=t_out, rgb=rgb, w=w, active=act,
+                            it=s["it"] + 1)
+        else:
+            body_lean = make_body(dirs, inv_dirs, linf, limit,
+                                  with_count=False)
         state = jax.lax.while_loop(lambda s: s["it"] < band_iters,
                                    body_lean, state)
     else:

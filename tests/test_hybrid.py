@@ -125,6 +125,137 @@ class TestHybrid:
         mse_s = ((s[sel] - m[sel]) ** 2).mean()
         assert mse_h < 0.75 * mse_s, (mse_h, mse_s)
 
+    def test_crawl_band_matches_march_on_saturated_wall(self):
+        """K-crawl trips (crawl=4) keep the band's march semantics: on the
+        saturated wall every marched hit must still match the dense march
+        exactly (the crawl takes the same leaf samples, K per trip)."""
+        depth = 6
+        pool, leaves, cache = saturated_wall(depth)
+        pose = look_at_pose([0, 0, 1.0], [0, 0, -1.0])
+        spec = conesplat.make_slab_spec(width=64, height=48, fx=60.0,
+                                        leaf_size=4.0 / (1 << depth))
+        fb_h, dbg = hybrid.render_cone_hybrid(
+            leaves, cache, pool.center, pool.half_size, pose, 60.0, 60.0,
+            spec=spec, depth=depth, dist_level=3,
+            band_iters=8, crawl=4, debug_band=True)
+        fb_m = raycast.cone_trace_dense(
+            cache, pool.center, pool.half_size, pose, 60.0, 60.0,
+            width=64, height=48, max_depth=depth, dist_level=3,
+            max_iters=64, max_skip=7)
+        fb_h = np.asarray(fb_h)
+        fb_m = np.asarray(fb_m)
+        sel = np.asarray(dbg["sel"])
+        use = np.asarray(dbg["use_march"])
+        hm = fb_m.reshape(-1, 4)[sel[use]]
+        hh = fb_h.reshape(-1, 4)[sel[use]]
+        hit = hm[:, 3] > 0.9
+        assert hit.mean() > 0.3
+        assert np.abs(hm[hit, :3] - hh[hit, :3]).mean() < 0.05
+
+    def test_crawl_equivalent_to_single_sample_on_orbit_map(self):
+        """crawl=4 x 8 trips must land within 0.3 dB (vs the exact march)
+        of crawl=1 x 32 trips on a fused SLAM map — same total leaf
+        samples, same accumulation rules, only the trip batching differs
+        (free-space advance differs slightly: the crawl DDA-steps leaves
+        inside free cells before applying the dist skip)."""
+        cfg = SLAMConfig(width=80, height=60, focal_x=70.0, focal_y=70.0,
+                         pyramid_depth=2, pyramid_iters=(4, 4),
+                         voxel_resolution=0.04, max_depth=7,
+                         node_capacity=1 << 17, leaf_capacity=1 << 15,
+                         max_march_iters=64)
+        scene = sources.default_scene()
+        state = pipeline.init_state(cfg,
+                                    initial_pose=sources.orbit_pose(0.0))
+        for i in range(6):
+            gt = sources.orbit_pose(i * 0.015, radius=2.0)
+            frame = sources.render_frame(scene, gt, cfg.focal_x,
+                                         cfg.focal_y, width=cfg.width,
+                                         height=cfg.height)
+            state, out = pipeline.step(state, frame, cfg,
+                                       render="cone_hybrid")
+        import jax
+        st = jax.tree_util.tree_map(jnp.copy, state)
+        _, out_m = pipeline.step(st, frame, cfg, render="cone_march")
+        lvl = pipeline._accel_level(cfg)
+        spec = conesplat.make_slab_spec(
+            width=cfg.width, height=cfg.height, fx=cfg.focal_x,
+            leaf_size=cfg.voxel_resolution, z_near=cfg.cone_znear,
+            z_far=cfg.max_range, n_slabs=cfg.cone_slabs,
+            max_scale=cfg.cone_max_scale)
+
+        def render(iters, crawl):
+            return hybrid.render_cone_hybrid(
+                state.leaves, state.accel, state.pool.center,
+                state.pool.half_size, out.pose, cfg.focal_x, cfg.focal_y,
+                spec=spec, depth=cfg.max_depth, dist_level=lvl,
+                band_iters=iters, crawl=crawl)
+
+        p1 = _psnr(render(32, 1), out_m.framebuffer)
+        p4 = _psnr(render(8, 4), out_m.framebuffer)
+        assert p4 > p1 - 0.3, (p1, p4)
+
+    def test_fused_dist_bit_identical_on_wall(self):
+        """Single-gather band trips (fused_dist): on a stamped cache the
+        framebuffer must be BIT-IDENTICAL to the two-gather body — the
+        free-cell stamp IS the dist table entry, so classification, skip
+        lengths and accumulation are the same arithmetic."""
+        depth = 6
+        pool, leaves, cache = saturated_wall(depth)
+        enc = mips.encode_free_dist(cache, max_depth=depth, dist_level=3)
+        # stamps don't disturb occupancy or dist
+        assert np.array_equal(np.asarray(enc.occ), np.asarray(cache.occ))
+        assert np.array_equal(np.asarray(enc.dist), np.asarray(cache.dist))
+        pose = look_at_pose([0, 0, 1.0], [0, 0, -1.0])
+        spec = conesplat.make_slab_spec(width=64, height=48, fx=60.0,
+                                        leaf_size=4.0 / (1 << depth))
+
+        def render(cc, fused):
+            return np.asarray(hybrid.render_cone_hybrid(
+                leaves, cc, pool.center, pool.half_size, pose, 60.0, 60.0,
+                spec=spec, depth=depth, dist_level=3, band_iters=16,
+                fused_dist=fused))
+
+        fb_fused = render(enc, True)
+        fb_plain = render(enc, False)   # two-gather body ignores stamps
+        fb_orig = render(cache, False)  # and the unstamped original
+        assert np.array_equal(fb_fused, fb_plain)
+        assert np.array_equal(fb_plain, fb_orig)
+
+    def test_fused_dist_bit_identical_on_slam_map(self):
+        """Pipeline-maintained stamps: after lazy cone_hybrid frames
+        (cfg.cone_band_fused_dist on), rendering the maintained cache with
+        the two-gather body must reproduce the pipeline's fused frame
+        bit-exactly — i.e. the in-step stamp maintenance (refresh + heal +
+        pager triggers) kept the free cells equal to the dist table."""
+        cfg = SLAMConfig(width=80, height=60, focal_x=70.0, focal_y=70.0,
+                         pyramid_depth=2, pyramid_iters=(4, 4),
+                         voxel_resolution=0.04, max_depth=7,
+                         node_capacity=1 << 17, leaf_capacity=1 << 15)
+        assert cfg.cone_band_fused_dist
+        scene = sources.default_scene()
+        state = pipeline.init_state(cfg,
+                                    initial_pose=sources.orbit_pose(0.0))
+        for i in range(4):
+            gt = sources.orbit_pose(i * 0.015, radius=2.0)
+            frame = sources.render_frame(scene, gt, cfg.focal_x,
+                                         cfg.focal_y, width=cfg.width,
+                                         height=cfg.height)
+            state, out = pipeline.step(state, frame, cfg,
+                                       render="cone_hybrid")
+        lvl = pipeline._accel_level(cfg)
+        spec = conesplat.make_slab_spec(
+            width=cfg.width, height=cfg.height, fx=cfg.focal_x,
+            leaf_size=cfg.voxel_resolution, z_near=cfg.cone_znear,
+            z_far=cfg.max_range, n_slabs=cfg.cone_slabs,
+            max_scale=cfg.cone_max_scale)
+        fb_plain = hybrid.render_cone_hybrid(
+            state.leaves, state.accel, state.pool.center,
+            state.pool.half_size, out.pose, cfg.focal_x, cfg.focal_y,
+            spec=spec, depth=cfg.max_depth, dist_level=lvl,
+            band_iters=cfg.cone_band_iters, fused_dist=False)
+        assert np.array_equal(np.asarray(out.framebuffer),
+                              np.asarray(fb_plain))
+
     def test_lazy_leaf_mirror_matches_rebuild(self):
         """After N lazy cone_hybrid frames the maintained cache must equal
         a from-scratch rebuild on everything the band march reads: leaf
@@ -154,6 +285,11 @@ class TestHybrid:
         ref = mips.rebuild_from_pool(pool_fresh, max_depth=cfg.max_depth,
                                      dist_level=lvl,
                                      max_skip=cfg.dist_max_skip)
+        # the maintained mirror carries the fused-dist free-cell stamps
+        # (cfg.cone_band_fused_dist default): rebuild + stamp is the
+        # reference state
+        ref = mips.encode_free_dist(ref, max_depth=cfg.max_depth,
+                                    dist_level=lvl)
         lo = mips.level_offset(cfg.max_depth)
         hi = mips.level_offset(cfg.max_depth + 1)
         got = np.asarray(state.accel.values[lo:hi])

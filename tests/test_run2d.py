@@ -197,6 +197,71 @@ class TestRunSlam2D:
         assert err < 0.08, err
 
 
+class TestGrowAverted:
+    """REBALANCE-BEFORE-GROW (round-3 verdict #6): a hot shard crossing
+    the growth headroom must first re-cut the Morton ranges; when the
+    balanced loads fit existing capacity the growth event is AVERTED and
+    logged as such."""
+
+    def one_octant_scene(self):
+        """All geometry strictly inside octant 0 (x,y,z < 0) of the
+        1.6 m-half map volume: every fused leaf lands in shard 0's
+        default Morton range, so the first big frame pushes that one
+        shard over the (deliberately low) leaf headroom while the
+        re-cut loads fit it with margin — level-2 cell granularity
+        caps how evenly 3 hot cells split over 4 shards."""
+        from octree_slam_tpu.sensor import sources
+        z = jnp.zeros((0,), jnp.float32)
+        return sources.SyntheticScene(
+            spheres=jnp.array([[-0.45, -0.40, -0.45, 0.30]], jnp.float32),
+            sphere_albedo=jnp.array([[0.9, 0.3, 0.2]], jnp.float32),
+            boxes=jnp.array([[-1.0, -0.9, -1.0, -0.15, -0.70, -0.15]],
+                            jnp.float32),
+            box_albedo=jnp.array([[0.3, 0.8, 0.3]], jnp.float32),
+            planes=jnp.zeros((0, 4), jnp.float32),
+            plane_albedo=jnp.zeros((0, 3), jnp.float32),
+        )
+
+    def test_rebalance_averts_growth(self):
+        from octree_slam_tpu.sensor import sources
+        cfg = SLAMConfig(width=64, height=48, focal_x=55.0, focal_y=55.0,
+                         pyramid_depth=2, pyramid_iters=(2, 2),
+                         voxel_resolution=0.05, max_depth=6,
+                         node_capacity=1 << 15, leaf_capacity=1 << 10,
+                         insert_unique_cap=1 << 11, map_split_level=2,
+                         relocalize=False)
+        scene = self.one_octant_scene()
+        # look INTO octant 0 from outside it
+        n = 6
+        gt = [sources.orbit_pose(0.9 + i * 0.015) for i in range(n)]
+        fr = [sources.render_frame(scene, g, cfg.focal_x, cfg.focal_y,
+                                   width=cfg.width, height=cfg.height)
+              for g in gt]
+        mesh = distributed.make_mesh2(2, 4)
+        state, final_cfg, info = run2d.run_slam_2d(
+            fr, cfg, mesh, initial_pose=gt[0], grow_headroom=0.3,
+            rebalance_factor=1.1, rebalance_check_every=10**9)
+        events = info["events"]
+        averted = [e for e in events if e["event"] == "grow_averted"]
+        assert averted, events
+        assert averted[0]["leaves"], averted
+        # the FIRST headroom trip was absorbed by the re-cut: the averted
+        # event precedes any actual growth (the map keeps accreting, so a
+        # later growth may legitimately fire once even the balanced loads
+        # outgrow the low headroom)
+        grows = [e for e in events if e["event"] == "grow"]
+        if grows:
+            assert averted[0]["frame"] < grows[0]["frame"], events
+        # the averting rebalance is in the log with its decision inputs
+        pre = [e for e in events if e["event"] == "rebalance"
+               and e["reason"] == "pre-grow"]
+        assert pre and pre[0]["frame"] == averted[0]["frame"], events
+        assert max(pre[0]["counts_after"]) <= 0.3 * cfg.leaf_capacity
+        assert max(pre[0]["counts_before"]) > 0.3 * cfg.leaf_capacity
+        smap = state[3]
+        assert not bool(np.any(np.asarray(smap.leaves.overflowed)))
+
+
 class TestShardedCone:
     """render_sharded_cone: per-shard scatter-min + one pmin of packed
     words must be BIT-IDENTICAL to the single-chip slab compositor
