@@ -173,6 +173,15 @@ def main():
                                                 "cone", sync_floor)
     fps_march, tp_march, ate_m, out_march = run(cfg, frames, gt_poses,
                                                 "cone_march", sync_floor)
+    # hybrid production cone mode (render/hybrid.py): slab + fused
+    # single-gather edge-band march at the measured knee (round-4 sweep:
+    # cap 57600 / 24 trips = 29.93 dB vs the exact march at 35 FPS
+    # render-only; BASELINE.md round-4 frontier table)
+    import dataclasses
+    cfg_h = dataclasses.replace(cfg, cone_band_cap=57600,
+                                cone_band_iters=24)
+    fps_hyb, tp_hyb, ate_h, out_hyb = run(cfg_h, frames, gt_poses,
+                                          "cone_hybrid", sync_floor)
 
     # Renderer fidelity on a CLEAN single-pass map: the timed runs above
     # replay the stream through donated state (throughput methodology), so
@@ -184,13 +193,17 @@ def main():
     for i in range(len(frames) - 1):
         state, _ = stepper(cfg, "splat")(state, frames[i])
     state2 = jax.tree_util.tree_map(jnp.copy, state)
+    state3 = jax.tree_util.tree_map(jnp.copy, state)
     _, out_cone = stepper(cfg, "cone")(state, frames[-1])
     _, out_march = stepper(cfg, "cone_march")(state2, frames[-1])
+    _, out_hyb = stepper(cfg_h, "cone_hybrid")(state3, frames[-1])
 
     import numpy as np
-    d = (np.asarray(out_cone.framebuffer)[..., :3]
-         - np.asarray(out_march.framebuffer)[..., :3])
+    ref_fb = np.asarray(out_march.framebuffer)[..., :3]
+    d = np.asarray(out_cone.framebuffer)[..., :3] - ref_fb
     cone_psnr = 10.0 * np.log10(1.0 / max(float((d ** 2).mean()), 1e-12))
+    dh = np.asarray(out_hyb.framebuffer)[..., :3] - ref_fb
+    hyb_psnr = 10.0 * np.log10(1.0 / max(float((dh ** 2).mean()), 1e-12))
 
     result = {
         "metric": "track_fuse_render_fps_640x480",
@@ -202,6 +215,8 @@ def main():
         "cone_latency_fps": round(fps_cone, 3),
         "cone_march_fps": round(tp_march, 3),
         "cone_psnr_db": round(cone_psnr, 2),
+        "cone_hybrid_fps": round(tp_hyb, 3),
+        "cone_hybrid_psnr_db": round(hyb_psnr, 2),
         "ate_rmse_m": round(ate, 5),
         "sync_floor_ms": round(sync_floor * 1e3, 2),
         "diverged": bool(out.diverged),
