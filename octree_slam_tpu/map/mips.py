@@ -171,11 +171,18 @@ def _xyz_of_morton_perm(level: int) -> np.ndarray:
     return (z * g * g + y * g + x).astype(np.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("max_depth", "dist_level"))
 def encode_free_dist(cache: RenderCache, *, max_depth: int,
                      dist_level: int) -> RenderCache:
     """Stamp each FREE leaf cell of the dense mirror with the Chebyshev
     distance of its covering dist cell — the single-gather band-march
     contract (render/hybrid.py fused_dist).
+
+    Jitted: host callers (tiering._rebuild_derived) would otherwise
+    dispatch ~5 eager ops on the up-to-600 MB values buffer, at the
+    platform's ~100-500 ms per eager large-array op through the tunnel;
+    in-pipeline callers are already traced so this only gates the host
+    path.
 
     A free cell's word becomes the plain u32 distance (<= max_skip < 256,
     so it lives in the low byte and the alpha byte is 0): every

@@ -739,8 +739,16 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
         sat_mask=sat_mask,
         # eager frames healed + updated the mirror; hybrid lazy frames
         # healed + maintained its leaf level; every other lazy frame
-        # leaves it behind (see SLAMState.mirror_stale)
-        mirror_stale=(jnp.bool_(not (eager or needs_mirror))
+        # leaves it behind (see SLAMState.mirror_stale). With the fused
+        # single-gather band march, an eager NON-hybrid frame's mirror is
+        # current but UNSTAMPED (mips.update / rebuild_from_pool leave
+        # free cells EMPTY — correct image, zero empty-space skips), so
+        # it must stay flagged: the next hybrid frame's mirror_stale
+        # trigger then restores the stamps instead of silently marching
+        # skip-less until the next new-leaf frame.
+        mirror_stale=(jnp.bool_(not (needs_mirror or (
+            eager and (render == "cone_hybrid"
+                       or not cfg.cone_band_fused_dist))))
                       if cfg.use_dense_mips else state.mirror_stale),
     )
     out = StepOutput(

@@ -300,6 +300,55 @@ class TestHybrid:
         assert np.array_equal(np.asarray(state.accel.dist),
                               np.asarray(ref.dist))
 
+    def test_eager_frame_flags_unstamped_mirror(self):
+        """An eager (cone_march) frame rebuilds/updates the mirror WITHOUT
+        the fused-dist free-cell stamps; with cone_band_fused_dist it must
+        leave mirror_stale True so the next hybrid frame restores the
+        stamps instead of marching skip-less (round-4 advisor finding)."""
+        cfg = SLAMConfig(width=80, height=60, focal_x=70.0, focal_y=70.0,
+                         pyramid_depth=2, pyramid_iters=(4, 4),
+                         voxel_resolution=0.04, max_depth=7,
+                         node_capacity=1 << 17, leaf_capacity=1 << 15)
+        assert cfg.cone_band_fused_dist
+        scene = sources.default_scene()
+        state = pipeline.init_state(cfg,
+                                    initial_pose=sources.orbit_pose(0.0))
+        for i in range(2):
+            gt = sources.orbit_pose(i * 0.015, radius=2.0)
+            frame = sources.render_frame(scene, gt, cfg.focal_x,
+                                         cfg.focal_y, width=cfg.width,
+                                         height=cfg.height)
+            state, _ = pipeline.step(state, frame, cfg,
+                                     render="cone_hybrid")
+        gt = sources.orbit_pose(2 * 0.015, radius=2.0)
+        frame = sources.render_frame(scene, gt, cfg.focal_x, cfg.focal_y,
+                                     width=cfg.width, height=cfg.height)
+        state, _ = pipeline.step(state, frame, cfg, render="cone_march")
+        # eager frame: mirror current but stamps gone -> flagged
+        assert bool(state.mirror_stale)
+        lvl = pipeline._accel_level(cfg)
+        lo = mips.level_offset(cfg.max_depth)
+        hi = mips.level_offset(cfg.max_depth + 1)
+        leaf_vals = np.asarray(state.accel.values[lo:hi])
+        assert not np.any((leaf_vals > 0)
+                          & (leaf_vals <= cfg.dist_max_skip)), \
+            "eager rebuild should have left free cells unstamped"
+        # next hybrid frame heals + re-stamps
+        gt = sources.orbit_pose(3 * 0.015, radius=2.0)
+        frame = sources.render_frame(scene, gt, cfg.focal_x, cfg.focal_y,
+                                     width=cfg.width, height=cfg.height)
+        state, _ = pipeline.step(state, frame, cfg, render="cone_hybrid")
+        assert not bool(state.mirror_stale)
+        pool_fresh = svo.refresh_interior(state.pool, depth=cfg.max_depth)
+        ref = mips.rebuild_from_pool(pool_fresh, max_depth=cfg.max_depth,
+                                     dist_level=lvl,
+                                     max_skip=cfg.dist_max_skip)
+        ref = mips.encode_free_dist(ref, max_depth=cfg.max_depth,
+                                    dist_level=lvl)
+        got = np.asarray(state.accel.values[lo:hi])
+        want = np.asarray(ref.values[lo:hi])
+        assert np.array_equal(got, want)
+
     def test_empty_map_black(self):
         depth = 6
         pool = svo.create(1 << 12, jnp.zeros(3), 2.0)
