@@ -19,6 +19,32 @@ from octree_slam_tpu.core.types import Frame
 DEPTH_FACTOR_TO_MM = 5.0  # TUM: 5000 per meter; sensor path wants mm
 
 
+def pack_frame(depth_mm: np.ndarray, rgb: np.ndarray) -> np.ndarray:
+    """One u8[H*W*5] ingest buffer: depth as u16 little-endian bytes,
+    then rgb — a single host->device transfer per frame (the measured
+    win over two per-array uploads; see TUMDataset.prefetched)."""
+    return np.concatenate([depth_mm.astype("<u2").view(np.uint8).ravel(),
+                           rgb.ravel()])
+
+
+def _unpack_packed_frame(buf, ts, *, h: int, w: int) -> Frame:
+    """Device-side split of pack_frame's buffer back into a Frame."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("h", "w"))
+    def _split(buf, ts, h, w):
+        n = h * w
+        d = buf[: 2 * n].reshape(n, 2).astype(jnp.uint16)
+        depth = (d[:, 0] | (d[:, 1] << 8)).reshape(h, w)
+        color = buf[2 * n:].reshape(h, w, 3)
+        return Frame(depth=depth, color=color, timestamp=ts)
+
+    return _split(buf, ts, h, w)
+
+
 def _read_list(path: str) -> List[Tuple[float, str]]:
     out = []
     with open(path) as f:
@@ -111,19 +137,37 @@ class TUMDataset:
         return Frame(depth=jnp.asarray(depth_mm), color=jnp.asarray(color),
                      timestamp=jnp.float32(td))
 
-    def prefetched(self, n_threads: int = 3, capacity: int = 8):
+    def prefetched(self, n_threads: int = 3, capacity: int = 8,
+                   packed: bool = True, ahead: int = 2):
         """Generator of Frames decoded ahead by the native threaded
         prefetcher (native/src/prefetch.cpp): PNG inflate overlaps the TPU
         step instead of serializing with it. Falls back to sequential
         frame() decoding when the native runtime is unavailable.
 
-        Uploads stay per-frame ON PURPOSE: a feeder-thread variant that
-        stacked K decoded frames into one [K,H,W(,3)] transfer and yielded
-        device-side slices was measured same-tunnel (A/B, 2 reps):
-        batch 1 = {12.4, 27.4} fps e2e, batch 4 = {12.4, 26.0}, batch
-        8 = {7.9, 20.5}. Batching is at best neutral (the per-frame
-        jnp.asarray already overlaps the step via async dispatch) and
-        large batches actively stall the stream, so the simple path wins."""
+        Default ingest is PACKED + AHEAD (the round-5 A/B winner,
+        examples/tum_ingest_ab.py on the real TPU, 40 frames at 640x480):
+        depth (u16 LE bytes) + rgb ship as ONE u8 buffer per frame — one
+        transfer instead of two — split on device by a tiny jit, and a
+        feeder thread decodes AND uploads `ahead` frames in front so
+        ingest of frame i+1 overlaps frame i's step. Measured e2e incl.
+        PNG decode: serial per-array 48.2 fps, +ahead 49.9, +packed 51.5,
+        packed+ahead 53.4 (staged ceiling 90.5; decode alone 8.6
+        ms/frame, split uploads 22.6 ms vs packed 18.6). A YUV 4:2:0
+        chroma-subsampled variant (-30% bytes) measured SLOWER (46.0 /
+        41.2) — the host-side pack math eats the transfer savings — and
+        is lossy, so it was rejected. packed=False, ahead=0 restores the
+        plain per-array path.
+
+        Per-frame uploads (no K-frame batching) remain ON PURPOSE: a
+        feeder variant that stacked K decoded frames into one
+        [K,H,W(,3)] transfer and yielded device-side slices was measured
+        same-tunnel (A/B, 2 reps): batch 1 = {12.4, 27.4} fps e2e,
+        batch 4 = {12.4, 26.0}, batch 8 = {7.9, 20.5} — at best neutral
+        (per-frame jnp.asarray already overlaps the step via async
+        dispatch), large batches actively stall the stream."""
+        import queue
+        import threading
+
         import jax.numpy as jnp
         from octree_slam_tpu.io import native
 
@@ -137,18 +181,46 @@ class TUMDataset:
         h, w = probe.shape
         dps = [os.path.join(self.root, fd) for (_, fd), _ in self.pairs]
         rps = [os.path.join(self.root, fr) for _, (_, fr) in self.pairs]
-        with native.FramePrefetcher(dps, rps, w, h,
-                                    depth_to_mm=1.0 / DEPTH_FACTOR_TO_MM,
-                                    n_threads=n_threads,
-                                    capacity=capacity) as pf:
-            for i in range(len(self.pairs)):
-                nxt = pf.next()
-                if nxt is None:
-                    return
-                depth_mm, rgb = nxt
-                yield Frame(depth=jnp.asarray(depth_mm),
-                            color=jnp.asarray(rgb),
-                            timestamp=jnp.float32(self.pairs[i][0][0]))
+        tss = [p[0][0] for p in self.pairs]
+
+        def decoded():
+            with native.FramePrefetcher(dps, rps, w, h,
+                                        depth_to_mm=1.0 / DEPTH_FACTOR_TO_MM,
+                                        n_threads=n_threads,
+                                        capacity=capacity) as pf:
+                for i in range(len(self.pairs)):
+                    nxt = pf.next()
+                    if nxt is None:
+                        return
+                    yield nxt[0], nxt[1], tss[i]
+
+        def upload(depth_mm, rgb, ts):
+            if packed:
+                return _unpack_packed_frame(
+                    jnp.asarray(pack_frame(depth_mm, rgb)),
+                    jnp.float32(ts), h=h, w=w)
+            return Frame(depth=jnp.asarray(depth_mm),
+                         color=jnp.asarray(rgb),
+                         timestamp=jnp.float32(ts))
+
+        if ahead <= 0:
+            for d, c, ts in decoded():
+                yield upload(d, c, ts)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=ahead)
+
+        def feeder():
+            for d, c, ts in decoded():
+                q.put(upload(d, c, ts))
+            q.put(None)
+
+        threading.Thread(target=feeder, daemon=True).start()
+        while True:
+            f = q.get()
+            if f is None:
+                return
+            yield f
 
     def gt_pose(self, i: int) -> np.ndarray | None:
         """Ground-truth world_T_cam nearest to frame i's timestamp."""
