@@ -532,6 +532,107 @@ def render_sharded_cone(smap: ShardedMap, world_T_cam, fx, fy,
     return conesplat.composite_min_words(buf, spec=spec)
 
 
+def union_leaf_mirror(smap: ShardedMap, cfg: SLAMConfig):
+    """Replicated dense leaf mirror (+ occupancy + distance field) of the
+    Morton-sharded map — what the hybrid band march samples
+    (render/hybrid.py reads ONLY the leaf mip level and `dist`).
+
+    Built from the UNION leaf registry in one scatter: registry vals
+    mirror every leaf's current word (append_new_leaves contract), shards
+    own disjoint key ranges so indices never collide, and the output is
+    replicated — the SPMD partitioner all_gathers the [M, LC] key/val
+    arrays (a few MB over ICI) into each device's scatter. Interior mip
+    cells stay EMPTY (the band march never reads them; an exact-march
+    caller needs rebuild_from_pool semantics instead). With
+    cfg.cone_band_fused_dist the free leaf cells are stamped with their
+    covering dist cell's skip distance (mips.encode_free_dist), matching
+    the single-chip fused single-gather contract. Traced-only."""
+    from octree_slam_tpu.core import packing
+    from octree_slam_tpu.map import mips as mips_mod
+
+    lvl = max(1, min(cfg.accel_level, cfg.max_depth - 2))
+    keys = smap.leaves.keys.reshape(-1)
+    vals = smap.leaves.vals.reshape(-1)
+    live = keys >= 0
+    total = mips_mod.total_cells(cfg.max_depth)
+    flat = jnp.where(
+        live, mips_mod.flat_index(keys, cfg.max_depth, cfg.max_depth),
+        total)
+    values = jnp.full((total,), packing.EMPTY_VALUE,
+                      jnp.uint32).at[flat].set(vals, mode="drop")
+    g = 1 << lvl
+    pk = keys >> (3 * (cfg.max_depth - lvl))
+    lx, ly, lz = mips_mod.deinterleave3(jnp.where(live, pk, 0), lvl)
+    xyz = (lz << (2 * lvl)) | (ly << lvl) | lx
+    occ = jnp.zeros((g * g * g,), bool).at[
+        jnp.where(live, xyz, g * g * g)].set(True, mode="drop")
+    dist = mips_mod._dist_from_occ(occ.reshape(g, g, g),
+                                   cfg.dist_max_skip).reshape(-1)
+    cache = mips_mod.RenderCache(values=values, occ=occ, dist=dist)
+    if cfg.cone_band_fused_dist:
+        cache = mips_mod.encode_free_dist(cache, max_depth=cfg.max_depth,
+                                          dist_level=lvl)
+    return cache, lvl
+
+
+def render_sharded_hybrid(smap: ShardedMap, world_T_cam, fx, fy,
+                          cfg: SLAMConfig, mesh: Mesh,
+                          axis_name: str = "map") -> jnp.ndarray:
+    """The production QUALITY cone renderer (render/hybrid.py: slab
+    composite + seeded exact march of the edge band) on the Morton-range-
+    sharded map — closing the single-chip/multi-chip render-mode gap.
+
+    Stage 1 distributes exactly like render_sharded_cone: each device
+    scatter-mins ONLY its own leaf shard into the packed slab word
+    buffer, one `pmin` over ICI composites (bit-identical to the global
+    scatter-min by min-associativity), and the composite tail runs
+    replicated with want_aux (per-pixel first-hit depth seeds). Stage 2
+    builds the replicated union leaf mirror (union_leaf_mirror) and runs
+    the identical band select + seeded march + merge the single-chip path
+    runs (hybrid.band_march_merge) — pixel-parallel on the replicated
+    image, partitionable over a "px" axis by the SPMD partitioner.
+    Traffic per frame: the slab word buffer (~1.6 MB at 640x480) +
+    the registry all_gather (~MBs)."""
+    from jax import shard_map
+    from octree_slam_tpu.render import conesplat
+    from octree_slam_tpu.render import hybrid as hybrid_mod
+
+    spec = conesplat.make_slab_spec(
+        width=cfg.width, height=cfg.height, fx=cfg.focal_x,
+        leaf_size=cfg.voxel_resolution, z_near=cfg.cone_znear,
+        z_far=cfg.max_range, n_slabs=cfg.cone_slabs,
+        max_scale=cfg.cone_max_scale)
+
+    def words(vals_s, keys_s, c_s, h_s, T_s):
+        vals = vals_s.reshape(-1)
+        keys = keys_s.reshape(-1)
+        live = keys >= 0
+        buf = conesplat.slab_scatter_min(
+            vals, keys, live, c_s, h_s, T_s, fx, fy, spec=spec,
+            depth=cfg.max_depth)
+        return jax.lax.pmin(buf, axis_name)
+
+    buf = shard_map(
+        words, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P(), P()),
+        out_specs=P(),
+    )(smap.leaves.vals, smap.leaves.keys,
+      smap.pool.center[0], smap.pool.half_size[0], world_T_cam)
+    fb, _w, z_first = conesplat.composite_min_words(buf, spec=spec,
+                                                    dilate=1,
+                                                    want_aux=True)
+    cache, lvl = union_leaf_mirror(smap, cfg)
+    return hybrid_mod.band_march_merge(
+        fb, z_first, cache, smap.pool.center[0], smap.pool.half_size[0],
+        world_T_cam, fx, fy, spec=spec, depth=cfg.max_depth,
+        dist_level=lvl, max_range=cfg.max_range,
+        start_dist=cfg.start_dist, band_cap=cfg.cone_band_cap,
+        band_iters=cfg.cone_band_iters, crawl=cfg.cone_band_crawl,
+        fused_dist=cfg.cone_band_fused_dist,
+        depth_prio=cfg.cone_band_depth_prio,
+        compact_after=cfg.cone_band_compact_after)
+
+
 def make_mesh2(n_px: int, n_map: int) -> Mesh:
     """2-D device mesh ("px", "map"): tracking parallelism on one axis,
     Morton-range map parallelism on the other — the DP x TP-style
@@ -557,11 +658,20 @@ def slam_step_2d(cfg: SLAMConfig, mesh: Mesh, render: str = "splat",
         unique count);
       * rendering: "splat" z-buffers each map shard and composites with
         one pmin over the "map" axis; "cone" runs the production slab
-        cone compositor the same way (render_sharded_cone); "none"
-        returns a zero framebuffer (tracking+fusion only).
+        cone compositor the same way (render_sharded_cone);
+        "cone_hybrid" adds the seeded edge-band march over the union
+        leaf mirror (render_sharded_hybrid — the single-chip quality
+        mode, now at multi-chip parity); "none" returns a zero
+        framebuffer (tracking+fusion only).
 
-    State = (last_pyramid, pose, initialized, ShardedMap, diverged).
-    Tracking is identical math to pipeline.step (frame-to-frame ICP).
+    State = (last_pyramid, pose, initialized, ShardedMap, diverged,
+    key_pyramid, key_pose, key_T_cam) — the last three are empty pytrees
+    unless cfg.track_keyframe (same gating as pipeline.SLAMState).
+    Tracking is identical math to pipeline.step: frame-to-frame ICP, or
+    keyframe-anchored when cfg.track_keyframe (ICP against the anchor
+    frame's maps seeded by the previous key-relative transform,
+    re-anchoring at keyframe_max_dist / keyframe_max_angle_deg — drift
+    accrues per keyframe hop instead of per frame).
     sticky_gate mirrors pipeline.step's recovery contract: with it, the
     diverged flag LATCHES and gates fusion until the host loop's
     relocalization clears it (run2d.run_slam_2d); without it the gate is
@@ -578,14 +688,39 @@ def slam_step_2d(cfg: SLAMConfig, mesh: Mesh, render: str = "splat",
     from octree_slam_tpu import pipeline
     from octree_slam_tpu.sensor import tracking as tr
 
+    import math as _math
+
     def fn(state, frame):
-        last_pyramid, pose, initialized, smap, diverged = state
+        (last_pyramid, pose, initialized, smap, diverged,
+         key_pyramid, key_pose, key_T_cam) = state
         pyramid = tr.build_pyramid(frame.depth, frame.color, cfg)
-        update_T, tstats = tr.track(list(last_pyramid), list(pyramid), cfg)
         eye = jnp.eye(4, dtype=jnp.float32)
-        update_T = jnp.where(initialized, update_T, eye)
-        new_pose = pose @ update_T
-        new_div = diverged | (initialized & tstats.diverged)
+        if cfg.track_keyframe:
+            # keyframe anchoring on the mesh — same math as
+            # pipeline.step's branch (drift accrues per keyframe hop)
+            update_T, tstats = tr.track(list(key_pyramid), list(pyramid),
+                                        cfg, init_T=key_T_cam)
+            update_T = jnp.where(initialized, update_T, eye)
+            new_pose = jnp.where(initialized, key_pose @ update_T, pose)
+            new_div = diverged | (initialized & tstats.diverged)
+            t_dist = jnp.linalg.norm(update_T[:3, 3])
+            cos_ang = jnp.clip((jnp.trace(update_T[:3, :3]) - 1.0) * 0.5,
+                               -1.0, 1.0)
+            far = (t_dist > cfg.keyframe_max_dist) | (
+                cos_ang < _math.cos(
+                    _math.radians(cfg.keyframe_max_angle_deg)))
+            re_anchor = (~initialized) | (far & ~tstats.diverged)
+            key_pyramid = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(re_anchor, new, old),
+                tuple(pyramid), key_pyramid)
+            key_pose = jnp.where(re_anchor, new_pose, key_pose)
+            key_T_cam = jnp.where(re_anchor, eye, update_T)
+        else:
+            update_T, tstats = tr.track(list(last_pyramid), list(pyramid),
+                                        cfg)
+            update_T = jnp.where(initialized, update_T, eye)
+            new_pose = pose @ update_T
+            new_div = diverged | (initialized & tstats.diverged)
 
         v = pyramid[cfg.fuse_level].vertex.reshape(-1, 3)
         world_pts = v @ new_pose[:3, :3].T + new_pose[:3, 3]
@@ -597,13 +732,16 @@ def slam_step_2d(cfg: SLAMConfig, mesh: Mesh, render: str = "splat",
         if render == "cone":
             fb = render_sharded_cone(smap, new_pose, cfg.focal_x,
                                      cfg.focal_y, cfg, mesh)
+        elif render == "cone_hybrid":
+            fb = render_sharded_hybrid(smap, new_pose, cfg.focal_x,
+                                       cfg.focal_y, cfg, mesh)
         elif render == "splat":
             fb = render_sharded_map(smap, new_pose, cfg.focal_x,
                                     cfg.focal_y, cfg, mesh)
         else:
             fb = jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
         new_state = (tuple(pyramid), new_pose, jnp.bool_(True), smap,
-                     new_div)
+                     new_div, key_pyramid, key_pose, key_T_cam)
         # Packed health/growth signals — ONE small fetch serves the host
         # loop (run2d), which reads it TRAILING one frame so a frame costs
         # max(step, RTT), the pipeline.run_slam fetch protocol. Plain array
@@ -644,7 +782,10 @@ def slam_step_2d(cfg: SLAMConfig, mesh: Mesh, render: str = "splat",
         leaves=LeafList(keys=ms, nodes=ms, vals=ms, node2pos=ms,
                         count=ms, overflowed=ms),
         bounds=ms)
-    state_spec = (pyr_spec, rep, rep, smap_spec, rep)
+    key_pyr_spec = (pyr_spec if cfg.track_keyframe else ())
+    key_rep = rep  # scalar-shaped placeholders shard the same either way
+    state_spec = (pyr_spec, rep, rep, smap_spec, rep,
+                  key_pyr_spec, key_rep, key_rep)
     out_spec = (state_spec, (rep, rep, rep))
     return jax.jit(fn,
                    in_shardings=(state_spec, frame_sharding(mesh, "px")),
@@ -660,14 +801,23 @@ def axis_name_of(mesh: Mesh, preferred: str = "map") -> str:
 
 def slam_init_2d(cfg: SLAMConfig, mesh: Mesh, map_center=(0.0, 0.0, 0.0),
                  initial_pose=None):
-    """Initial (pyramid, pose, initialized, ShardedMap, diverged) for
-    slam_step_2d."""
+    """Initial (pyramid, pose, initialized, ShardedMap, diverged,
+    key_pyramid, key_pose, key_T_cam) for slam_step_2d. The keyframe
+    fields are empty pytrees unless cfg.track_keyframe (same shape gating
+    as pipeline.SLAMState, so the donated/checkpointed template stays
+    stable per config)."""
     from octree_slam_tpu import pipeline
     pose = (jnp.eye(4, dtype=jnp.float32) if initial_pose is None
             else jnp.asarray(initial_pose, jnp.float32))
     return (tuple(pipeline._empty_pyramid(cfg)), pose, jnp.bool_(False),
             make_sharded_map(cfg, mesh, map_center=map_center),
-            jnp.bool_(False))
+            jnp.bool_(False),
+            (tuple(pipeline._empty_pyramid(cfg)) if cfg.track_keyframe
+             else ()),
+            (jnp.array(pose, copy=True) if cfg.track_keyframe
+             else jnp.zeros((0,), jnp.float32)),
+            (jnp.eye(4, dtype=jnp.float32) if cfg.track_keyframe
+             else jnp.zeros((0,), jnp.float32)))
 
 
 def model_zbuffer_sharded(smap: ShardedMap, pose, cfg: SLAMConfig,

@@ -15,9 +15,11 @@ brought to production parity in round 4 (round-3 verdict item #3):
     first and the growth decision re-checked against the balanced loads —
     a hot shard no longer forces a uniform doubling of every shard's HBM
     (round-3 verdict item #6);
-  * render modes "splat" (z-buffer pmin) and "cone" (the production slab
+  * render modes "splat" (z-buffer pmin), "cone" (the production slab
     cone compositor, per-shard scatter-min + one pmin of packed words —
-    distributed.render_sharded_cone);
+    distributed.render_sharded_cone), and "cone_hybrid" (slab + seeded
+    edge-band march over the union leaf mirror —
+    distributed.render_sharded_hybrid);
   * relocalization: with cfg.recovery_enabled the diverged flag LATCHES
     inside the step (fusion gated off) and the host loop re-anchors the
     camera by ICP against splat renders of the SHARDED map at recent
@@ -89,8 +91,8 @@ def save_sharded(path: str, state, cfg: SLAMConfig) -> None:
     (auto-growth changes capacities mid-run; the prealloc schedule is part
     of the pool's on-disk meaning)."""
     from octree_slam_tpu.map import svo
-    pyr, pose, init, smap, div = state
-    flat, _ = jax.tree_util.tree_flatten((pyr, pose, init, smap, div))
+    smap = state[3]
+    flat, _ = jax.tree_util.tree_flatten(state)
     np.savez_compressed(
         path, n=len(flat),
         node_capacity=cfg.node_capacity, leaf_capacity=cfg.leaf_capacity,
@@ -157,15 +159,17 @@ def load_sharded(path: str, cfg: SLAMConfig, mesh
                 f"{t.dtype}{list(t.shape)} — config mismatch")
         loaded.append(a)
     state = jax.tree_util.tree_unflatten(treedef, loaded)
-    pyr, pose, init, smap, div = state
+    smap = state[3]
     shardings = jax.tree_util.tree_map(
         lambda x: NamedSharding(mesh, P("map", *([None] * (x.ndim - 1)))),
         smap)
     smap = jax.device_put(smap, shardings)
     rep = NamedSharding(mesh, P())
-    pyr = jax.device_put(pyr, jax.tree_util.tree_map(lambda _: rep, pyr))
-    return (pyr, jax.device_put(pose, rep), jax.device_put(init, rep),
-            smap, jax.device_put(div, rep)), cfg
+    rest0 = jax.device_put(
+        state[:3], jax.tree_util.tree_map(lambda _: rep, state[:3]))
+    rest1 = jax.device_put(
+        state[4:], jax.tree_util.tree_map(lambda _: rep, state[4:]))
+    return rest0 + (smap,) + rest1, cfg
 
 
 def run_slam_2d(frames: Iterable, cfg: SLAMConfig, mesh,
@@ -179,7 +183,8 @@ def run_slam_2d(frames: Iterable, cfg: SLAMConfig, mesh,
 
     frames: iterable of core.types.Frame (host arrays are fine; each is
     device_put row-sharded over the "px" axis). render: "splat" | "cone" |
-    "none". With cfg.recovery_enabled, divergence latches in-step and the
+    "cone_hybrid" (the quality mode: per-shard slab + pmin, replicated
+    band march over the union leaf mirror) | "none". With cfg.recovery_enabled, divergence latches in-step and the
     host loop attempts relocalization against the sharded map. Returns
     (final_state, final_cfg, info) where info carries the trajectory
     (np [N,4,4]), growth/rebalance/relocalize events, and the last signal
@@ -215,9 +220,8 @@ def run_slam_2d(frames: Iterable, cfg: SLAMConfig, mesh,
         mean = max(float(counts.mean()), 1.0)
         if counts.max() <= rebalance_factor * mean:
             return False
-        pyr, pose, init, smap, div = state
-        smap = distributed.rebalance_sharded(smap, cfg, mesh)
-        state = (pyr, pose, init, smap, div)
+        smap = distributed.rebalance_sharded(state[3], cfg, mesh)
+        state = state[:3] + (smap,) + state[4:]
         new_counts = np.asarray(distributed.shard_leaf_counts(smap))
         emit({"event": "rebalance", "frame": frame_idx, "reason": reason,
               "counts_before": counts.tolist(),
@@ -255,11 +259,10 @@ def run_slam_2d(frames: Iterable, cfg: SLAMConfig, mesh,
                           "leaves": bool(averted_l),
                           "max_nodes": mn, "max_leaves": ml})
         if grow_nodes or grow_leaves:
-            pyr, pose, init, smap, div = state
             smap, cfg = distributed.grow_sharded(
-                smap, cfg, mesh, grow_nodes=grow_nodes,
+                state[3], cfg, mesh, grow_nodes=grow_nodes,
                 grow_leaves=grow_leaves)
-            state = (pyr, pose, init, smap, div)
+            state = state[:3] + (smap,) + state[4:]
             step = distributed.slam_step_2d(cfg, mesh, render=render,
                                             sticky_gate=recovery)
             grew = True
@@ -284,15 +287,21 @@ def run_slam_2d(frames: Iterable, cfg: SLAMConfig, mesh,
             if ok:
                 from jax.sharding import NamedSharding, PartitionSpec
                 rep = NamedSharding(mesh, PartitionSpec())
-                pyr, _, init, smap, _ = state
                 # re-place the recovered pose + cleared flag REPLICATED on
                 # the mesh: a host-committed array here changes the jitted
                 # step's input placement and can mismatch its executable
-                state = (pyr,
-                         jax.device_put(jnp.asarray(pose_new, jnp.float32),
-                                        rep),
-                         init, smap,
-                         jax.device_put(jnp.bool_(False), rep))
+                pose_dev = jax.device_put(
+                    jnp.asarray(pose_new, jnp.float32), rep)
+                key_tail = state[5:]
+                if cfg.track_keyframe:
+                    # the anchor predates the loss: re-seed it at the
+                    # recovered pose with the latest frame's maps (same
+                    # contract as app.run_slam's single-chip recovery)
+                    key_tail = (state[0], pose_dev,
+                                jax.device_put(
+                                    jnp.eye(4, dtype=jnp.float32), rep))
+                state = (state[0], pose_dev, state[2], state[3],
+                         jax.device_put(jnp.bool_(False), rep)) + key_tail
                 lost = False
             emit({"event": "relocalize" if ok else "relocalize_failed",
                   "frame": frame_idx, **diag})

@@ -90,15 +90,41 @@ def render_cone_hybrid(leaves: LeafList, cache, center: jnp.ndarray,
     debug_band also a dict of band diagnostics (selected flat indices,
     per-lane trip state) for tests.
     """
+    fb, _w_slab, z_first = conesplat.render_cone_splat(
+        leaves, center, half_size, world_T_cam, fx, fy, spec=spec,
+        depth=depth, dilate=dilate, want_aux=True)
+    return band_march_merge(
+        fb, z_first, cache, center, half_size, world_T_cam, fx, fy,
+        spec=spec, depth=depth, dist_level=dist_level,
+        max_range=max_range, start_dist=start_dist, band_cap=band_cap,
+        band_iters=band_iters, compact_after=compact_after,
+        grad_dilate=grad_dilate, seed_halo=seed_halo, crawl=crawl,
+        fused_dist=fused_dist, depth_prio=depth_prio,
+        debug_band=debug_band)
+
+
+def band_march_merge(fb, z_first, cache, center: jnp.ndarray,
+                     half_size, world_T_cam: jnp.ndarray, fx, fy, *,
+                     spec: SlabSpec, depth: int, dist_level: int,
+                     max_range: float = 10.0, start_dist: float = 0.002,
+                     band_cap: int = 0, band_iters: int = 12,
+                     compact_after: int = 999, grad_dilate: int = 2,
+                     seed_halo: int = 4, crawl: int = 1,
+                     fused_dist: bool = False, depth_prio: float = 0.0,
+                     debug_band: bool = False):
+    """Steps 2-4 of the hybrid (band select, seeded march, merge) on a
+    PREBUILT slab image + aux — split out so the multi-chip renderer can
+    compose its per-shard scatter-min slab (one pmin of packed words over
+    ICI) and then run the identical replicated band march over the union
+    leaf mirror (parallel/distributed.render_sharded_hybrid). fb/z_first
+    are conesplat's want_aux outputs; semantics and knobs match
+    render_cone_hybrid exactly (that function is now this one behind the
+    single-chip slab render). Traced-only (callers jit)."""
     W, H = spec.width, spec.height
     n = W * H
     C = band_cap if band_cap > 0 else max(128, n // 4)
     C = min(C, n)
     C2 = max(128, C // 4)
-
-    fb, w_slab, z_first = conesplat.render_cone_splat(
-        leaves, center, half_size, world_T_cam, fx, fy, spec=spec,
-        depth=depth, dilate=dilate, want_aux=True)
 
     # --- Band selection: slab-image luminance gradient (edge pixels carry
     # ~55% of slab-vs-march MSE), max-pooled so the band extends grad_dilate

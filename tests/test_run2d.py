@@ -346,6 +346,163 @@ class TestShardedCone:
         np.testing.assert_allclose(fb_sh, fb_1, atol=2e-7)
 
 
+class TestShardedHybrid:
+    """render_sharded_hybrid (round-4 verdict item #5a): per-shard slab
+    scatter-min + pmin, then the replicated band march over the union
+    leaf mirror, must reproduce the single-chip quality renderer. The
+    packed slab words and the union mirror are BIT-identical; the f32
+    composite tail differs by 1 ULP under shard_map, which can flip
+    argsort ties in the band selection — so the image check tolerates a
+    sub-0.5% pixel set difference at > 40 dB agreement."""
+
+    CFG = SLAMConfig(width=64, height=48, focal_x=60.0, focal_y=60.0,
+                     max_depth=6, voxel_resolution=2 * 1.28 / (1 << 6),
+                     node_capacity=1 << 16, leaf_capacity=1 << 12,
+                     insert_unique_cap=1 << 12, map_split_level=2)
+
+    def test_hybrid_parity_vs_single_chip(self):
+        from octree_slam_tpu.map import mips, svo as svo_mod
+        from octree_slam_tpu.render import conesplat, hybrid
+        from octree_slam_tpu.render.splat import append_new_leaves, \
+            create_leaf_list
+        from test_render import look_at_pose
+
+        cfg = self.CFG
+        mesh = distributed.make_mesh(8, axis_name="map")
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-1.0, 1.0, (4000, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (4000, 3)).astype(np.float32)
+
+        smap = distributed.make_sharded_map(cfg, mesh)
+        for _ in range(2):
+            smap, _ = distributed.insert_sharded(
+                smap, jnp.asarray(pts), jnp.asarray(cols), cfg, mesh)
+
+        half = cfg.voxel_resolution * (2 ** (cfg.max_depth - 1))
+        pool = svo_mod.create(cfg.node_capacity, jnp.zeros(3),
+                              jnp.float32(half))
+        leaves = create_leaf_list(cfg.leaf_capacity, cfg.node_capacity)
+        for _ in range(2):
+            pool, st = svo_mod.insert(pool, jnp.asarray(pts),
+                                      jnp.asarray(cols),
+                                      depth=cfg.max_depth,
+                                      unique_cap=cfg.insert_unique_cap)
+            leaves = append_new_leaves(leaves, st)
+
+        # the union mirror equals the single-chip production cache on
+        # everything the band march reads (leaf level, occ, dist, stamps)
+        lvl = max(1, min(cfg.accel_level, cfg.max_depth - 2))
+        cache_sh, lvl_sh = jax.jit(
+            lambda s: distributed.union_leaf_mirror(s, cfg))(smap)
+        assert lvl_sh == lvl
+        pool_f = svo_mod.refresh_interior(pool, depth=cfg.max_depth)
+        cache_1 = mips.rebuild_from_pool(pool_f, max_depth=cfg.max_depth,
+                                         dist_level=lvl,
+                                         max_skip=cfg.dist_max_skip)
+        if cfg.cone_band_fused_dist:
+            cache_1 = mips.encode_free_dist(cache_1,
+                                            max_depth=cfg.max_depth,
+                                            dist_level=lvl)
+        lo = mips.level_offset(cfg.max_depth)
+        hi = mips.level_offset(cfg.max_depth + 1)
+        np.testing.assert_array_equal(
+            np.asarray(cache_sh.values[lo:hi]),
+            np.asarray(cache_1.values[lo:hi]))
+        np.testing.assert_array_equal(np.asarray(cache_sh.occ),
+                                      np.asarray(cache_1.occ))
+        np.testing.assert_array_equal(np.asarray(cache_sh.dist),
+                                      np.asarray(cache_1.dist))
+
+        pose = look_at_pose([0, 0, 2.2], [0, 0, 0.0])
+        fb_sh = np.asarray(distributed.render_sharded_hybrid(
+            smap, jnp.asarray(pose), cfg.focal_x, cfg.focal_y, cfg, mesh))
+        spec = conesplat.make_slab_spec(
+            width=cfg.width, height=cfg.height, fx=cfg.focal_x,
+            leaf_size=cfg.voxel_resolution, z_near=cfg.cone_znear,
+            z_far=cfg.max_range, n_slabs=cfg.cone_slabs,
+            max_scale=cfg.cone_max_scale)
+        fb_1 = np.asarray(hybrid.render_cone_hybrid(
+            leaves, cache_1, pool.center, pool.half_size,
+            jnp.asarray(pose), cfg.focal_x, cfg.focal_y, spec=spec,
+            depth=cfg.max_depth, dist_level=lvl,
+            max_range=cfg.max_range, start_dist=cfg.start_dist,
+            band_cap=cfg.cone_band_cap, band_iters=cfg.cone_band_iters,
+            crawl=cfg.cone_band_crawl,
+            fused_dist=cfg.cone_band_fused_dist,
+            depth_prio=cfg.cone_band_depth_prio,
+            compact_after=cfg.cone_band_compact_after))
+        assert fb_1[..., :3].max() > 0.1
+        d = np.abs(fb_sh[..., :3] - fb_1[..., :3])
+        frac_off = float((d.max(axis=-1) > 1e-5).mean())
+        assert frac_off < 0.005, frac_off
+        mse = float((d ** 2).mean())
+        psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+        assert psnr > 40.0, psnr
+
+    def test_run_slam_2d_cone_hybrid_mode(self):
+        """The full loop accepts render='cone_hybrid' and tracks sanely."""
+        from octree_slam_tpu.sensor import sources
+        cfg = dataclasses.replace(
+            TestRunSlam2D.CFG, node_capacity=1 << 16,
+            leaf_capacity=1 << 12)
+        mesh = distributed.make_mesh2(2, 4)
+        scene = sources.default_scene()
+        gt = [sources.orbit_pose(i * 0.02) for i in range(6)]
+        frames = [sources.render_frame(scene, g, cfg.focal_x, cfg.focal_y,
+                                       width=cfg.width, height=cfg.height)
+                  for g in gt]
+        state, _, info = run2d.run_slam_2d(frames, cfg, mesh,
+                                           initial_pose=gt[0],
+                                           render="cone_hybrid")
+        err = np.linalg.norm(info["poses"][-1][:3, 3]
+                             - np.asarray(gt[-1])[:3, 3])
+        assert err < 0.08, err
+
+
+class TestKeyframe2D:
+    """Keyframe-anchored tracking on the 2-D mesh (round-4 verdict item
+    #5c): identical math to pipeline.step's cfg.track_keyframe branch, so
+    the sharded map must match a single-chip keyframe run bit-for-bit."""
+
+    def test_keyframe_matches_single_chip(self):
+        from octree_slam_tpu import pipeline
+        from octree_slam_tpu.sensor import sources
+
+        cfg = dataclasses.replace(
+            TestRunSlam2D.CFG, node_capacity=1 << 16,
+            leaf_capacity=1 << 13, track_keyframe=True,
+            keyframe_max_dist=0.05, keyframe_max_angle_deg=3.0)
+        n = 10
+        mesh = distributed.make_mesh2(2, 4)
+        scene = sources.default_scene()
+        gt = [sources.orbit_pose(i * 0.02) for i in range(n)]
+        frames = [sources.render_frame(scene, g, cfg.focal_x, cfg.focal_y,
+                                       width=cfg.width, height=cfg.height)
+                  for g in gt]
+        state, _, info = run2d.run_slam_2d(frames, cfg, mesh,
+                                           initial_pose=gt[0])
+
+        sstate = pipeline.init_state(cfg, initial_pose=gt[0])
+        step = jax.jit(lambda s, f: pipeline.step(s, f, cfg,
+                                                  render="none"))
+        poses1 = []
+        for f in frames:
+            sstate, out = step(sstate, f)
+            poses1.append(np.asarray(out.pose))
+
+        rk = np.asarray(sstate.leaves.keys)
+        rv = np.asarray(sstate.leaves.vals)
+        live = rk >= 0
+        order = np.argsort(rk[live], kind="stable")
+        ku, vu = run2d.union_leaves(state[3])
+        np.testing.assert_array_equal(ku, rk[live][order])
+        np.testing.assert_array_equal(vu, rv[live][order])
+        # trajectories agree to float tolerance (identical math, sharded
+        # reductions reassociate)
+        np.testing.assert_allclose(info["poses"], np.stack(poses1),
+                                   atol=1e-4)
+
+
 class TestRecovery2D:
     """Sticky divergence + relocalization on the 2-D mesh (round-3 verdict
     item #3b): a garbage frame diverges tracking, fusion gates off via
