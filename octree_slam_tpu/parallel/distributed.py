@@ -305,6 +305,10 @@ def grow_sharded(smap: ShardedMap, cfg: SLAMConfig, mesh: Mesh, *,
         exs, caps = [], []
         for d in range(m):
             pool_d = jax.tree_util.tree_map(lambda x: x[d], smap.pool)
+            # defensive: extraction BFS reads interior occupancy; a
+            # caller that bypassed the always-fresh invariant would
+            # otherwise lose its unregistered leaves here for good
+            pool_d = svo.refresh_interior(pool_d, depth=cfg.max_depth)
             ex, cap = svo.extract_all_leaves(
                 pool_d, depth=cfg.max_depth,
                 start_capacity=new_cfg.leaf_capacity)
@@ -405,49 +409,39 @@ def balanced_bounds(cell_counts, m: int):
     return np.asarray(bounds, np.int32)
 
 
-def rebalance_sharded(smap: ShardedMap, cfg: SLAMConfig, mesh: Mesh,
-                      axis_name: str = "map") -> ShardedMap:
-    """Re-cut the shard boundaries to equalize leaf load and redistribute
-    the map (host-level, rare — a growth-cadence operation, not per-frame).
-
-    The fixed level-1 octant split loads 1-2 of 8 devices on any scene
-    concentrated in few octants (round-2 verdict item #5). This measures
-    the observed per-cell leaf histogram at cfg.map_split_level, computes
-    balanced contiguous ranges, and rebuilds every shard from the UNION
-    leaf snapshot filtered to its new range (value-verbatim insert_exact,
-    so the union is bit-identical before and after). Needs
-    map_split_level >= 2 to help: level 1 has only 8 cells to cut.
-    """
+def rebuild_from_union(smap: ShardedMap, cfg: SLAMConfig, mesh: Mesh,
+                       keys_live, vals_live, bounds,
+                       axis_name: str = "map") -> ShardedMap:
+    """Rebuild EVERY shard from a union (keys, vals) leaf snapshot under
+    the given boundaries: each device keeps the snapshot rows in its own
+    Morton range and runs the value-verbatim shard-local rebuild
+    (_exact_rebuild) — the shared machinery behind rebalance_sharded
+    (re-cut bounds) and the sharded tiering spill (unchanged bounds,
+    cold rows dropped from the snapshot). Host-level, rare-path."""
     import numpy as np
     from jax import shard_map
 
-    from octree_slam_tpu.map import morton
-
     m = mesh.shape[axis_name]
     L = cfg.map_split_level
-    cells = 1 << (3 * L)
-
-    # union leaf snapshot from the registries (vals mirror every touched
-    # leaf's current word, append_new_leaves contract)
-    keys_np = np.asarray(smap.leaves.keys).ravel()
-    vals_np = np.asarray(smap.leaves.vals).ravel()
-    live = keys_np >= 0
-    keys_live = keys_np[live]
-    prefixes = keys_live >> (3 * (cfg.max_depth - L))
-    counts = np.bincount(prefixes, minlength=cells)
-    bounds = balanced_bounds(counts, m)
+    keys_live = np.asarray(keys_live, np.int32)
+    vals_live = np.asarray(vals_live, np.uint32)
 
     # static union buffer: every shard gets the full snapshot and keeps
-    # its new range (same replicated-routing shape as insert_sharded)
+    # its range (same replicated-routing shape as insert_sharded). A
+    # pool-backed snapshot can exceed the registries' total capacity
+    # (that is what overflow means) — pad up in cap_u quanta so the
+    # rare-path recompile family stays bounded.
     cap_u = smap.leaves.keys.shape[1]  # per-shard registry capacity
-    union_k = np.full((m * cap_u,), -1, np.int32)
-    union_v = np.zeros((m * cap_u,), np.uint32)
+    size = max(m * cap_u, -(-keys_live.size // cap_u) * cap_u)
+    union_k = np.full((size,), -1, np.int32)
+    union_v = np.zeros((size,), np.uint32)
     union_k[: keys_live.size] = keys_live
-    union_v[: keys_live.size] = vals_np[live]
+    union_v[: keys_live.size] = vals_live
     union_k_j = jnp.asarray(union_k)
     union_v_j = jnp.asarray(union_v)
     bounds_stacked = jnp.asarray(
-        np.broadcast_to(bounds[None], (m, m + 1)).copy())
+        np.broadcast_to(np.asarray(bounds, np.int32)[None],
+                        (m, m + 1)).copy())
 
     def local(bounds_s, uk, uv, center, half):
         b = bounds_s[0]
@@ -468,6 +462,71 @@ def rebalance_sharded(smap: ShardedMap, cfg: SLAMConfig, mesh: Mesh,
     )(bounds_stacked, union_k_j, union_v_j,
       smap.pool.center[0], smap.pool.half_size[0])
     return ShardedMap(pool=pool, leaves=new_leaves, bounds=bounds_stacked)
+
+
+def union_leaf_snapshot(smap: ShardedMap, cfg: SLAMConfig
+                        ) -> Tuple["np.ndarray", "np.ndarray"]:
+    """COMPLETE union (keys, vals) leaf snapshot of the sharded map
+    (host). Fast path reads the registries (vals mirror every leaf's
+    current word); when ANY shard's registry has overflowed the registry
+    is missing leaves that exist only in that shard's pool, so the
+    snapshot falls back to per-shard POOL extraction — the single-chip
+    _leaf_snapshot discipline (map/tiering.py). Any rebuild that feeds a
+    registry union back into the pools (rebalance, tiering spill) MUST go
+    through this, or pool-only leaves are lost permanently."""
+    import numpy as np
+
+    if not bool(np.any(np.asarray(smap.leaves.overflowed))):
+        k = np.asarray(smap.leaves.keys).ravel()
+        v = np.asarray(smap.leaves.vals).ravel()
+        live = k >= 0
+        return k[live], v[live]
+    m = smap.leaves.keys.shape[0]
+    ks, vs = [], []
+    for d in range(m):
+        pool_d = jax.tree_util.tree_map(lambda x: x[d], smap.pool)
+        pool_d = svo.refresh_interior(pool_d, depth=cfg.max_depth)
+        ex, _ = svo.extract_all_leaves(
+            pool_d, depth=cfg.max_depth,
+            start_capacity=max(cfg.extract_capacity, cfg.leaf_capacity))
+        n = int(ex.count)
+        keys = np.asarray(ex.keys[:n])
+        nodes = np.asarray(ex.nodes[:n])
+        live = nodes >= 0
+        vals = np.asarray(pool_d.value)[np.maximum(nodes, 0)]
+        ks.append(keys[live])
+        vs.append(vals[live])
+    return np.concatenate(ks), np.concatenate(vs)
+
+
+def rebalance_sharded(smap: ShardedMap, cfg: SLAMConfig, mesh: Mesh,
+                      axis_name: str = "map") -> ShardedMap:
+    """Re-cut the shard boundaries to equalize leaf load and redistribute
+    the map (host-level, rare — a growth-cadence operation, not per-frame).
+
+    The fixed level-1 octant split loads 1-2 of 8 devices on any scene
+    concentrated in few octants (round-2 verdict item #5). This measures
+    the observed per-cell leaf histogram at cfg.map_split_level, computes
+    balanced contiguous ranges, and rebuilds every shard from the UNION
+    leaf snapshot filtered to its new range (value-verbatim insert_exact,
+    so the union is bit-identical before and after). Needs
+    map_split_level >= 2 to help: level 1 has only 8 cells to cut.
+    """
+    import numpy as np
+
+    m = mesh.shape[axis_name]
+    L = cfg.map_split_level
+    cells = 1 << (3 * L)
+
+    # COMPLETE union leaf snapshot (pool-backed when a registry has
+    # overflowed — a registry union would silently drop its excess
+    # leaves from the rebuilt pools)
+    keys_live, vals_live = union_leaf_snapshot(smap, cfg)
+    prefixes = keys_live >> (3 * (cfg.max_depth - L))
+    counts = np.bincount(prefixes, minlength=cells)
+    bounds = balanced_bounds(counts, m)
+    return rebuild_from_union(smap, cfg, mesh, keys_live, vals_live,
+                              bounds, axis_name=axis_name)
 
 
 def render_sharded_map(smap: ShardedMap, world_T_cam, fx, fy,
