@@ -16,6 +16,8 @@ bench.py; this file covers the rest of `BASELINE.json.configs`:
               cannot read it either); the loadable sponza asset is
               banner.obj, which this config uses.
   cone1080p — full track+fuse+cone step at 1920x1080
+  capstone1080 — BASELINE.json config 5 all-at-once: streamed brick pool
+              (host tiering active) + hybrid cone render at 1080p
   depth10   — 1 cm leaves / 10.24 m volume, dense mips off (the deep-map
               regime; the production cone path is leaf-only)
   slam1cm   — the reference's SLAM resolution head-to-head: 1 cm leaves
@@ -317,7 +319,7 @@ def config_sponza_orbit(n_frames=12, width=640, height=480):
     }))
 
 
-def config_cone_1080p(n_frames=8):
+def config_cone_1080p(n_frames=8, max_scale=16):
     from octree_slam_tpu import pipeline
     from octree_slam_tpu.sensor import sources
 
@@ -327,11 +329,15 @@ def config_cone_1080p(n_frames=8):
     # the same three levels the reference uses; ATE below validates that
     # tracking quality is unchanged (full-res GN was 22 ms/frame of the
     # 64 ms step in the device trace).
+    # cone_max_scale: the footprint-matched-raster rule (make_slab_spec)
+    # needs coarser cells at 1080p intrinsics — fx*leaf/z is ~16 px at
+    # 2 m (vs ~5 px at 640x480), and the 640x480 default cap of 8 left
+    # slab HOLES at near range (measured 17.7 dB vs 26.5 dB with 16)
     cfg = SLAMConfig(width=1920, height=1080, focal_x=1597.7, focal_y=1594.6,
                      max_depth=9, voxel_resolution=0.02,
                      pyramid_depth=4, track_finest_level=1, fuse_level=1,
                      node_capacity=1 << 20, leaf_capacity=1 << 18,
-                     insert_unique_cap=1 << 17)
+                     insert_unique_cap=1 << 17, cone_max_scale=max_scale)
     scene = sources.default_scene()
     frames = []
     gts = []
@@ -383,6 +389,83 @@ def config_cone_1080p(n_frames=8):
         "cone_psnr_db": round(psnr, 2),
         "map_nodes": int(out.map_nodes),
         "unique_overflow_last_frame": bool(out.unique_overflow),
+    }))
+
+
+def config_capstone1080(n_frames=60, band_cap=115200, band_iters=24):
+    """BASELINE.json config 5 capstone: the large-scale GigaVoxels-style
+    deployment — streamed brick pool (host tiering ACTIVE: tight spill
+    radius + growth-pressure archiving, map/tiering.py) + the QUALITY
+    cone renderer (cone_hybrid: slab + seeded edge-band march) at full
+    1920x1080 — every subsystem on at once, which no other config
+    combines. The reference scaffolds this and never finished it
+    (svo.h:8, svo.cu:467-496 disabled brick-pool path).
+
+    Two measurements: (a) the streamed run — app.run_slam over a long
+    orbit arc with capacities sized so HBM pressure forces cold-region
+    spills as the camera sweeps (steady FPS, ATE, spill/restore
+    traffic); (b) hybrid fidelity at 1080p on a clean single-pass map vs
+    the exact march (bench.py methodology). Track+fuse ride pyramid
+    level 1 (960x540) like config_cone_1080p; the render is full-res."""
+    from octree_slam_tpu import app, pipeline
+    from octree_slam_tpu.sensor import sources
+    from octree_slam_tpu.utils import metrics
+
+    cfg = SLAMConfig(width=1920, height=1080, focal_x=1597.7,
+                     focal_y=1594.6, max_depth=9, voxel_resolution=0.02,
+                     pyramid_depth=4, track_finest_level=1, fuse_level=1,
+                     node_capacity=1 << 19, leaf_capacity=1 << 17,
+                     insert_unique_cap=1 << 16,
+                     cone_band_cap=band_cap, cone_band_iters=band_iters,
+                     host_spill=True, spill_keep_radius=2.2,
+                     precompile_ahead=False)
+    scene = sources.default_scene()
+    step_angle = 2.0 * np.pi / 200  # the soak's arc density
+    gts = [sources.orbit_pose(i * step_angle, radius=2.0)
+           for i in range(n_frames)]
+
+    def frame_fn(i):
+        return sources.render_frame(scene, gts[i], cfg.focal_x,
+                                    cfg.focal_y, width=cfg.width,
+                                    height=cfg.height)
+
+    res = app.run_slam(frame_fn, n_frames, cfg, initial_pose=gts[0],
+                       gt_fn=lambda i: gts[i], render_every=1,
+                       render_mode="cone_hybrid", log_every=20)
+
+    # (b) fidelity: clean 8-frame map, hybrid vs exact march at 1080p
+    import dataclasses
+    fcfg = dataclasses.replace(cfg, host_spill=False,
+                               node_capacity=1 << 20)
+    st = pipeline.init_state(fcfg, initial_pose=gts[0])
+    stepn = jax.jit(lambda s, f: pipeline.step(s, f, fcfg, render="none"),
+                    donate_argnums=0)
+    fr = [frame_fn(i) for i in range(8)]
+    for f in fr:
+        sync(f.depth)
+    for f in fr[:-1]:
+        st, _ = stepn(st, f)
+    sync(st.pose)
+    s1 = jax.tree_util.tree_map(jnp.copy, st)
+    s2 = jax.tree_util.tree_map(jnp.copy, st)
+    _, out_h = pipeline.step(s1, fr[-1], fcfg, render="cone_hybrid")
+    _, out_m = pipeline.step(s2, fr[-1], fcfg, render="cone_march")
+    psnr = _psnr_db(np.asarray(out_h.framebuffer),
+                    np.asarray(out_m.framebuffer))
+    print(json.dumps({
+        "config": "capstone_1080p_streamed_hybrid",
+        "metric": "streamed_hybrid_fps_1080p",
+        "value": round(res.steady_fps, 2), "unit": "fps",
+        "resolution": "1920x1080", "frames": n_frames,
+        "band_cap": band_cap, "band_iters": band_iters,
+        "ate_rmse_m": (round(res.ate_rmse, 4)
+                       if res.ate_rmse is not None else None),
+        "diverged": res.diverged,
+        "spilled_leaves": res.spilled_leaves,
+        "restored_leaves": res.restored_leaves,
+        "archived_cells": res.archived_cells,
+        "map_nodes": res.map_nodes,
+        "hybrid_psnr_db_1080p": round(psnr, 2),
     }))
 
 
@@ -1032,8 +1115,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="all",
                    choices=["cube", "textured", "bunny", "cow", "sponza",
-                            "cone1080p", "depth10", "slam1cm",
-                            "slam1cmfull", "warmmarch",
+                            "cone1080p", "capstone1080", "depth10",
+                            "slam1cm", "slam1cmfull", "warmmarch",
                             "conescale", "rgbdterm", "tum", "hybrid",
                             "satgate", "all"])
     p.add_argument("--band-cap", type=int, default=0)
@@ -1068,6 +1151,7 @@ def main():
             f"{REF}/textures/cow.bmp", log_n=8),
         "sponza": config_sponza_orbit,
         "cone1080p": config_cone_1080p,
+        "capstone1080": config_capstone1080,
         "depth10": config_depth10,
         "slam1cm": config_slam1cm,
         "slam1cmfull": lambda: config_slam1cm(fuse_level=0),

@@ -207,6 +207,60 @@ def main():
     h[..., 1] = edge * 0.35
     save_image(str(out / "cone_diff.png"),
                np.asarray(np.clip(h * 255, 0, 255), np.uint8))
+
+    # hybrid panel (round-4 quality renderer at the production knee):
+    # the band march samples only the LEAF mip level + dist, so the cache
+    # rebuilds from the saved leaf registry alone (same construction as
+    # parallel/distributed.union_leaf_mirror)
+    from octree_slam_tpu.core import packing
+    from octree_slam_tpu.map import mips as mips_mod
+    from octree_slam_tpu.render import hybrid as hybrid_mod
+
+    lvl = pipeline._accel_level(cfg)
+
+    @jax.jit
+    def build_cache(keys, vals):
+        live = keys >= 0
+        total = mips_mod.total_cells(cfg.max_depth)
+        flat = jnp.where(
+            live,
+            mips_mod.flat_index(keys, cfg.max_depth, cfg.max_depth), total)
+        values = jnp.full((total,), packing.EMPTY_VALUE,
+                          jnp.uint32).at[flat].set(vals, mode="drop")
+        g = 1 << lvl
+        pk = keys >> (3 * (cfg.max_depth - lvl))
+        lx, ly, lz = mips_mod.deinterleave3(jnp.where(live, pk, 0), lvl)
+        xyz = (lz << (2 * lvl)) | (ly << lvl) | lx
+        occ = jnp.zeros((g * g * g,), bool).at[
+            jnp.where(live, xyz, g * g * g)].set(True, mode="drop")
+        dist = mips_mod._dist_from_occ(occ.reshape(g, g, g),
+                                       cfg.dist_max_skip).reshape(-1)
+        cache = mips_mod.RenderCache(values=values, occ=occ, dist=dist)
+        return mips_mod.encode_free_dist(cache, max_depth=cfg.max_depth,
+                                         dist_level=lvl)
+
+    cache = build_cache(leaves.keys, leaves.vals)
+    spec = conesplat.make_slab_spec(
+        width=cfg.width, height=cfg.height, fx=cfg.focal_x,
+        leaf_size=cfg.voxel_resolution, z_near=cfg.cone_znear,
+        z_far=cfg.max_range, n_slabs=cfg.cone_slabs,
+        max_scale=cfg.cone_max_scale)
+    hyb = jax.jit(lambda lvs, c, T: hybrid_mod.render_cone_hybrid(
+        lvs, c, jnp.asarray(center), half, T, cfg.focal_x, cfg.focal_y,
+        spec=spec, depth=cfg.max_depth, dist_level=lvl,
+        band_cap=57600, band_iters=24, fused_dist=True))(
+            leaves, cache, pose)
+    hy = np.asarray(hyb[..., :3], np.float64)
+    stats_h, _ = analyze(m, hy)
+    print(json.dumps({"variant": "hybrid_cap57600_it24", **stats_h}),
+          flush=True)
+    save_image(str(out / "cone_hybrid.png"),
+               np.asarray(np.clip(hy * 255, 0, 255), np.uint8))
+    h2 = np.zeros_like(m)
+    h2[..., 0] = np.clip(np.abs(m - hy).mean(-1) * 4.0, 0, 1)
+    h2[..., 1] = edge * 0.35
+    save_image(str(out / "cone_hybrid_diff.png"),
+               np.asarray(np.clip(h2 * 255, 0, 255), np.uint8))
     print(f"images saved under {out}", flush=True)
 
 

@@ -64,7 +64,7 @@ class SLAMConfig:
                                  # round-2 verdict item #7 drift fix.
     keyframe_max_dist: float = 0.12     # m: re-anchor beyond this baseline
     keyframe_max_angle_deg: float = 8.0  # deg: ... or this rotation
-    icp_symmetric: bool = False  # symmetric point-to-plane residual
+    icp_symmetric: bool = True   # symmetric point-to-plane residual
                                  # r = (n1 + n2').(v1 - v2') instead of the
                                  # reference's one-sided n1 term
                                  # (localization_kernels.cu:207-226):
@@ -73,13 +73,24 @@ class SLAMConfig:
                                  # every solve (Rusinkiewicz 2019) — the
                                  # round-3 soak diagnosis named exactly
                                  # such a motion-proportional per-solve
-                                 # bias. A/B'd on the 200-frame soak
-                                 # (examples/soak_estimator_ab.py)
-    icp_huber_k: float = 0.0     # > 0: IRLS Huber weight w = min(1, k/|r|)
+                                 # bias. PRODUCTION DEFAULT since round 5:
+                                 # together with icp_huber_k=0.02 the
+                                 # 200-frame soak A/B measured ATE
+                                 # 0.476 -> 0.259 m (-46%) and the
+                                 # 14-frame orbit 2.68 -> 1.85 mm, at
+                                 # identical per-frame cost
+                                 # (examples/soak_estimator_ab.py,
+                                 # BASELINE.md round-5). Set False +
+                                 # icp_huber_k=0 for strict reference
+                                 # estimator semantics.
+    icp_huber_k: float = 0.02    # > 0: IRLS Huber weight w = min(1, k/|r|)
                                  # (meters) on the point-to-plane residual
                                  # — robustness to the depth-quantization
                                  # tail without the reference's hard 0.1 m
-                                 # gate cliff; 0 = off (reference behavior)
+                                 # gate cliff; 0 = off (reference
+                                 # behavior). Default 0.02 per the soak
+                                 # A/B (alone: 0.476 -> 0.400 m; with
+                                 # icp_symmetric: 0.259 m)
     icp_dist_thresh: float = 0.1        # meters
     icp_norm_thresh: float = 0.87       # cos(30 deg)
     icp_z_min: float = 0.1              # meters (localization_kernels.cu:189)
@@ -140,7 +151,22 @@ class SLAMConfig:
                                         # insert_unique_cap and the
                                         # device_remainder pager for the
                                         # full-res 1 cm win (round-3
-                                        # verdict item #2)
+                                        # verdict item #2).
+                                        # DEFAULT DECIDED OFF with
+                                        # round-5 numbers: on a FRESH
+                                        # stream (nothing saturated) the
+                                        # per-frame bitmask probe +
+                                        # mask maintenance cost the
+                                        # headline 93.9 -> 71.8 FPS
+                                        # (-24%, measured 2026-08-20),
+                                        # pure overhead; the 2.2x win
+                                        # (24.1 -> 53.8 FPS) is the
+                                        # STEADY-STATE re-observation
+                                        # regime. Turn it ON for
+                                        # long-running strict-1cm
+                                        # deployments (bench_configs
+                                        # --config satgate is the
+                                        # reference recipe)
     debug_validate_dircache: int = 0    # 0 = off; N > 0: every N frames
                                         # run_slam re-runs the frame
                                         # UNCACHED on a pre-step copy and

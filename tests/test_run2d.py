@@ -605,10 +605,16 @@ class TestKeyframe2D:
         from octree_slam_tpu import pipeline
         from octree_slam_tpu.sensor import sources
 
+        # reference estimator pinned: the test proves KEYFRAME-LOGIC
+        # parity via map bit-identity, and the production Huber IRLS
+        # default turns 1-ULP psum-reassociation pose differences into
+        # occasional single-level value rounding flips (2/4107 leaves
+        # observed) that are not what this test is about
         cfg = dataclasses.replace(
             TestRunSlam2D.CFG, node_capacity=1 << 16,
             leaf_capacity=1 << 13, track_keyframe=True,
-            keyframe_max_dist=0.05, keyframe_max_angle_deg=3.0)
+            keyframe_max_dist=0.05, keyframe_max_angle_deg=3.0,
+            icp_symmetric=False, icp_huber_k=0.0)
         n = 10
         mesh = distributed.make_mesh2(2, 4)
         scene = sources.default_scene()

@@ -39,7 +39,10 @@ class TestNormalEquations:
         v1[3] = np.inf
         v2[7, 2] = 0.01    # z too small
         v2[11] = v1[11] + 0.5  # too far
-        cfg = SLAMConfig()
+        # the oracle models the REFERENCE estimator (one-sided
+        # point-to-plane, hard gate) — pin those semantics; the round-5
+        # production default is symmetric+Huber (config.py)
+        cfg = SLAMConfig(icp_symmetric=False, icp_huber_k=0.0)
         A, b, count, _ = tracking.icp_normal_equations(
             jnp.asarray(v1), jnp.asarray(n1), jnp.asarray(v2), jnp.asarray(n2), cfg)
         A_ref, b_ref, count_ref = oracle_ne(v1, n1, v2, n2)
