@@ -416,8 +416,16 @@ def config_capstone1080(n_frames=60, band_cap=115200, band_iters=24):
                      pyramid_depth=4, track_finest_level=1, fuse_level=1,
                      node_capacity=1 << 19, leaf_capacity=1 << 17,
                      insert_unique_cap=1 << 16,
+                     # 1080p intrinsics need 16 px slab cells (the
+                     # footprint rule — see config_cone_1080p)
+                     cone_max_scale=16,
                      cone_band_cap=band_cap, cone_band_iters=band_iters,
                      host_spill=True, spill_keep_radius=2.2,
+                     # hysteresis: restore STRICTLY inside the keep
+                     # radius or every spill un-spills next frame
+                     # (restore_radius default 11 m is sized for the
+                     # 12 m default keep radius, not a 2.2 m one)
+                     restore_radius=1.8,
                      precompile_ahead=False)
     scene = sources.default_scene()
     step_angle = 2.0 * np.pi / 200  # the soak's arc density

@@ -294,6 +294,17 @@ def run_slam(frame_fn: Callable[[int], Frame], n_frames: int,
     archive = None
     if cfg.host_spill:
         from octree_slam_tpu.map import tiering
+        if cfg.restore_radius >= cfg.spill_keep_radius:
+            # inverted hysteresis THRASHES: a cell spills (every leaf
+            # farther than spill_keep_radius) and its center is already
+            # within restore_radius, so the next frame pulls the whole
+            # archive straight back — measured as a full spill+restore
+            # round trip per frame at 1080p before this guard existed
+            raise ValueError(
+                f"host_spill needs restore_radius < spill_keep_radius "
+                f"(got restore {cfg.restore_radius} >= keep "
+                f"{cfg.spill_keep_radius}): spilled cells would restore "
+                f"immediately, thrashing the host tier every frame")
         archive = tiering.HostArchive(cfg.tier_level)
     keyposes: list = []  # relocalization anchors (relocalize.py)
     # frames stepped BEFORE a growth still carry the pre-growth sticky

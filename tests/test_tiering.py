@@ -267,3 +267,18 @@ class TestSpillRestore:
             state.pool, c, depth=big.max_depth)[0])[0])
         assert after == live_val  # the newer observation survived
         assert after != int(v0[0]) or live_val == int(v0[0])
+
+
+def test_inverted_hysteresis_rejected():
+    """restore_radius >= spill_keep_radius thrashes (spill -> immediate
+    restore every frame, observed live at 1080p): run_slam refuses it."""
+    import pytest
+    from octree_slam_tpu import app
+    from octree_slam_tpu.config import SLAMConfig
+
+    cfg = SLAMConfig(width=32, height=24, max_depth=5,
+                     node_capacity=1 << 12, leaf_capacity=1 << 10,
+                     host_spill=True, spill_keep_radius=2.2)
+    assert cfg.restore_radius >= cfg.spill_keep_radius  # the footgun
+    with pytest.raises(ValueError, match="hysteresis|restore_radius"):
+        app.run_slam(lambda i: None, 0, cfg)
