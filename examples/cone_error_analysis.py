@@ -52,19 +52,17 @@ CFG = SLAMConfig(width=640, height=480, max_depth=9,
 # samples single leaves, not mip means — nearest-leaf is the right color
 # model and the mean/bilinear smoothing only blurs. Sweep #2 explores
 # min-mode combos of the empty-cell borrow + raster scale.
+# the spread=True variants were deleted with the rejected
+# footprint-spread mode (round-3: 26.1-27.1 dB, reverted from
+# conesplat); the survivors are the production default plus its
+# nearest neighbors for the artifact sweep
 VARIANTS = [
     ("min+dilate1/s4", dict(accumulate=False, bilinear=False,
                             dilate=1), 4),
-    ("min+spread/s4", dict(accumulate=False, bilinear=False,
-                           dilate=0, spread=True), 4),
-    ("min+spread+dilate1/s4", dict(accumulate=False, bilinear=False,
-                                   dilate=1, spread=True), 4),
-    ("min+spread/s8", dict(accumulate=False, bilinear=False,
-                           dilate=0, spread=True), 8),
-    ("min+spread/s2", dict(accumulate=False, bilinear=False,
-                           dilate=0, spread=True), 2),
-    ("min+spread+dilate1/s2", dict(accumulate=False, bilinear=False,
-                                   dilate=1, spread=True), 2),
+    ("min+nodilate/s4", dict(accumulate=False, bilinear=False,
+                             dilate=0), 4),
+    ("min+dilate1/s8", dict(accumulate=False, bilinear=False,
+                            dilate=1), 8),
 ]
 
 
