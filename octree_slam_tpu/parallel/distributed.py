@@ -739,10 +739,13 @@ def slam_step_2d(cfg: SLAMConfig, mesh: Mesh, render: str = "splat",
     rgbd_camera.cpp:148-151).
 
     Returns step(state, frame) -> (state', (framebuffer, pose, signals))
-    where signals is a packed f32[8] health vector
+    where signals is a packed f32[11] health vector
     [unique_total, max_shard_nodes, max_shard_leaf_count,
-     any_pool_overflow, any_leaf_overflow, diverged, residual, inliers]
-    — ONE fetch per frame drives the host loop (parallel/run2d.py).
+     any_pool_overflow, any_leaf_overflow, diverged, residual, inliers,
+     cam_x, cam_y, cam_z]
+    — ONE fetch per frame drives the host loop (parallel/run2d.py),
+    including its tiering radius checks (the camera position rides the
+    same packed vector).
     """
     from octree_slam_tpu import pipeline
     from octree_slam_tpu.sensor import tracking as tr
@@ -805,8 +808,10 @@ def slam_step_2d(cfg: SLAMConfig, mesh: Mesh, render: str = "splat",
         # loop (run2d), which reads it TRAILING one frame so a frame costs
         # max(step, RTT), the pipeline.run_slam fetch protocol. Plain array
         # reductions over the stacked shard arrays; XLA inserts the
-        # cross-shard collectives.
-        signals = jnp.stack([
+        # cross-shard collectives. Slots 8-10 carry the camera position so
+        # the host tiering policy (spill/restore radii) runs off the SAME
+        # trailing fetch — no extra per-frame round trip.
+        signals = jnp.concatenate([jnp.stack([
             total.astype(jnp.float32),
             jnp.max(smap.pool.n_nodes).astype(jnp.float32),
             jnp.max(smap.leaves.count).astype(jnp.float32),
@@ -817,7 +822,7 @@ def slam_step_2d(cfg: SLAMConfig, mesh: Mesh, render: str = "splat",
             # finest tracked level (index 0, the last GN iterations)
             tstats.residual.ravel()[0].astype(jnp.float32),
             tstats.inliers.ravel()[0].astype(jnp.float32),
-        ])
+        ]), new_pose[:3, 3].astype(jnp.float32)])
         return new_state, (fb, new_pose, signals)
 
     # PINNED state shardings: the map P("map")-stacked, everything else

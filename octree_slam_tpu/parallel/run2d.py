@@ -187,10 +187,27 @@ def run_slam_2d(frames: Iterable, cfg: SLAMConfig, mesh,
     band march over the union leaf mirror) | "none". With cfg.recovery_enabled, divergence latches in-step and the
     host loop attempts relocalization against the sharded map. Returns
     (final_state, final_cfg, info) where info carries the trajectory
-    (np [N,4,4]), growth/rebalance/relocalize events, and the last signal
-    vector.
+    (np [N,4,4]), growth/rebalance/relocalize/tiering events, and the
+    last signal vector.
+
+    With cfg.host_spill, the host-RAM tiering policy runs on the mesh
+    exactly as app.run_slam runs it single-chip (parallel/tiering2d.py):
+    node-growth pressure archives cold cells BEFORE growing (spill can
+    avert a doubling), and archived cells restore as the camera nears —
+    the camera position rides the packed signal vector (slots 8-10), so
+    the radius checks cost no extra fetch.
     """
     recovery = cfg.recovery_enabled
+    archive = None
+    if cfg.host_spill:
+        from octree_slam_tpu.map.tiering import HostArchive
+        if cfg.restore_radius >= cfg.spill_keep_radius:
+            raise ValueError(
+                f"host_spill needs restore_radius < spill_keep_radius "
+                f"(got restore {cfg.restore_radius} >= keep "
+                f"{cfg.spill_keep_radius}): spilled cells would restore "
+                f"immediately, thrashing the host tier every frame")
+        archive = HostArchive(cfg.tier_level)
     state = distributed.slam_init_2d(cfg, mesh, map_center=map_center,
                                      initial_pose=initial_pose)
     step = distributed.slam_step_2d(cfg, mesh, render=render,
@@ -240,6 +257,36 @@ def run_slam_2d(frames: Iterable, cfg: SLAMConfig, mesh,
         grow_nodes = max_nodes > grow_headroom * cfg.node_capacity
         grow_leaves = leaf_ovf or (
             max_leaves > grow_headroom * cfg.leaf_capacity)
+        cam = sig_np[8:11] if sig_np.shape[0] >= 11 else None
+        if archive is not None and len(archive) and cam is not None:
+            # archived-cell restore check: pure host math off the trailing
+            # camera position (no extra device read)
+            from octree_slam_tpu.parallel import tiering2d
+            smap_r, cfg_r, n_rest = tiering2d.restore_due_sharded(
+                state[3], cfg, mesh, archive, camera_pos=cam)
+            if n_rest:
+                state = state[:3] + (smap_r,) + state[4:]
+                if cfg_r is not cfg:
+                    cfg = cfg_r
+                    step = distributed.slam_step_2d(
+                        cfg, mesh, render=render, sticky_gate=recovery)
+                emit({"event": "map_restore", "frame": frame_idx,
+                      "leaves": n_rest, "archived_cells": len(archive)})
+        if grow_nodes and archive is not None and cam is not None:
+            # HBM pressure: archive cold regions before growing (spill
+            # can avert the node doubling; an overflowed registry still
+            # grows — registrations were already dropped)
+            from octree_slam_tpu.parallel import tiering2d
+            smap_s, n_spill = tiering2d.spill_cold_sharded(
+                state[3], cfg, mesh, archive, camera_pos=cam)
+            if n_spill:
+                state = state[:3] + (smap_s,) + state[4:]
+                mn, _ = shard_loads(state[3])
+                averted = mn <= grow_headroom * cfg.node_capacity
+                grow_nodes = not averted
+                emit({"event": "map_spill", "frame": frame_idx,
+                      "leaves": n_spill, "archived_cells": len(archive),
+                      "grow_averted": bool(averted)})
         if (grow_nodes or grow_leaves) and rebalance_factor is not None:
             # REBALANCE-BEFORE-GROW: a hot shard's load may fit existing
             # HBM once spread; re-cut first and re-check the trigger
@@ -333,5 +380,7 @@ def run_slam_2d(frames: Iterable, cfg: SLAMConfig, mesh,
         np.zeros((0, 4, 4), np.float32),
         "events": events,
         "last_signals": last_sig,
+        "archived_cells": len(archive) if archive is not None else 0,
+        "archive": archive,
     }
     return state, cfg, info

@@ -596,6 +596,67 @@ class TestShardedTiering:
         assert np.all(idx < k2.size) and np.array_equal(k2[idx], k0)
 
 
+class TestTiering2DLoop:
+    """cfg.host_spill wired into run_slam_2d (the app-loop leg of the
+    sharded tiering): node-growth pressure spills cold cells off the
+    trailing camera signal, events are logged, and NO LEAF IS LOST —
+    the union of the final map and the archive holds exactly the key
+    set a no-tiering run of the same stream produces (tracking is
+    map-independent, so the observed key set is deterministic)."""
+
+    def test_spill_in_loop_loses_nothing(self):
+        from octree_slam_tpu.sensor import sources
+
+        # moderate capacity + LOW grow headroom: pressure fires early
+        # (spill path) without ever hard-overflowing a shard pool, which
+        # would drop allocations — a capacity artifact, not tiering
+        cfg = dataclasses.replace(
+            TestRunSlam2D.CFG,
+            node_capacity=1 << 14, leaf_capacity=1 << 12,
+            insert_unique_cap=1 << 11,
+            host_spill=True, tier_level=2,
+            spill_keep_radius=1.2, restore_radius=1.0)
+        n = 10
+        mesh = distributed.make_mesh2(2, 4)
+        scene = sources.default_scene()
+        gt = [sources.orbit_pose(i * 0.02) for i in range(n)]
+        frames = [sources.render_frame(scene, g, cfg.focal_x, cfg.focal_y,
+                                       width=cfg.width, height=cfg.height)
+                  for g in gt]
+        state, cfg2, info = run2d.run_slam_2d(frames, cfg, mesh,
+                                              initial_pose=gt[0],
+                                              grow_headroom=0.25)
+        spills = [e for e in info["events"] if e["event"] == "map_spill"]
+        assert spills, info["events"]
+        assert info["archive"] is not None
+        assert not bool(np.any(np.asarray(state[3].pool.overflowed)))
+
+        # no-tiering reference run (same stream, loose capacity)
+        ref_cfg = dataclasses.replace(
+            TestRunSlam2D.CFG, node_capacity=1 << 16,
+            leaf_capacity=1 << 13, insert_unique_cap=1 << 11)
+        ref_state, ref_cfg2, _ = run2d.run_slam_2d(frames, ref_cfg, mesh,
+                                                   initial_pose=gt[0])
+        ref_keys, _ = distributed.union_leaf_snapshot(ref_state[3],
+                                                      ref_cfg2)
+
+        live_keys, _ = distributed.union_leaf_snapshot(state[3], cfg2)
+        arch = info["archive"]
+        arch_keys = (np.concatenate([k for k, _ in arch.cells.values()])
+                     if len(arch) else np.zeros((0,), np.int32))
+        got = np.unique(np.concatenate([live_keys, arch_keys]))
+        np.testing.assert_array_equal(got, np.unique(ref_keys))
+
+    def test_inverted_hysteresis_rejected_2d(self):
+        import pytest
+        cfg = dataclasses.replace(TestRunSlam2D.CFG, host_spill=True,
+                                  spill_keep_radius=1.0,
+                                  restore_radius=2.0)
+        mesh = distributed.make_mesh2(2, 4)
+        with pytest.raises(ValueError, match="restore_radius"):
+            run2d.run_slam_2d([], cfg, mesh)
+
+
 class TestKeyframe2D:
     """Keyframe-anchored tracking on the 2-D mesh (round-4 verdict item
     #5c): identical math to pipeline.step's cfg.track_keyframe branch, so
