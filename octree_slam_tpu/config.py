@@ -216,6 +216,20 @@ class SLAMConfig:
                                         # hybrid's whole marginal cost:
                                         # ~2 gathers + flat while-loop
                                         # overhead per trip)
+    cone_band_sel_decimate: bool = False  # top-C band selection on a
+                                        # stride-2 block grid (selection
+                                        # argsort n/4 wide, chosen 2x2
+                                        # blocks expand to pixels).
+                                        # MEASURED AND REJECTED as the
+                                        # default (round-5 A/B, real
+                                        # TPU): 17.9 vs 18.6 FPS fresh
+                                        # and -0.06 dB — on this
+                                        # platform sorts are cheap
+                                        # (0.8 ms/307k) and the block
+                                        # expand's extra flat-cost
+                                        # kernels exceed the sort
+                                        # saving. Kept for
+                                        # gather-locality experiments.
     cone_band_crawl: int = 1            # leaf samples per march trip (>1:
                                         # one (lanes, crawl) value gather
                                         # covers crawl DDA samples — the

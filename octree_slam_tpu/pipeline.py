@@ -678,7 +678,8 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
             band_iters=cfg.cone_band_iters, crawl=cfg.cone_band_crawl,
             fused_dist=cfg.cone_band_fused_dist,
             depth_prio=cfg.cone_band_depth_prio,
-            compact_after=cfg.cone_band_compact_after)
+            compact_after=cfg.cone_band_compact_after,
+            sel_decimate=cfg.cone_band_sel_decimate)
     elif render == "cone_march":
         if cfg.use_dense_mips:
             s = max(1, cfg.cone_scale)

@@ -72,7 +72,7 @@ from octree_slam_tpu.render.splat import LeafList
     static_argnames=("spec", "depth", "dist_level", "band_cap",
                      "band_iters", "compact_after", "grad_dilate",
                      "seed_halo", "crawl", "fused_dist", "depth_prio",
-                     "dilate", "debug_band"))
+                     "dilate", "debug_band", "sel_decimate"))
 def render_cone_hybrid(leaves: LeafList, cache, center: jnp.ndarray,
                        half_size, world_T_cam: jnp.ndarray, fx, fy, *,
                        spec: SlabSpec, depth: int, dist_level: int,
@@ -81,7 +81,8 @@ def render_cone_hybrid(leaves: LeafList, cache, center: jnp.ndarray,
                        compact_after: int = 999, grad_dilate: int = 2,
                        seed_halo: int = 4, crawl: int = 1,
                        fused_dist: bool = False, depth_prio: float = 0.0,
-                       dilate: int = 1, debug_band: bool = False):
+                       dilate: int = 1, debug_band: bool = False,
+                       sel_decimate: bool = False):
     """Slab image with the edge band re-rendered by the seeded exact march.
 
     cache is the dense-mip RenderCache (map/mips.py); only its leaf level
@@ -100,7 +101,7 @@ def render_cone_hybrid(leaves: LeafList, cache, center: jnp.ndarray,
         band_iters=band_iters, compact_after=compact_after,
         grad_dilate=grad_dilate, seed_halo=seed_halo, crawl=crawl,
         fused_dist=fused_dist, depth_prio=depth_prio,
-        debug_band=debug_band)
+        debug_band=debug_band, sel_decimate=sel_decimate)
 
 
 def band_march_merge(fb, z_first, cache, center: jnp.ndarray,
@@ -111,7 +112,7 @@ def band_march_merge(fb, z_first, cache, center: jnp.ndarray,
                      compact_after: int = 999, grad_dilate: int = 2,
                      seed_halo: int = 4, crawl: int = 1,
                      fused_dist: bool = False, depth_prio: float = 0.0,
-                     debug_band: bool = False):
+                     debug_band: bool = False, sel_decimate: bool = False):
     """Steps 2-4 of the hybrid (band select, seeded march, merge) on a
     PREBUILT slab image + aux — split out so the multi-chip renderer can
     compose its per-shard scatter-min slab (one pmin of packed words over
@@ -150,14 +151,34 @@ def band_march_merge(fb, z_first, cache, center: jnp.ndarray,
         gz = jnp.maximum(zx, zy) / jnp.maximum(znear2 * 0.3, 1e-3)
         grad = jnp.maximum(grad, depth_prio * jnp.clip(gz, 0.0, 1.0))
     k = 2 * grad_dilate + 1
-    prio = jax.lax.reduce_window(grad, jnp.float32(0.0), jax.lax.max,
-                                 (k, k), (1, 1), "SAME")
-    # raster-order the selected lanes: the set is identical (top-C by
-    # priority) but adjacent lanes become adjacent PIXELS, so the march's
-    # per-trip leaf-value gathers hit Morton-adjacent addresses of the
-    # dense mip instead of priority-random ones (gather locality on the
-    # ~600 MB table is the band march's whole cost at production widths)
-    sel = jnp.sort(jnp.argsort(-prio.reshape(-1))[:C]).astype(jnp.int32)
+    if sel_decimate and C % 4 == 0 and W % 2 == 0 and H % 2 == 0:
+        # DECIMATED top-C: the max-pool that dilates the priorities also
+        # strides 2, so the argsort runs over n/4 block priorities and
+        # each selected 2x2 BLOCK expands to its 4 pixels. The set
+        # changes at 2x2 granularity only — the priorities were already
+        # (2*grad_dilate+1)^2 max-pooled, so a selected block's pixels
+        # are within the dilation reach of the edge that selected it.
+        # Saves the full-frame sort (the band select's dominant kernel);
+        # blocks also tighten the march's gather locality further.
+        priob = jax.lax.reduce_window(grad, jnp.float32(0.0), jax.lax.max,
+                                      (k, k), (2, 2), "SAME")
+        hb, wb = priob.shape
+        selb = jnp.argsort(-priob.reshape(-1))[: C // 4]
+        by = (selb // wb).astype(jnp.int32)
+        bx = (selb % wb).astype(jnp.int32)
+        px = ((2 * by)[:, None] * W + (2 * bx)[:, None]
+              + jnp.asarray([0, 1, W, W + 1], jnp.int32)[None, :])
+        sel = jnp.sort(px.reshape(-1)).astype(jnp.int32)
+    else:
+        prio = jax.lax.reduce_window(grad, jnp.float32(0.0), jax.lax.max,
+                                     (k, k), (1, 1), "SAME")
+        # raster-order the selected lanes: the set is identical (top-C
+        # by priority) but adjacent lanes become adjacent PIXELS, so the
+        # march's per-trip leaf-value gathers hit Morton-adjacent
+        # addresses of the dense mip instead of priority-random ones
+        # (gather locality on the ~600 MB table is the band march's
+        # whole cost at production widths)
+        sel = jnp.sort(jnp.argsort(-prio.reshape(-1))[:C]).astype(jnp.int32)
 
     # --- Seeds: conservative march start from the slab's own depth. ---
     # z_first is the near boundary of the pixel's first contributing slab
