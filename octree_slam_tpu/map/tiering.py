@@ -198,7 +198,8 @@ def _rebuild_derived(state, cfg: SLAMConfig, pool):
         cfg, leaf_capacity=cap)
     state = state._replace(pool=pool, leaves=leaves, accel=accel,
                            interior_stale=jnp.bool_(False),
-                           mirror_stale=jnp.bool_(False))
+                           mirror_stale=jnp.bool_(False),
+                           stamps_stale=jnp.bool_(False))
     # node indices just changed: a stale insert-directory entry would
     # blend into the wrong node (pipeline.reset_dircache contract);
     # the saturation-gate bitmask is rebuilt from the LIVE registry so
@@ -282,7 +283,10 @@ def restore_due(state, cfg: SLAMConfig, archive: HostArchive, *,
     # the dropped ones get written. Registry appends dropped by an
     # overflowed round are recovered by grow_state's full rebuild.
     state = state._replace(interior_stale=jnp.bool_(True),
-                           mirror_stale=jnp.bool_(cfg.use_dense_mips))
+                           mirror_stale=jnp.bool_(cfg.use_dense_mips),
+                           stamps_stale=jnp.bool_(
+                               cfg.use_dense_mips
+                               and cfg.cone_band_fused_dist))
     while True:
         pool, stats_list = _insert_all_exact(state.pool, keys, vals, cfg,
                                              overwrite=False)
@@ -315,4 +319,6 @@ def restore_due(state, cfg: SLAMConfig, archive: HostArchive, *,
                     pool, max_depth=cfg.max_depth, dist_level=lvl,
                     max_skip=cfg.dist_max_skip),
                 mirror_stale=jnp.bool_(False))
+            # rebuild_from_pool leaves free cells unstamped; the flag
+            # (set above) stays True so the next hybrid frame re-stamps
     return state, cfg, int(keys.size)

@@ -101,6 +101,16 @@ class SLAMState(NamedTuple):
     # interior_stale: eager frames update the mirror INCREMENTALLY, which
     # cannot heal staleness accumulated before them.
     mirror_stale: jnp.ndarray  # bool[]
+    # Fused-dist STAMP staleness, separate from mirror CONTENT staleness
+    # (round-5 fix: conflating them made every eager cone_march frame
+    # re-heal — a full 613 MB mirror rebuild per frame, measured as a
+    # 2x full-pipeline regression on --config conescale): True when the
+    # mirror's free leaf cells lack current encode_free_dist stamps even
+    # though the leaf values themselves are current (eager non-hybrid
+    # frames update content incrementally but never stamp). Hybrid
+    # frames re-stamp off (had_new | mirror_stale | stamps_stale);
+    # the eager heal ignores it. Scalar False when fused stamps are off.
+    stamps_stale: jnp.ndarray  # bool[]
 
 
 class StepOutput(NamedTuple):
@@ -321,6 +331,7 @@ def init_state(cfg: SLAMConfig, map_center=(0.0, 0.0, 0.0),
                   if cfg.saturation_gate
                   else jnp.zeros((0,), jnp.uint32)),
         mirror_stale=jnp.bool_(False),
+        stamps_stale=jnp.bool_(False),
     )
 
 
@@ -654,7 +665,7 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
                                                   dist_level=lvl)
                 return a
 
-            trigger = (had_new | state.mirror_stale) \
+            trigger = (had_new | state.mirror_stale | state.stamps_stale) \
                 if cfg.cone_band_fused_dist else had_new
             accel = jax.lax.cond(trigger, _redist, lambda a: a, accel)
         if not needs_mirror and cfg.cone_band_fused_dist:
@@ -740,17 +751,17 @@ def step(state: SLAMState, frame: Frame, cfg: SLAMConfig,
         sat_mask=sat_mask,
         # eager frames healed + updated the mirror; hybrid lazy frames
         # healed + maintained its leaf level; every other lazy frame
-        # leaves it behind (see SLAMState.mirror_stale). With the fused
-        # single-gather band march, an eager NON-hybrid frame's mirror is
-        # current but UNSTAMPED (mips.update / rebuild_from_pool leave
-        # free cells EMPTY — correct image, zero empty-space skips), so
-        # it must stay flagged: the next hybrid frame's mirror_stale
-        # trigger then restores the stamps instead of silently marching
-        # skip-less until the next new-leaf frame.
-        mirror_stale=(jnp.bool_(not (needs_mirror or (
-            eager and (render == "cone_hybrid"
-                       or not cfg.cone_band_fused_dist))))
+        # leaves it behind (see SLAMState.mirror_stale). CONTENT only —
+        # with the fused single-gather band march, an eager NON-hybrid
+        # frame's mirror is current but UNSTAMPED (mips.update /
+        # rebuild_from_pool leave free cells EMPTY), which the SEPARATE
+        # stamps_stale flag records so the next hybrid frame re-stamps
+        # without the eager path re-healing a current mirror every frame.
+        mirror_stale=(jnp.bool_(not (eager or needs_mirror))
                       if cfg.use_dense_mips else state.mirror_stale),
+        stamps_stale=(jnp.bool_(render != "cone_hybrid")
+                      if (cfg.use_dense_mips and cfg.cone_band_fused_dist)
+                      else jnp.bool_(False)),
     )
     out = StepOutput(
         framebuffer=fb,
@@ -803,5 +814,7 @@ def insert_remainder(state: SLAMState, frame: Frame, cfg: SLAMConfig,
         # was eager (cone_march) and had cleared it
         interior_stale=state.interior_stale | jnp.bool_(not eager),
         mirror_stale=state.mirror_stale
-        | jnp.bool_(cfg.use_dense_mips and not eager))
+        | jnp.bool_(cfg.use_dense_mips and not eager),
+        stamps_stale=state.stamps_stale
+        | jnp.bool_(cfg.use_dense_mips and cfg.cone_band_fused_dist))
     return new_state, (istats.unique_overflow, istats.last_key)

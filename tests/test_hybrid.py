@@ -303,8 +303,10 @@ class TestHybrid:
     def test_eager_frame_flags_unstamped_mirror(self):
         """An eager (cone_march) frame rebuilds/updates the mirror WITHOUT
         the fused-dist free-cell stamps; with cone_band_fused_dist it must
-        leave mirror_stale True so the next hybrid frame restores the
-        stamps instead of marching skip-less (round-4 advisor finding)."""
+        set stamps_stale (NOT mirror_stale — the content is current, and
+        flagging content made every eager march frame re-heal the whole
+        mirror, a measured 2x conescale regression) so the next hybrid
+        frame restores the stamps instead of marching skip-less."""
         cfg = SLAMConfig(width=80, height=60, focal_x=70.0, focal_y=70.0,
                          pyramid_depth=2, pyramid_iters=(4, 4),
                          voxel_resolution=0.04, max_depth=7,
@@ -324,8 +326,10 @@ class TestHybrid:
         frame = sources.render_frame(scene, gt, cfg.focal_x, cfg.focal_y,
                                      width=cfg.width, height=cfg.height)
         state, _ = pipeline.step(state, frame, cfg, render="cone_march")
-        # eager frame: mirror current but stamps gone -> flagged
-        assert bool(state.mirror_stale)
+        # eager frame: mirror CONTENT current (no re-heal next frame),
+        # stamps gone -> only the stamp flag set
+        assert not bool(state.mirror_stale)
+        assert bool(state.stamps_stale)
         lvl = pipeline._accel_level(cfg)
         lo = mips.level_offset(cfg.max_depth)
         hi = mips.level_offset(cfg.max_depth + 1)
@@ -339,6 +343,7 @@ class TestHybrid:
                                      width=cfg.width, height=cfg.height)
         state, _ = pipeline.step(state, frame, cfg, render="cone_hybrid")
         assert not bool(state.mirror_stale)
+        assert not bool(state.stamps_stale)
         pool_fresh = svo.refresh_interior(state.pool, depth=cfg.max_depth)
         ref = mips.rebuild_from_pool(pool_fresh, max_depth=cfg.max_depth,
                                      dist_level=lvl,
